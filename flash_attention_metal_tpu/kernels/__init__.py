@@ -1,0 +1,17 @@
+"""The Pallas kernel ladder (reference parity: K1-K6, SURVEY.md §2)."""
+
+from .naive import naive_attention
+from .flash_v1 import flash_attention_v1
+from .flash_v2 import flash_attention_v2
+from .flash_mxu import flash_attention_mxu
+from .flash_fwd import flash_attention_fwd
+from .flash_bwd import flash_attention_bwd
+
+__all__ = [
+    "naive_attention",
+    "flash_attention_v1",
+    "flash_attention_v2",
+    "flash_attention_mxu",
+    "flash_attention_fwd",
+    "flash_attention_bwd",
+]

@@ -1,0 +1,340 @@
+"""K6 — flash-attention backward, FA-2 two-kernel decomposition.
+
+The reference's ``flash_attention_backward_kernel`` (``kernels.metal:
+885-1265``) is a single kernel parallelized over Q blocks that accumulates
+dK/dV across threadgroups with global float atomics (``kernels.metal:
+891-903,1216-1247``) and staggers block starts to spread contention
+(``kernels.metal:1012-1016``).  TPUs have no global atomics — and don't
+need them: the idiomatic decomposition (also what FlashAttention-2 does)
+is **two kernels with disjoint write sets**:
+
+* ``dKdV`` kernel — grid over KV blocks, sequential reduction over Q
+  blocks; each KV block's dK/dV is owned by exactly one grid cell, so the
+  accumulation lives in fp32 VMEM scratch with zero contention and the
+  result is bitwise deterministic (the reference explicitly documents its
+  float-atomic non-determinism, ``interview_prep_guide.md:89``).
+* ``dQ`` kernel — grid over Q blocks, sequential reduction over KV blocks.
+
+Both kernels *recompute* S = QK^T per block and reconstruct
+P = exp(S*scale - L) from the saved logsumexp instead of re-running the
+softmax reduction — the same trick as the reference (``kernels.metal:
+1043-1089``) — and share a precomputed ``delta_i = sum(dO * O)`` row
+vector (``kernels.metal:982-990``).  Gradients accumulate in fp32
+(``kernels.metal:912-914,1008``) and are cast to the input dtype on store.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import BlockSizes, NUM_LANES, default_scale
+from ._common import mxu_precision
+
+
+def _dkv_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dk_ref,
+    dv_ref,
+    dk_acc,
+    dv_acc,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    num_q_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        # A Q block contributes to this KV block only if some of its rows
+        # lie on/below the diagonal within the block's columns.
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]  # (block_q, 1), lane-replicated input
+        delta = delta_ref[0, 0][:, :1]
+
+        # Recompute S and reconstruct P from the saved logsumexp
+        # (``kernels.metal:1081-1089``).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        p = jnp.exp(s * sm_scale - lse)
+
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + q_idx * block_q
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                + kv_idx * block_kv
+            )
+            p = jnp.where(col <= row, p, 0.0)
+
+        # dV += P^T dO  (``kernels.metal:1101-1126``, minus the transposes —
+        # the MXU contracts either operand dimension natively).
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+
+        # dP = dO V^T ; dS = P * (dP - delta) * scale
+        # (``kernels.metal:1128-1169``).
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        ds = p * (dp - delta) * sm_scale
+
+        # dK += dS^T Q  (``kernels.metal:1189-1214``).
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        p = jnp.exp(s * sm_scale - lse)
+
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + q_idx * block_q
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                + kv_idx * block_kv
+            )
+            p = jnp.where(col <= row, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        ds = p * (dp - delta) * sm_scale
+
+        # dQ += dS K  (``kernels.metal:1176-1187``).
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype),
+            k,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0, :, :] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    do: jax.Array,
+    lse_lanes: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(dQ, dK, dV) given saved output + lane-replicated logsumexp.
+
+    ``lse_lanes`` is the ``[B, H, N_q, 128]`` residual produced by
+    ``flash_attention_fwd(..., save_lse=True)``.
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+
+    # delta_i = sum(dO * O) per row (``kernels.metal:982-990``), precomputed
+    # once and shared by both kernels; lane-replicated like the LSE.
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
+
+    def lanes_spec(bq):
+        return pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, j, i: (b, h, i, 0))
+
+    # ---------------- dK/dV kernel ----------------
+    bq = min(block_sizes.block_q_dkv, n_q)
+    bkv = min(block_sizes.block_kv_dkv, n_kv)
+    if n_q % bq or n_kv % bkv:
+        raise ValueError(f"({n_q},{n_kv}) not divisible by dkv blocks ({bq},{bkv})")
+    num_q_blocks = n_q // bq
+    dkv_grid = (batch, heads, n_kv // bkv, num_q_blocks)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=bq,
+            block_kv=bkv,
+            num_q_blocks=num_q_blocks,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        grid=dkv_grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i: (b, h, i, 0)),
+            lanes_spec(bq),
+            lanes_spec(bq),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, head_dim), jnp.float32),
+            pltpu.VMEM((bkv, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * batch * heads * n_q * n_kv * head_dim,
+            bytes_accessed=2
+            * (q.size + k.size + v.size + do.size)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_lanes, delta_lanes)
+
+    # ---------------- dQ kernel ----------------
+    bq = min(block_sizes.block_q_dq, n_q)
+    bkv = min(block_sizes.block_kv_dq, n_kv)
+    if n_q % bq or n_kv % bkv:
+        raise ValueError(f"({n_q},{n_kv}) not divisible by dq blocks ({bq},{bkv})")
+    num_kv_blocks = n_kv // bkv
+    dq_grid = (batch, heads, n_q // bq, num_kv_blocks)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=bq,
+            block_kv=bkv,
+            num_kv_blocks=num_kv_blocks,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=dq_grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * batch * heads * n_q * n_kv * head_dim,
+            bytes_accessed=2
+            * (q.size + k.size + v.size + do.size)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_lanes, delta_lanes)
+
+    return dq, dk, dv

@@ -1,0 +1,265 @@
+"""Tuned flash-attention forward engine (shared by the V2 and MXU rungs).
+
+This is the TPU-native re-design of the reference's two performance
+kernels at once:
+
+* ``flash_attention_v2_kernel`` (``kernels.metal:457-596``) — its defining
+  tricks are 128-bit vectorized loads and ping-pong double-buffered K/V
+  staging with prefetch-next-while-compute-current.  On TPU, Pallas's grid
+  pipeline already double-buffers every ``BlockSpec`` HBM->VMEM DMA, and
+  the compiler vectorizes loads onto the (8, 128) native lanes — so the V2
+  capability is expressed here as *two-level KV tiling*: an outer
+  ``block_k_major`` grid axis sizing the pipelined DMAs, and an inner
+  statically-unrolled ``block_k`` loop sizing the live score tile, tuned
+  exactly like the reference's 16x16-vs-32x32 occupancy study
+  (``README.md:25-28``).
+
+* ``flash_attention_v4_half_kernel`` (``kernels.metal:597-883``) — half
+  precision matrix-unit compute, batch/head grid axes with strides
+  (``kernels.metal:609-630``), causal whole-block skip (``kernels.metal:
+  682``) plus fine-grained masking (``kernels.metal:737-754``), and a
+  logsumexp output for the backward pass (``kernels.metal:861-864``).
+  On TPU: bf16/fp16 inputs feed the MXU via ``dot_general`` with fp32
+  accumulation; the online rescale is a plain multiplicative correction on
+  the fp32 VMEM accumulator (the idiomatic replacement for both V3's
+  Spill-Scale-Reload and V4's diagonal-correction matmul — TPU accumulators
+  are addressable, so no spill or diag-matmul is needed); causal skip
+  prunes whole ``block_k_major`` grid steps.
+
+Softmax statistics are always fp32 regardless of input dtype, matching the
+reference's fp32 m/l registers inside its fp16 kernels
+(``kernels.metal:633-638``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    BlockSizes,
+    default_scale,
+)
+from ._common import mxu_precision
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k_major: int,
+    block_k: int,
+    num_kv_major: int,
+    save_lse: bool,
+):
+    q_idx = pl.program_id(2)
+    kv_major = pl.program_id(3)
+
+    @pl.when(kv_major == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if causal:
+        # Whole-major-block skip: run only if the block's first column is
+        # <= the Q tile's last row (``kernels.metal:682`` analog).
+        should_run = (q_idx + 1) * block_q - 1 >= kv_major * block_k_major
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        # Inner loop over block_k sub-tiles — statically unrolled, so each
+        # iteration's slice offsets are compile-time constants.
+        for start in range(0, block_k_major, block_k):
+            k = k_ref[0, 0, start : start + block_k, :]
+            v = v_ref[0, 0, start : start + block_k, :]
+
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision(q.dtype),
+            )
+            s = s * sm_scale
+
+            if causal:
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + q_idx * block_q
+                )
+                col = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + kv_major * block_k_major
+                    + start
+                )
+                s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[...]
+            l_prev = l_scratch[...]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+            m_scratch[...] = m_next
+            l_scratch[...] = l_next
+
+            acc_scratch[...] *= alpha[:, :1]
+            # P is cast to the V dtype so P.V rides the MXU at input
+            # precision (analog of the fp16 MMA at ``kernels.metal:833-848``),
+            # while accumulation stays fp32.
+            acc_scratch[...] += jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision(v.dtype),
+            )
+
+    @pl.when(kv_major == num_kv_major - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            # L = m + log(l) per query row (``kernels.metal:861-864``).
+            m = m_scratch[...][:, :1]
+            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def flash_attention_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    save_lse: bool = False,
+    interpret: bool = False,
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Flash-attention forward over ``[B, H, N, D]`` inputs.
+
+    Returns ``o`` or ``(o, lse)`` where ``lse`` has shape
+    ``[B, H, N_q, NUM_LANES]`` with the per-row logsumexp replicated across
+    the 128 lanes — the tile-aligned layout the backward kernels consume
+    directly (the same layout jax's own TPU flash attention uses for its
+    l/m residuals).  Slice ``lse[..., 0]`` for the row-indexed view.
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+    block_q = min(block_sizes.block_q, n_q)
+    block_k_major = min(block_sizes.block_k_major, n_kv)
+    block_k = min(block_sizes.block_k, block_k_major)
+    if n_q % block_q or n_kv % block_k_major or block_k_major % block_k:
+        raise ValueError(
+            f"shape ({n_q}, {n_kv}) not divisible by blocks "
+            f"({block_q}, {block_k_major}, {block_k})"
+        )
+    num_kv_major = n_kv // block_k_major
+    grid = (batch, heads, n_q // block_q, num_kv_major)
+
+    bound = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k_major=block_k_major,
+        block_k=block_k,
+        num_kv_major=num_kv_major,
+        save_lse=save_lse,
+    )
+    if save_lse:
+        kernel = bound
+    else:
+        # No LSE output ref in the argument list when it isn't requested.
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
+            return bound(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+    ]
+    if save_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+            )
+        )
+
+    # FLOP/byte model for the compiler's scheduler; with causal the score
+    # work is ~halved by the block skip.
+    flops = 4 * batch * heads * n_q * n_kv * head_dim
+    transcendentals = batch * heads * n_q * n_kv
+    if causal:
+        flops //= 2
+        transcendentals //= 2
+
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k_major, head_dim),
+                lambda b, h, i, j: (b, h, j, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k_major, head_dim),
+                lambda b, h, i, j: (b, h, j, 0),
+            ),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=transcendentals,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+    if save_lse:
+        o, lse_lanes = results
+        return o, lse_lanes
+    return results[0]

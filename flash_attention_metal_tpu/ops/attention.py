@@ -1,0 +1,183 @@
+"""Public attention API: typed, differentiable, vmappable.
+
+The reference's "API" is a positional Metal buffer ABI — Q/K/V/O at buffer
+indices 0-3, scalars via ``setBytes`` at 4-10 (``main.mm:417-432``).  Here
+that becomes a typed Python signature with a ``custom_vjp`` wiring the
+FA-2 backward kernels (``flash_bwd.py``) to the forward's logsumexp
+residual, the way the reference's V4 forward feeds its backward kernel
+(``kernels.metal:861-864`` -> ``kernels.metal:993-996``).
+
+Implementations:
+
+* ``impl="pallas"``   — the MXU flash kernel ladder (default on TPU).
+* ``impl="xla"``      — pure-jnp fallback (differentiable via autodiff);
+                        used on CPU for fast sharding tests and as a
+                        cross-check.
+* ``impl="auto"``     — pallas on TPU, pallas-interpret elsewhere.
+
+GQA/MQA (fewer KV heads than Q heads) is supported by logical broadcast of
+the KV heads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AttentionConfig, BlockSizes, default_scale
+from ..kernels.flash_bwd import flash_attention_bwd
+from ..kernels.flash_fwd import flash_attention_fwd
+from ..reference.oracle import attention_reference, attention_reference_with_lse
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal, sm_scale, block_sizes, interpret):
+    return flash_attention_fwd(
+        q,
+        k,
+        v,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_sizes=block_sizes,
+        save_lse=False,
+        interpret=interpret,
+    )
+
+
+def _flash_fwd_rule(q, k, v, causal, sm_scale, block_sizes, interpret):
+    o, lse_lanes = flash_attention_fwd(
+        q,
+        k,
+        v,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_sizes=block_sizes,
+        save_lse=True,
+        interpret=interpret,
+    )
+    return o, (q, k, v, o, lse_lanes)
+
+
+def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
+    q, k, v, o, lse_lanes = residuals
+    dq, dk, dv = flash_attention_bwd(
+        q,
+        k,
+        v,
+        o,
+        do,
+        lse_lanes,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def _broadcast_kv_heads(q: jax.Array, k: jax.Array, v: jax.Array):
+    """GQA/MQA: replicate KV heads up to the Q head count."""
+    h_q, h_kv = q.shape[1], k.shape[1]
+    if h_q == h_kv:
+        return k, v
+    if h_q % h_kv != 0:
+        raise ValueError(f"q heads ({h_q}) must be a multiple of kv heads ({h_kv})")
+    reps = h_q // h_kv
+    k = jnp.repeat(k, reps, axis=1)
+    v = jnp.repeat(v, reps, axis=1)
+    return k, v
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    save_lse: bool = False,
+    impl: str = "auto",
+    interpret: Optional[bool] = None,
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Differentiable flash attention over ``[B, H, N, D]`` inputs.
+
+    Args:
+      q: ``[batch, q_heads, n_q, head_dim]``.
+      k, v: ``[batch, kv_heads, n_kv, head_dim]`` (kv_heads may divide
+        q_heads for GQA/MQA).
+      causal: apply causal masking (diagonal aligned at sequence ends).
+      sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
+      block_sizes: kernel tile configuration (see ``config.BlockSizes``).
+      save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
+      impl: "pallas" | "xla" | "auto".
+      interpret: force Pallas interpreter mode (default: auto-detect
+        non-TPU backends).
+
+    Returns:
+      ``o`` with the shape/dtype of ``q``, or ``(o, lse)``.
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected [B, H, N, D] inputs, got {q.shape}")
+    if sm_scale is None:
+        sm_scale = default_scale(q.shape[-1])
+    k, v = _broadcast_kv_heads(q, k, v)
+
+    if impl == "auto":
+        impl = "pallas"
+    if interpret is None:
+        interpret = _use_interpret()
+
+    if impl == "xla":
+        if save_lse:
+            return attention_reference_with_lse(
+                q, k, v, causal=causal, sm_scale=sm_scale
+            )
+        return attention_reference(q, k, v, causal=causal, sm_scale=sm_scale)
+    if impl != "pallas":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    if save_lse:
+        # LSE consumers (ring attention, decode) need the forward value; the
+        # op stays differentiable through the o output only.
+        o, lse_lanes = flash_attention_fwd(
+            q,
+            k,
+            v,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_sizes=block_sizes,
+            save_lse=True,
+            interpret=interpret,
+        )
+        return o, lse_lanes[..., 0]
+    return _flash(q, k, v, causal, sm_scale, block_sizes, interpret)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    **kwargs,
+) -> jax.Array:
+    """Convenience wrapper for ``[B, N, H, D]`` (sequence-major) layouts."""
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        **kwargs,
+    )
+    if isinstance(out, tuple):
+        o, lse = out
+        return o.transpose(0, 2, 1, 3), lse
+    return out.transpose(0, 2, 1, 3)

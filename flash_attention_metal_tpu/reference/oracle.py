@@ -1,0 +1,149 @@
+"""Golden-reference attention oracles (pure JAX, fp32).
+
+These mirror the Metal reference's in-process CPU oracles:
+
+* non-causal forward with two-pass safe softmax  (reference ``main.mm:121-159``)
+* causal forward                                 (reference ``main.mm:549-578``)
+* full backward via the closed-form gradient     (reference ``main.mm:1087-1195``)
+
+Everything else in the framework — every Pallas kernel, every sharded
+variant — is verified against these at the reference's tolerance ladder
+(fp32 rungs 1e-3, half rungs 5e-3/1e-2, backward 1e-1; see
+``main.mm:239,253,292,375,452,591,1191``).
+
+The oracles are deliberately *simple* jnp code (materialize the full score
+matrix, plain softmax) so they are obviously correct; they run on any JAX
+backend including CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_scale
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """O = softmax(Q K^T * scale) V, computed naively in fp32.
+
+    Accepts ``[..., N_q, D]`` / ``[..., N_kv, D]`` (leading batch/head dims
+    broadcast).  All math in fp32 regardless of input dtype; output cast back
+    to the input dtype, matching how the reference compares fp16 kernel
+    outputs against its fp32 CPU oracle (``main.mm:351-378``).
+    """
+    orig_dtype = q.dtype
+    if sm_scale is None:
+        sm_scale = default_scale(q.shape[-1])
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    s = jnp.einsum("...qd,...kd->...qk", qf, kf,
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale
+    if causal:
+        n_q, n_kv = s.shape[-2], s.shape[-1]
+        # Align the diagonals at the *end* of the sequences (the usual decode
+        # convention); for n_q == n_kv this is the standard causal mask.
+        row = jnp.arange(n_q)[:, None] + (n_kv - n_q)
+        col = jnp.arange(n_kv)[None, :]
+        s = jnp.where(col <= row, s, -jnp.inf)
+    # Two-pass safe softmax, exactly the oracle's structure
+    # (row max ``main.mm:131-137``, exp/sum ``main.mm:139-147``).
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("...qk,...kd->...qd", p / l, vf,
+                   precision=jax.lax.Precision.HIGHEST)
+    return o.astype(orig_dtype)
+
+
+def attention_reference_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward oracle that also returns the logsumexp L = m + log(l).
+
+    The reference's V4 kernel persists L for the backward pass
+    (``kernels.metal:861-864``); this oracle defines the ground truth for it.
+    """
+    if sm_scale is None:
+        sm_scale = default_scale(q.shape[-1])
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    s = jnp.einsum("...qd,...kd->...qk", qf, kf,
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale
+    if causal:
+        n_q, n_kv = s.shape[-2], s.shape[-1]
+        row = jnp.arange(n_q)[:, None] + (n_kv - n_q)
+        col = jnp.arange(n_kv)[None, :]
+        s = jnp.where(col <= row, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("...qk,...kd->...qd", p / l, vf,
+                   precision=jax.lax.Precision.HIGHEST)
+    lse = (m + jnp.log(l))[..., 0]
+    return o.astype(q.dtype), lse
+
+
+def attention_reference_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    do: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Closed-form (dQ, dK, dV) for the attention forward.
+
+    Matches the reference's hand-derived CPU backward (``main.mm:1087-1195``):
+    dV = P^T dO; dP = dO V^T; dS = P * (dP - rowsum(dP * P)) * scale;
+    dQ = dS K; dK = dS^T Q — expressed here via ``jax.vjp`` on the fp32
+    oracle, which computes exactly that gradient.
+    """
+    f = lambda q_, k_, v_: attention_reference(
+        q_.astype(jnp.float32),
+        k_.astype(jnp.float32),
+        v_.astype(jnp.float32),
+        causal=causal,
+        sm_scale=sm_scale,
+    )
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def make_qkv(
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    dtype=jnp.float32,
+    minval: float = -1.0,
+    maxval: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Deterministic uniform(-1, 1) test fixtures.
+
+    Mirrors the reference's seeded ``mt19937(42)`` uniform(-1,1) init
+    (``main.mm:24-30``); JAX's counter-based PRNG replaces the Mersenne
+    twister and is reproducible across hosts and backends.
+    """
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.uniform(kq, shape, jnp.float32, minval, maxval).astype(dtype)
+    k = jax.random.uniform(kk, shape, jnp.float32, minval, maxval).astype(dtype)
+    v = jax.random.uniform(kv, shape, jnp.float32, minval, maxval).astype(dtype)
+    return q, k, v

@@ -1,0 +1,133 @@
+"""Forward kernel ladder vs the golden oracle.
+
+Mirrors the reference's verification ladder and tolerances (SURVEY.md §2
+H4): fp32 rungs at 1e-3 (main.mm:239,253,292), half rungs at 5e-3 / 1e-2
+(main.mm:375,452,591).  Kernels run in Pallas interpreter mode on the CPU
+backend; the same code compiles via Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_metal_tpu.config import BlockSizes
+from flash_attention_metal_tpu.kernels import (
+    flash_attention_fwd,
+    flash_attention_mxu,
+    flash_attention_v1,
+    flash_attention_v2,
+    naive_attention,
+)
+from flash_attention_metal_tpu.reference import (
+    attention_reference,
+    attention_reference_with_lse,
+    make_qkv,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+# Reference tolerance ladder.
+TOL_FP32 = 1e-3
+TOL_HALF = 1e-2
+
+
+def max_abs_diff(a, b):
+    return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("n", [128, 256, 512])
+def test_naive_vs_oracle(rng_key, n, causal):
+    q, k, v = make_qkv(rng_key, (1, 2, n, 64))
+    got = naive_attention(q, k, v, causal=causal, interpret=INTERPRET)
+    want = attention_reference(q, k, v, causal=causal)
+    assert max_abs_diff(got, want) < TOL_FP32
+    assert not bool(jnp.any(jnp.isnan(got)))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("n", [128, 256, 1024])
+def test_flash_v1_vs_oracle(rng_key, n, causal):
+    q, k, v = make_qkv(rng_key, (1, 2, n, 64))
+    got = flash_attention_v1(q, k, v, causal=causal, interpret=INTERPRET)
+    want = attention_reference(q, k, v, causal=causal)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_flash_v1_vs_naive(rng_key):
+    """Differential rung-to-rung test (main.mm:245-256 analog)."""
+    q, k, v = make_qkv(rng_key, (1, 1, 256, 64))
+    v1 = flash_attention_v1(q, k, v, interpret=INTERPRET)
+    nv = naive_attention(q, k, v, interpret=INTERPRET)
+    assert max_abs_diff(v1, nv) < TOL_FP32
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "blocks",
+    [
+        BlockSizes(block_q=128, block_k_major=128, block_k=128),
+        BlockSizes(block_q=128, block_k_major=256, block_k=128),
+        BlockSizes(block_q=256, block_k_major=512, block_k=256),
+    ],
+)
+def test_flash_v2_block_sweep(rng_key, causal, blocks):
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64))
+    got = flash_attention_v2(
+        q, k, v, causal=causal, block_sizes=blocks, interpret=INTERPRET
+    )
+    want = attention_reference(q, k, v, causal=causal)
+    assert max_abs_diff(got, want) < TOL_FP32
+    assert not bool(jnp.any(jnp.isnan(got)))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_mxu_half_precision(rng_key, dtype, causal):
+    q, k, v = make_qkv(rng_key, (2, 4, 256, 64), dtype=dtype)
+    got = flash_attention_mxu(q, k, v, causal=causal, interpret=INTERPRET)
+    want = attention_reference(q, k, v, causal=causal)
+    assert max_abs_diff(got, want) < TOL_HALF
+
+
+def test_flash_mxu_lse(rng_key):
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    o, lse_lanes = flash_attention_mxu(q, k, v, save_lse=True, interpret=INTERPRET)
+    _, want_lse = attention_reference_with_lse(q, k, v)
+    # All lanes replicated.
+    np.testing.assert_allclose(
+        np.asarray(lse_lanes[..., 0]), np.asarray(lse_lanes[..., 64]), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_lanes[..., 0]), np.asarray(want_lse), atol=1e-3
+    )
+
+
+def test_flash_mxu_causal_lse(rng_key):
+    q, k, v = make_qkv(rng_key, (1, 1, 256, 64))
+    o, lse_lanes = flash_attention_mxu(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    want_o, want_lse = attention_reference_with_lse(q, k, v, causal=True)
+    assert max_abs_diff(o, want_o) < TOL_FP32
+    np.testing.assert_allclose(
+        np.asarray(lse_lanes[..., 0]), np.asarray(want_lse), atol=1e-3
+    )
+
+
+def test_head_dim_128(rng_key):
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 128))
+    got = flash_attention_fwd(q, k, v, interpret=INTERPRET)
+    want = attention_reference(q, k, v)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_cross_attention_lengths(rng_key):
+    kq, kk, kv2 = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (1, 2, 128, 64), jnp.float32, -1, 1)
+    k = jax.random.uniform(kk, (1, 2, 512, 64), jnp.float32, -1, 1)
+    v = jax.random.uniform(kv2, (1, 2, 512, 64), jnp.float32, -1, 1)
+    got = flash_attention_fwd(q, k, v, interpret=INTERPRET)
+    want = attention_reference(q, k, v)
+    assert max_abs_diff(got, want) < TOL_FP32
