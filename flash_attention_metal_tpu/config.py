@@ -53,17 +53,17 @@ class BlockSizes:
                              independent tile sizes.
     """
 
-    block_q: int = 256
-    block_k_major: int = 512
-    block_k: int = 256
+    block_q: int = 1024
+    block_k_major: int = 1024
+    block_k: int = 1024
 
     # dK/dV kernel: outer grid over KV blocks, inner reduction over Q blocks.
-    block_kv_dkv: int = 256
-    block_q_dkv: int = 256
+    block_kv_dkv: int = 1024
+    block_q_dkv: int = 1024
 
     # dQ kernel: outer grid over Q blocks, inner reduction over KV blocks.
-    block_q_dq: int = 256
-    block_kv_dq: int = 256
+    block_q_dq: int = 1024
+    block_kv_dq: int = 1024
 
     def __post_init__(self):
         for name in (
@@ -86,10 +86,10 @@ class BlockSizes:
     @classmethod
     def for_seq_len(cls, q_len: int, kv_len: int) -> "BlockSizes":
         """Pick sane defaults given a (possibly short) sequence length."""
-        bq = min(256, max(NUM_LANES, q_len))
-        bkM = min(512, max(NUM_LANES, kv_len))
-        bk = min(256, bkM)
-        b = min(256, max(NUM_LANES, min(q_len, kv_len)))
+        bq = min(1024, max(NUM_LANES, q_len))
+        bkM = min(1024, max(NUM_LANES, kv_len))
+        bk = min(1024, bkM)
+        b = min(1024, max(NUM_LANES, min(q_len, kv_len)))
         return cls(
             block_q=bq,
             block_k_major=bkM,

@@ -1,0 +1,273 @@
+"""Benchmark harness (reference parity: H5, ``main.mm:596-1207``).
+
+Same contract as the reference — an N-sweep over the kernel ladder with a
+CSV artifact and speedup-vs-naive columns (schema analog of
+``main.mm:598-606``) plus a high-occupancy batched phase
+(``main.mm:881-1204``) — with the methodology fixed, not replicated:
+warmup + multi-iteration medians instead of single-shot timing, and
+absolute TFLOP/s + %-of-roofline columns (the BASELINE.json metric the
+reference never computed).
+
+Run: ``python -m flash_attention_metal_tpu.harness.benchmark [--quick]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BlockSizes
+from ..kernels import (
+    flash_attention_bwd,
+    flash_attention_fwd,
+    flash_attention_mxu,
+    flash_attention_v1,
+    flash_attention_v2,
+    naive_attention,
+)
+from ..reference import make_qkv
+from ..utils import (
+    attention_bytes,
+    attention_flops,
+    detect_chip,
+    measure,
+    roofline_fraction,
+)
+
+# Reference sweep (main.mm:608); naive skipped above 8192 (main.mm:673).
+DEFAULT_SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+NAIVE_MAX_N = 8192
+
+CSV_HEADER = (
+    "N,Naive(ms),FlashV1(ms),FlashV2(ms),FlashMXU(ms),FlashMXU-causal(ms),"
+    "SpeedupV1,SpeedupV2,SpeedupMXU,TFLOPs_MXU,TFLOPs_MXU_causal,"
+    "Roofline_MXU,Roofline_MXU_causal"
+)
+
+
+@dataclasses.dataclass
+class SweepRow:
+    n: int
+    naive_ms: Optional[float]
+    v1_ms: float
+    v2_ms: float
+    mxu_ms: float
+    mxu_causal_ms: float
+    tflops_mxu: float
+    tflops_mxu_causal: float
+    roofline_mxu: float
+    roofline_mxu_causal: float
+
+    def speedup(self, t_ms: float) -> Optional[float]:
+        return (self.naive_ms / t_ms) if self.naive_ms else None
+
+    def csv(self) -> str:
+        f = lambda x: f"{x:.4f}" if x is not None else ""
+        return ",".join(
+            [
+                str(self.n),
+                f(self.naive_ms),
+                f(self.v1_ms),
+                f(self.v2_ms),
+                f(self.mxu_ms),
+                f(self.mxu_causal_ms),
+                f(self.speedup(self.v1_ms)),
+                f(self.speedup(self.v2_ms)),
+                f(self.speedup(self.mxu_ms)),
+                f"{self.tflops_mxu:.2f}",
+                f"{self.tflops_mxu_causal:.2f}",
+                f"{self.roofline_mxu:.3f}",
+                f"{self.roofline_mxu_causal:.3f}",
+            ]
+        )
+
+
+def _time_ms(fn, warmup=2, iters=5) -> float:
+    return measure(fn, warmup=warmup, iters=iters)["median_s"] * 1e3
+
+
+def run_sweep(
+    sweep=DEFAULT_SWEEP,
+    head_dim: int = 64,
+    *,
+    warmup: int = 2,
+    iters: int = 5,
+    interpret: Optional[bool] = None,
+    log=print,
+) -> List[SweepRow]:
+    """Single-head N-sweep matching the reference setup (B=H=1, D=64)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = detect_chip()
+    rows = []
+    for n in sweep:
+        key = jax.random.PRNGKey(42)
+        q, k, v = make_qkv(key, (1, 1, n, head_dim))
+        qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        bs = BlockSizes.for_seq_len(n, n)
+
+        naive_ms = None
+        if n <= NAIVE_MAX_N:
+            naive_ms = _time_ms(
+                lambda: naive_attention(q, k, v, interpret=interpret),
+                warmup,
+                iters,
+            )
+        v1_ms = _time_ms(
+            lambda: flash_attention_v1(q, k, v, interpret=interpret),
+            warmup,
+            iters,
+        )
+        v2_ms = _time_ms(
+            lambda: flash_attention_v2(
+                q, k, v, block_sizes=bs, interpret=interpret
+            ),
+            warmup,
+            iters,
+        )
+        mxu_ms = _time_ms(
+            lambda: flash_attention_mxu(
+                qh, kh, vh, block_sizes=bs, interpret=interpret
+            ),
+            warmup,
+            iters,
+        )
+        mxuc_ms = _time_ms(
+            lambda: flash_attention_mxu(
+                qh, kh, vh, causal=True, block_sizes=bs, interpret=interpret
+            ),
+            warmup,
+            iters,
+        )
+
+        flops = attention_flops(1, 1, n, n, head_dim)
+        flops_c = attention_flops(1, 1, n, n, head_dim, causal=True)
+        bts = attention_bytes(1, 1, n, n, head_dim, 2)
+        row = SweepRow(
+            n=n,
+            naive_ms=naive_ms,
+            v1_ms=v1_ms,
+            v2_ms=v2_ms,
+            mxu_ms=mxu_ms,
+            mxu_causal_ms=mxuc_ms,
+            tflops_mxu=flops / (mxu_ms * 1e-3) / 1e12,
+            tflops_mxu_causal=flops_c / (mxuc_ms * 1e-3) / 1e12,
+            roofline_mxu=roofline_fraction(mxu_ms * 1e-3, flops, bts, spec),
+            roofline_mxu_causal=roofline_fraction(
+                mxuc_ms * 1e-3, flops_c, bts, spec
+            ),
+        )
+        rows.append(row)
+        log(row.csv())
+    return rows
+
+
+def run_high_occupancy(
+    batch: int = 16,
+    heads: int = 8,
+    n: int = 2048,
+    head_dim: int = 64,
+    *,
+    warmup: int = 2,
+    iters: int = 5,
+    interpret: Optional[bool] = None,
+    log=print,
+) -> dict:
+    """Batched fwd+bwd phase (reference parity: main.mm:881-1204, B=16 H=8).
+
+    Inputs are scaled by 0.01 like the reference's overflow guard
+    (main.mm:951-954) — bf16 has fp32's range so it is belt-and-braces here.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = detect_chip()
+    key = jax.random.PRNGKey(42)
+    q, k, v = make_qkv(key, (batch, heads, n, head_dim), dtype=jnp.bfloat16)
+    q, k, v = (x * 0.01 for x in (q, k, v))
+    do = (
+        jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32) * 0.01
+    ).astype(jnp.bfloat16)
+
+    fwd_ms = _time_ms(
+        lambda: flash_attention_fwd(
+            q, k, v, causal=True, save_lse=True, interpret=interpret
+        ),
+        warmup,
+        iters,
+    )
+    o, lse_lanes = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=interpret
+    )
+    bwd_ms = _time_ms(
+        lambda: flash_attention_bwd(
+            q, k, v, o, do, lse_lanes, causal=True, interpret=interpret
+        ),
+        warmup,
+        iters,
+    )
+
+    flops_f = attention_flops(batch, heads, n, n, head_dim, causal=True)
+    flops_b = attention_flops(
+        batch, heads, n, n, head_dim, causal=True, backward=True
+    )
+    bts = attention_bytes(batch, heads, n, n, head_dim, 2)
+    result = {
+        "batch": batch,
+        "heads": heads,
+        "n": n,
+        "fwd_ms": fwd_ms,
+        "bwd_ms": bwd_ms,
+        "fwd_tflops": flops_f / (fwd_ms * 1e-3) / 1e12,
+        "bwd_tflops": flops_b / (bwd_ms * 1e-3) / 1e12,
+        "fwd_roofline": roofline_fraction(fwd_ms * 1e-3, flops_f, bts, spec),
+        "bwd_roofline": roofline_fraction(
+            bwd_ms * 1e-3, flops_b, 2 * bts, spec
+        ),
+    }
+    log(
+        f"high-occupancy B={batch} H={heads} N={n}: "
+        f"fwd {fwd_ms:.3f} ms ({result['fwd_tflops']:.1f} TFLOP/s, "
+        f"{result['fwd_roofline']:.0%} roofline), "
+        f"bwd {bwd_ms:.3f} ms ({result['bwd_tflops']:.1f} TFLOP/s)"
+    )
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="short sweep")
+    ap.add_argument("--csv", default="benchmark_results.csv")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    spec = detect_chip()
+    print(f"== benchmark on {spec.name} ({jax.default_backend()}) ==")
+    sweep = (128, 512, 2048) if args.quick else DEFAULT_SWEEP
+    print(CSV_HEADER)
+    rows = run_sweep(sweep)
+    hi = run_high_occupancy(n=1024 if args.quick else 2048)
+
+    with open(args.csv, "w") as f:
+        f.write(CSV_HEADER + "\n")
+        for r in rows:
+            f.write(r.csv() + "\n")
+    print(f"wrote {args.csv}")
+    if args.json:
+        payload = {
+            "chip": spec.name,
+            "sweep": [dataclasses.asdict(r) for r in rows],
+            "high_occupancy": hi,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,158 @@
+"""Verification ladder (reference parity: H4, ``main.mm:231-594,1181-1194``).
+
+Each rung is compared with max-abs-diff at the reference's tolerance, and
+rungs chain exactly like the reference: fp32 kernels anchor to the golden
+oracle, upper rungs difference against the verified naive rung, causal and
+backward get dedicated fixtures.  Per-rung PASS/FAIL lines mirror the
+reference binary's stdout contract.
+
+Run: ``python -m flash_attention_metal_tpu.harness.verify``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import (
+    flash_attention_bwd,
+    flash_attention_fwd,
+    flash_attention_mxu,
+    flash_attention_v1,
+    flash_attention_v2,
+    naive_attention,
+)
+from ..reference import (
+    attention_reference,
+    attention_reference_bwd,
+    make_qkv,
+)
+
+# The reference tolerance ladder (SURVEY.md §2 H4).
+TOL_FP32 = 1e-3  # main.mm:239,253,292
+TOL_V3 = 5e-3  # main.mm:375
+TOL_HALF = 1e-2  # main.mm:452,591
+TOL_BWD = 1e-1  # main.mm:1191
+
+
+@dataclasses.dataclass
+class RungResult:
+    name: str
+    max_diff: float
+    tolerance: float
+    has_nan: bool
+
+    @property
+    def passed(self) -> bool:
+        return (self.max_diff < self.tolerance) and not self.has_nan
+
+    def line(self) -> str:
+        status = "PASS" if self.passed else "FAIL"
+        nan = " [NaN!]" if self.has_nan else ""
+        return (
+            f"[{status}] {self.name}: max diff {self.max_diff:.3e} "
+            f"(tol {self.tolerance:.0e}){nan}"
+        )
+
+
+def _diff(a: jax.Array, b: jax.Array) -> float:
+    return float(
+        jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    )
+
+
+def run_ladder(
+    n: int = 1024,
+    head_dim: int = 64,
+    batch: int = 1,
+    heads: int = 2,
+    *,
+    interpret: Optional[bool] = None,
+    log: Callable[[str], None] = print,
+) -> List[RungResult]:
+    """Execute the full verification ladder; returns per-rung results."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    key = jax.random.PRNGKey(42)  # seed parity with main.mm:25
+    shape = (batch, heads, n, head_dim)
+    q, k, v = make_qkv(key, shape)
+    results: List[RungResult] = []
+
+    def rung(name, got, want, tol):
+        r = RungResult(name, _diff(got, want), tol, bool(jnp.any(jnp.isnan(got))))
+        results.append(r)
+        log(r.line())
+        return got
+
+    oracle = attention_reference(q, k, v)
+
+    # Rung 1: naive vs oracle (main.mm:232-242).
+    nv = naive_attention(q, k, v, interpret=interpret)
+    rung("naive vs oracle (fp32)", nv, oracle, TOL_FP32)
+
+    # Rung 2: V1 vs naive — differential, transitivity through rung 1
+    # (main.mm:245-256).
+    v1 = flash_attention_v1(q, k, v, interpret=interpret)
+    rung("flash_v1 vs naive (fp32)", v1, nv, TOL_FP32)
+
+    # Rung 3: V2 vs naive + NaN check (main.mm:277-295).
+    v2 = flash_attention_v2(q, k, v, interpret=interpret)
+    rung("flash_v2 vs naive (fp32)", v2, nv, TOL_FP32)
+
+    # Rung 4: MXU bf16 vs naive (V3/V4 analog, main.mm:351-378,443-455).
+    qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    mx = flash_attention_mxu(qh, kh, vh, interpret=interpret)
+    rung("flash_mxu bf16 vs naive", mx, nv, TOL_HALF)
+
+    # Rung 5: causal — MXU(is_causal) vs causal oracle (main.mm:458-594).
+    oracle_c = attention_reference(q, k, v, causal=True)
+    mxc = flash_attention_mxu(qh, kh, vh, causal=True, interpret=interpret)
+    rung("flash_mxu bf16 causal vs causal oracle", mxc, oracle_c, TOL_HALF)
+
+    # Rung 6: backward vs oracle gradient (main.mm:1087-1195); the FA-2
+    # decomposition is deterministic so fp32 is held to 1e-3, far tighter
+    # than the reference's atomic-limited 1e-1.
+    do = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32) * 0.1
+    o_f, lse_lanes = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=interpret
+    )
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o_f, do, lse_lanes, causal=True, interpret=interpret
+    )
+    dq_r, dk_r, dv_r = attention_reference_bwd(q, k, v, do, causal=True)
+    rung("backward dQ vs oracle (fp32, causal)", dq, dq_r, TOL_FP32)
+    rung("backward dK vs oracle (fp32, causal)", dk, dk_r, TOL_FP32)
+    rung("backward dV vs oracle (fp32, causal)", dv, dv_r, TOL_FP32)
+
+    # Rung 7: half-precision backward at the reference tolerance, with the
+    # 0.01 downscale fixture (main.mm:951-954).
+    doh = (do * 0.1).astype(jnp.bfloat16)
+    oh, lse_h = flash_attention_fwd(
+        qh, kh, vh, causal=True, save_lse=True, interpret=interpret
+    )
+    dqh, dkh, dvh = flash_attention_bwd(
+        qh, kh, vh, oh, doh, lse_h, causal=True, interpret=interpret
+    )
+    dq_rh, dk_rh, dv_rh = attention_reference_bwd(qh, kh, vh, doh, causal=True)
+    rung("backward dQ vs oracle (bf16, causal)", dqh, dq_rh, TOL_BWD)
+    rung("backward dK vs oracle (bf16, causal)", dkh, dk_rh, TOL_BWD)
+    rung("backward dV vs oracle (bf16, causal)", dvh, dv_rh, TOL_BWD)
+
+    return results
+
+
+def main() -> int:
+    print("== flash_attention_metal_tpu verification ladder ==")
+    print(f"backend: {jax.default_backend()}")
+    results = run_ladder()
+    ok = all(r.passed for r in results)
+    print(f"== {'ALL PASS' if ok else 'FAILURES PRESENT'} "
+          f"({sum(r.passed for r in results)}/{len(results)}) ==")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -89,6 +89,8 @@ def _dkv_kernel(
         p = jnp.exp(s * sm_scale - lse)
 
         if causal:
+            # Unconditional mask on running block pairs (a lax.cond-guarded
+            # variant measured 2x slower — it breaks Mosaic's scheduling).
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
                 + q_idx * block_q
@@ -178,6 +180,8 @@ def _dq_kernel(
         p = jnp.exp(s * sm_scale - lse)
 
         if causal:
+            # Unconditional mask on running block pairs (a lax.cond-guarded
+            # variant measured 2x slower — it breaks Mosaic's scheduling).
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
                 + q_idx * block_q
@@ -209,6 +213,10 @@ def _dq_kernel(
         dq_ref[0, 0, :, :] = dq_acc[...].astype(dq_ref.dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "block_sizes", "interpret"),
+)
 def flash_attention_bwd(
     q: jax.Array,
     k: jax.Array,

@@ -103,6 +103,11 @@ def _fwd_kernel(
             s = s * sm_scale
 
             if causal:
+                # Unconditional elementwise mask on running blocks: measured
+                # faster than a lax.cond-guarded mask on straddling blocks
+                # only (the cond breaks Mosaic's MXU/VPU overlap), and the
+                # whole-block skip above already prunes the above-diagonal
+                # majors (``kernels.metal:682`` analog).
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + q_idx * block_q
@@ -149,6 +154,10 @@ def _fwd_kernel(
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "block_sizes", "save_lse", "interpret"),
+)
 def flash_attention_fwd(
     q: jax.Array,
     k: jax.Array,
@@ -249,6 +258,10 @@ def flash_attention_fwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large tiles win on this kernel; lift the default 16MB
+            # scoped-vmem ceiling moderately (96MB measured slower than
+            # 32MB here: too much buffering starves the pipeline).
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -1,0 +1,143 @@
+"""Benchmark timing discipline.
+
+The reference times a single iteration of encode+commit+wait with no
+warmup (``main.mm:676-698``) and its own docs show the resulting noise
+(6.6x vs 9.29x peak across runs, SURVEY.md §6).  Here: explicit warmup
+(compile excluded), multi-iteration medians, and a *device-get fence*.
+
+Why device_get and not ``block_until_ready``: on remote-tunneled TPU
+platforms (like this environment's axon plugin) ``block_until_ready`` can
+return before the device work drains, which silently produces
+faster-than-roofline nonsense (observed: an 8192^3 matmul "measured" at
+28,000 TFLOP/s on a 197 TFLOP/s chip).  Fetching a scalar reduction of an
+output forces the full dependency chain to execute and the result to cross
+back to the host.  Each repetition block enqueues ``chunk`` back-to-back
+executions (device work serializes on the single TPU stream) and the fence
+cost amortizes across the chunk.
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+try:  # pragma: no cover - exercised when the native lib is built
+    from . import _native_timer
+
+    def _now_s() -> float:
+        return _native_timer.monotonic_ns() * 1e-9
+
+except ImportError:  # pragma: no cover
+    _now_s = time.perf_counter
+
+
+def fence(out) -> None:
+    """Force all enqueued device work feeding ``out`` to complete."""
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+    if not leaves:
+        return
+    # A scalar reduction enqueues after everything else on the stream; the
+    # host transfer cannot complete until the device has drained.
+    x = leaves[-1]
+    if jnp.issubdtype(x.dtype, jnp.floating) or jnp.issubdtype(
+        x.dtype, jnp.integer
+    ):
+        jax.device_get(jnp.sum(x.astype(jnp.float32)))
+    else:
+        jax.device_get(x)
+
+
+def measure(
+    fn: Callable[[], Sequence[jax.Array]],
+    *,
+    warmup: int = 2,
+    iters: int = 10,
+    chunk: int = 10,
+) -> dict:
+    """Median/min/mean seconds per call of ``fn`` with device-get fencing.
+
+    Each timed repetition enqueues ``chunk`` calls and fences once, so the
+    reported per-call time amortizes host->device dispatch and the fence
+    round-trip over the chunk.
+    """
+    for _ in range(max(warmup, 1)):
+        out = fn()
+    fence(out)
+
+    times = []
+    for _ in range(iters):
+        t0 = _now_s()
+        for _ in range(chunk):
+            out = fn()
+        fence(out)
+        times.append((_now_s() - t0) / chunk)
+    return {
+        "median_s": statistics.median(times),
+        "min_s": min(times),
+        "mean_s": statistics.fmean(times),
+        "std_s": statistics.pstdev(times) if len(times) > 1 else 0.0,
+        "iters": iters,
+        "chunk": chunk,
+    }
+
+
+def measure_compiled(
+    fn: Callable[..., object],
+    args: tuple,
+    *,
+    iters: int = 40,
+    warmup: int = 1,
+) -> dict:
+    """Marginal per-iteration device time of ``fn(*args)``.
+
+    Remote-tunneled platforms add large fixed overheads per launch (host
+    dispatch, fence round-trip) and a small per-loop-iteration cost, which
+    swamp sub-millisecond kernels.  This wraps ``fn`` in a jitted
+    ``lax.scan`` and measures at two iteration counts (``iters`` and
+    ``3*iters``); the slope ``(T2 - T1) / (N2 - N1)`` cancels every
+    iteration-count-independent overhead.  Each scan step perturbs the
+    first input with a per-step scalar (zeros at runtime) so the body
+    cannot be hoisted or CSE'd, and folds the output into a carried
+    checksum so nothing is dead-code-eliminated.
+    """
+    leaves0, treedef = jax.tree_util.tree_flatten(args)
+
+    @jax.jit
+    def run(leaves, deltas):
+        def body(carry, d):
+            stepped = list(leaves)
+            stepped[0] = stepped[0] + d.astype(stepped[0].dtype)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, stepped))
+            first = jax.tree_util.tree_leaves(out)[0]
+            checksum = jnp.sum(first.astype(jnp.float32))
+            return carry + checksum, None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), deltas)
+        return total
+
+    def timed_total(n: int) -> float:
+        deltas = jnp.zeros((n,), jnp.float32)
+        for _ in range(max(warmup, 1)):
+            fence(run(leaves0, deltas))
+        ts = []
+        for _ in range(3):
+            t0 = _now_s()
+            fence(run(leaves0, deltas))
+            ts.append(_now_s() - t0)
+        return min(ts)
+
+    n1, n2 = iters, 3 * iters
+    t1, t2 = timed_total(n1), timed_total(n2)
+    per_iter = max((t2 - t1) / (n2 - n1), 1e-9)
+    return {
+        "median_s": per_iter,
+        "min_s": per_iter,
+        "mean_s": per_iter,
+        "std_s": 0.0,
+        "iters": iters,
+        "chunk": 1,
+    }

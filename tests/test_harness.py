@@ -1,0 +1,72 @@
+"""Harness tests: ladder at small N, CSV/SVG artifacts."""
+
+import math
+import os
+
+import pytest
+
+from flash_attention_metal_tpu.harness import run_ladder
+from flash_attention_metal_tpu.harness.plotting import (
+    generate_svg,
+    parse_csv,
+    plot_benchmark_csv,
+)
+from flash_attention_metal_tpu.utils import (
+    attention_flops,
+    roofline_fraction,
+    roofline_time,
+)
+
+
+def test_ladder_all_pass():
+    results = run_ladder(n=128, heads=1)
+    assert len(results) == 11
+    for r in results:
+        assert r.passed, r.line()
+
+
+def test_roofline_model():
+    # 1 TFLOP at bf16 on v5e-class peak (197e12) -> ~5.08 ms compute-bound.
+    from flash_attention_metal_tpu.utils.roofline import CHIP_SPECS
+
+    spec = CHIP_SPECS["v5e"]
+    f = attention_flops(1, 8, 4096, 4096, 64)
+    t = roofline_time(f, 1e6, spec)
+    assert t == pytest.approx(f / 197e12)
+    # Fraction at exactly the roofline time is 1.0.
+    assert roofline_fraction(t, f, 1e6, spec) == pytest.approx(1.0)
+    # Tiny kernel is bandwidth-bound.
+    assert roofline_time(1.0, 1e9, spec) == pytest.approx(1e9 / 819e9)
+
+
+def test_flops_model_causal_and_bwd():
+    f = attention_flops(2, 4, 1024, 1024, 64)
+    assert f == 4 * 2 * 4 * 1024 * 1024 * 64
+    assert attention_flops(2, 4, 1024, 1024, 64, causal=True) == f / 2
+    assert attention_flops(2, 4, 1024, 1024, 64, backward=True) == f * 2.5
+
+
+def test_csv_svg_roundtrip(tmp_path):
+    csv = tmp_path / "bench.csv"
+    csv.write_text(
+        "N,Naive(ms),FlashV1(ms),FlashV2(ms),FlashMXU(ms),FlashMXU-causal(ms),"
+        "SpeedupV1,SpeedupV2,SpeedupMXU,TFLOPs_MXU,TFLOPs_MXU_causal,"
+        "Roofline_MXU,Roofline_MXU_causal\n"
+        "128,1.0,0.5,0.25,0.2,0.15,2.0,4.0,5.0,10.0,8.0,0.5,0.4\n"
+        "256,4.0,1.0,0.5,0.4,0.3,4.0,8.0,10.0,20.0,16.0,0.6,0.5\n"
+    )
+    header, rows = parse_csv(str(csv))
+    assert header[0] == "N" and len(rows) == 2
+    out1 = tmp_path / "speedup.svg"
+    out2 = tmp_path / "roofline.svg"
+    plot_benchmark_csv(str(csv), str(out1), str(out2))
+    svg = out1.read_text()
+    assert svg.startswith("<svg") and "polyline" in svg and "FlashMXU" in svg
+    assert out2.read_text().count("polyline") >= 2
+
+
+def test_svg_handles_nan():
+    svg = generate_svg(
+        [128, 256], {"a": [1.0, math.nan]}, title="t", y_label="y"
+    )
+    assert "NaN" not in svg.split("polyline")[1].split("/>")[0]
