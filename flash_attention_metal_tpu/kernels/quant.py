@@ -1,0 +1,314 @@
+"""Quantized-KV flash attention (int8 / fp8 KV cache).
+
+The reference's lowest-precision path is fp16 storage with fp32 statistics
+(V4, ``kernels.metal:597-883``); BASELINE.json's quant scheme extends that
+one step further for the TPU build: **fp8/int8 KV cache with per-token
+scales**, halving (vs bf16) the HBM traffic of the decode-dominant KV
+reads while keeping bf16 MXU compute and fp32 softmax statistics.
+
+Scheme (symmetric, per-token, absmax):
+
+* ``k_q[t] = round(k[t] / s_k[t])`` with ``s_k[t] = absmax(k[t]) / QMAX``
+* scales are folded back in *outside* the MXU contractions:
+  - K: ``S[:, t] = (q . k_q[t]) * s_k[t]`` — one row-vector multiply on the
+    score tile (the contraction itself runs on dequant-free operands).
+  - V: ``O += (P * s_v)[.,t] v_q[t]`` — folded into the existing P rescale,
+    zero extra passes.
+* scales are stored ``[B, H, N/128, 128]`` — a tile-aligned reshape of the
+  per-token vector, so kernel-side slicing is a plain block fetch (same
+  trick as the lane-replicated LSE layout).
+
+Verified against the fp32 oracle at the reference's half-precision
+tolerance ladder (int8 attention error is dominated by the 8-bit mantissa,
+comfortably under the 1e-1 backward rung; forward holds ~1e-2-class
+accuracy like the V4 rung, ``main.mm:452``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import (
+    DEFAULT_MASK_VALUE,
+    NUM_LANES,
+    BlockSizes,
+    default_scale,
+)
+
+
+_QMAX = {
+    jnp.int8.dtype: 127.0,
+    jnp.float8_e4m3fn.dtype: 448.0,
+    jnp.float8_e5m2.dtype: 57344.0,
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedKV:
+    """A quantized KV pair with tile-aligned per-token scales."""
+
+    k_q: jax.Array  # [B, H, N, D] int8/fp8
+    v_q: jax.Array  # [B, H, N, D] int8/fp8
+    k_scale: jax.Array  # [B, H, N // 128, 128] fp32
+    v_scale: jax.Array  # [B, H, N // 128, 128] fp32
+
+    def tree_flatten(self):
+        return (self.k_q, self.v_q, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def seq_len(self) -> int:
+        return self.k_q.shape[2]
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def quantize_kv(k: jax.Array, v: jax.Array, dtype=jnp.int8) -> QuantizedKV:
+    """Symmetric per-token absmax quantization of a KV pair."""
+    qmax = _QMAX[jnp.dtype(dtype)]
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / qmax
+        if jnp.dtype(dtype) == jnp.int8.dtype:
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax
+            ).astype(dtype)
+        else:
+            xq = (x.astype(jnp.float32) / scale).astype(dtype)
+        b, h, n, _ = x.shape
+        scales = scale[..., 0].reshape(b, h, n // NUM_LANES, NUM_LANES)
+        return xq, scales.astype(jnp.float32)
+
+    k_q, k_scale = quant(k)
+    v_q, v_scale = quant(v)
+    return QuantizedKV(k_q, v_q, k_scale, v_scale)
+
+
+def dequantize_kv(qkv: QuantizedKV, dtype=jnp.bfloat16):
+    """Reference dequantization (for testing)."""
+
+    def dq(xq, scales):
+        b, h, nb, lanes = scales.shape
+        s = scales.reshape(b, h, nb * lanes, 1)
+        return (xq.astype(jnp.float32) * s).astype(dtype)
+
+    return dq(qkv.k_q, qkv.k_scale), dq(qkv.v_q, qkv.v_scale)
+
+
+def _quant_fwd_kernel(
+    q_ref,
+    kq_ref,
+    vq_ref,
+    ks_ref,
+    vs_ref,
+    o_ref,
+    lse_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    num_kv: int,
+    save_lse: bool,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        compute_dtype = q.dtype
+        # In-VMEM dequant-to-compute-dtype: HBM traffic is 8-bit, the MXU
+        # sees bf16 (the TPU analog of loading fp16 and upcasting in
+        # registers, ``kernels.metal:650-663``).
+        k = kq_ref[0, 0].astype(compute_dtype)
+        v = vq_ref[0, 0].astype(compute_dtype)
+        # Per-token scale rows, collapsed to (1, block_k).
+        k_scale = ks_ref[0, 0].reshape(1, block_k)
+        v_scale = vs_ref[0, 0].reshape(1, block_k)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # Fold the K dequant scale into the score scale (column-wise).
+        s = s * (k_scale * sm_scale)
+
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                + q_idx * block_q
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + kv_idx * block_k
+            )
+            s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        acc_scratch[...] *= alpha[:, :1]
+        # Fold the V dequant scale into the existing P rescale — zero extra
+        # VPU passes for V dequantization.
+        acc_scratch[...] += jax.lax.dot_general(
+            (p * v_scale).astype(compute_dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            m = m_scratch[...][:, :1]
+            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "block_sizes", "save_lse", "interpret"),
+)
+def flash_attention_quant(
+    q: jax.Array,
+    qkv: QuantizedKV,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    save_lse: bool = False,
+    interpret: bool = False,
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Flash attention against an int8/fp8 KV cache.
+
+    ``q``: ``[B, H, N_q, D]`` bf16/fp16/fp32; returns ``o`` (and the
+    lane-replicated LSE when requested, like ``flash_attention_fwd``).
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = qkv.seq_len
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+    block_q = min(block_sizes.block_q, n_q)
+    block_k = min(block_sizes.block_k_major, n_kv)
+    if n_q % block_q or n_kv % block_k:
+        raise ValueError(f"({n_q},{n_kv}) not divisible by ({block_q},{block_k})")
+    num_kv = n_kv // block_k
+    grid = (batch, heads, n_q // block_q, num_kv)
+    scale_rows = block_k // NUM_LANES
+
+    kernel = functools.partial(
+        _quant_fwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv=num_kv,
+        save_lse=save_lse,
+    )
+    bound = kernel
+    if not save_lse:
+
+        def kernel(q_r, kq_r, vq_r, ks_r, vs_r, o_r, m_s, l_s, acc_s):
+            return bound(q_r, kq_r, vq_r, ks_r, vs_r, o_r, None, m_s, l_s, acc_s)
+
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+    ]
+    if save_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+            )
+        )
+
+    flops = 4 * batch * heads * n_q * n_kv * head_dim
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, scale_rows, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, scale_rows, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)
+            ),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops // (2 if causal else 1),
+            bytes_accessed=(
+                2 * q.size * q.dtype.itemsize
+                + qkv.k_q.size
+                + qkv.v_q.size
+                + qkv.k_scale.size * 4
+                + qkv.v_scale.size * 4
+            ),
+            transcendentals=batch * heads * n_q * n_kv // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale)
+
+    if save_lse:
+        return results[0], results[1]
+    return results[0]
