@@ -38,6 +38,7 @@ from ._common import mxu_precision
 
 
 def _dkv_kernel(
+    off_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -64,9 +65,12 @@ def _dkv_kernel(
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     if causal:
+        q_offset = off_ref[0]
         # A Q block contributes to this KV block only if some of its rows
         # lie on/below the diagonal within the block's columns.
-        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+        should_run = (
+            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
+        )
     else:
         should_run = True
 
@@ -94,6 +98,7 @@ def _dkv_kernel(
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
                 + q_idx * block_q
+                + q_offset
             )
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
@@ -136,6 +141,7 @@ def _dkv_kernel(
 
 
 def _dq_kernel(
+    off_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -159,7 +165,10 @@ def _dq_kernel(
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     if causal:
-        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_kv
+        q_offset = off_ref[0]
+        should_run = (
+            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
+        )
     else:
         should_run = True
 
@@ -185,6 +194,7 @@ def _dq_kernel(
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
                 + q_idx * block_q
+                + q_offset
             )
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
@@ -224,6 +234,7 @@ def flash_attention_bwd(
     o: jax.Array,
     do: jax.Array,
     lse_lanes: jax.Array,
+    q_offset: Optional[jax.Array] = None,
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
@@ -241,6 +252,9 @@ def flash_attention_bwd(
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
         block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
 
     # delta_i = sum(dO * O) per row (``kernels.metal:982-990``), precomputed
     # once and shared by both kernels; lane-replicated like the LSE.
@@ -250,7 +264,7 @@ def flash_attention_bwd(
     delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
 
     def lanes_spec(bq):
-        return pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, j, i: (b, h, i, 0))
+        return pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, j, i, *_: (b, h, i, 0))
 
     # ---------------- dK/dV kernel ----------------
     bq = min(block_sizes.block_q_dkv, n_q)
@@ -272,23 +286,26 @@ def flash_attention_bwd(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=dkv_grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i, *_: (b, h, i, 0)),
             lanes_spec(bq),
             lanes_spec(bq),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((bkv, head_dim), jnp.float32),
             pltpu.VMEM((bkv, head_dim), jnp.float32),
         ],
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -300,7 +317,7 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse_lanes, delta_lanes)
+    )(q_offset, q, k, v, do, lse_lanes, delta_lanes)
 
     # ---------------- dQ kernel ----------------
     bq = min(block_sizes.block_q_dq, n_q)
@@ -319,19 +336,22 @@ def flash_attention_bwd(
             num_kv_blocks=num_kv_blocks,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=dq_grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bq, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            (1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
         ),
         scratch_shapes=[pltpu.VMEM((bq, head_dim), jnp.float32)],
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -343,6 +363,6 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse_lanes, delta_lanes)
+    )(q_offset, q, k, v, do, lse_lanes, delta_lanes)
 
     return dq, dk, dv

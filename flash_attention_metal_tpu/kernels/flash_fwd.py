@@ -29,6 +29,13 @@ kernels at once:
 Softmax statistics are always fp32 regardless of input dtype, matching the
 reference's fp32 m/l registers inside its fp16 kernels
 (``kernels.metal:633-638``).
+
+Causal masking supports a **q-row offset**: query row ``r`` attends to key
+columns ``c <= r + q_offset``.  The offset defaults to ``n_kv - n_q``
+(end-aligned diagonals — the decode convention) and may be a *traced*
+scalar, which is what ring/sequence-parallel attention needs (the shard
+index is only known inside ``shard_map``).  The offset rides in SMEM as a
+scalar input.
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ from ._common import mxu_precision
 
 
 def _fwd_kernel(
+    off_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -78,9 +86,12 @@ def _fwd_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     if causal:
-        # Whole-major-block skip: run only if the block's first column is
-        # <= the Q tile's last row (``kernels.metal:682`` analog).
-        should_run = (q_idx + 1) * block_q - 1 >= kv_major * block_k_major
+        q_offset = off_ref[0]
+        # Whole-major-block skip: run only if the block's first column can
+        # be visible to the Q tile's last row (``kernels.metal:682`` analog).
+        should_run = (
+            (q_idx + 1) * block_q - 1 + q_offset >= kv_major * block_k_major
+        )
     else:
         should_run = True
 
@@ -111,6 +122,7 @@ def _fwd_kernel(
                 row = (
                     jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + q_idx * block_q
+                    + q_offset
                 )
                 col = (
                     jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -149,8 +161,12 @@ def _fwd_kernel(
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         if save_lse:
             # L = m + log(l) per query row (``kernels.metal:861-864``).
+            # Fully-masked rows (l == 0) get -inf so downstream merges
+            # weight them to zero.
             m = m_scratch[...][:, :1]
-            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse = jnp.where(
+                l == 0.0, -jnp.inf, m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            )
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -162,6 +178,7 @@ def flash_attention_fwd(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    q_offset: Optional[jax.Array] = None,
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
@@ -170,6 +187,11 @@ def flash_attention_fwd(
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
+
+    ``q_offset``: optional int32 scalar — query row ``r`` may attend to key
+    columns ``c <= r + q_offset`` when ``causal=True``.  Defaults to
+    ``n_kv - n_q`` (end-aligned).  May be traced (e.g. derived from
+    ``jax.lax.axis_index`` under ``shard_map``).
 
     Returns ``o`` or ``(o, lse)`` where ``lse`` has shape
     ``[B, H, N_q, NUM_LANES]`` with the per-row logsumexp replicated across
@@ -194,6 +216,10 @@ def flash_attention_fwd(
     num_kv_major = n_kv // block_k_major
     grid = (batch, heads, n_q // block_q, num_kv_major)
 
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
+
     bound = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -208,12 +234,12 @@ def flash_attention_fwd(
         kernel = bound
     else:
         # No LSE output ref in the argument list when it isn't requested.
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
-            return bound(q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+        def kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
+            return bound(off_ref, q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0))
     ]
     if save_lse:
         out_shapes.append(
@@ -221,7 +247,7 @@ def flash_attention_fwd(
         )
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+                (1, 1, block_q, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)
             )
         )
 
@@ -233,21 +259,20 @@ def flash_attention_fwd(
         flops //= 2
         transcendentals //= 2
 
-    results = pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
             ),
             pl.BlockSpec(
                 (1, 1, block_k_major, head_dim),
-                lambda b, h, i, j: (b, h, j, 0),
+                lambda b, h, i, j, *_: (b, h, j, 0),
             ),
             pl.BlockSpec(
                 (1, 1, block_k_major, head_dim),
-                lambda b, h, i, j: (b, h, j, 0),
+                lambda b, h, i, j, *_: (b, h, j, 0),
             ),
         ],
         out_specs=out_specs,
@@ -256,6 +281,12 @@ def flash_attention_fwd(
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
             pltpu.VMEM((block_q, head_dim), jnp.float32),
         ],
+    )
+
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             # Large tiles win on this kernel; lift the default 16MB
@@ -270,7 +301,7 @@ def flash_attention_fwd(
             transcendentals=transcendentals,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q_offset, q, k, v)
 
     if save_lse:
         o, lse_lanes = results

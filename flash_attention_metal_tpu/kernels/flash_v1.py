@@ -146,6 +146,11 @@ def flash_attention_v1(
         sm_scale = default_scale(head_dim)
     block_q = min(block_q, n_q)
     block_k = min(block_k, n_kv)
+    if causal and n_q != n_kv:
+        raise ValueError(
+            "flash_attention_v1 causal requires n_q == n_kv (this simple "
+            "rung has no diagonal offset; use flash_attention_mxu)"
+        )
     if n_q % block_q or n_kv % block_k:
         raise ValueError(
             f"sequence lengths ({n_q}, {n_kv}) must be divisible by blocks "

@@ -45,8 +45,15 @@ def _naive_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, causal: bool):
 
     if causal:
         block_q = q.shape[0]
+        n_kv = k.shape[0]
         q_blk = pl.program_id(2)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_blk * block_q
+        n_q = pl.num_programs(2) * block_q
+        # End-aligned diagonal (decode convention), matching the oracle.
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            + q_blk * block_q
+            + (n_kv - n_q)
+        )
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
 

@@ -26,6 +26,7 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import AttentionConfig, BlockSizes, default_scale
 from ..kernels.flash_bwd import flash_attention_bwd
@@ -37,12 +38,13 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, causal, sm_scale, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret):
     return flash_attention_fwd(
         q,
         k,
         v,
+        q_offset,
         sm_scale=sm_scale,
         causal=causal,
         block_sizes=block_sizes,
@@ -51,22 +53,23 @@ def _flash(q, k, v, causal, sm_scale, block_sizes, interpret):
     )
 
 
-def _flash_fwd_rule(q, k, v, causal, sm_scale, block_sizes, interpret):
+def _flash_fwd_rule(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret):
     o, lse_lanes = flash_attention_fwd(
         q,
         k,
         v,
+        q_offset,
         sm_scale=sm_scale,
         causal=causal,
         block_sizes=block_sizes,
         save_lse=True,
         interpret=interpret,
     )
-    return o, (q, k, v, o, lse_lanes)
+    return o, (q, k, v, q_offset, o, lse_lanes)
 
 
 def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
-    q, k, v, o, lse_lanes = residuals
+    q, k, v, q_offset, o, lse_lanes = residuals
     dq, dk, dv = flash_attention_bwd(
         q,
         k,
@@ -74,12 +77,15 @@ def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
         o,
         do,
         lse_lanes,
+        q_offset,
         sm_scale=sm_scale,
         causal=causal,
         block_sizes=block_sizes,
         interpret=interpret,
     )
-    return dq, dk, dv
+    # Integer offsets get a float0 cotangent.
+    d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
+    return dq, dk, dv, d_off
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -102,6 +108,7 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    q_offset: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
@@ -116,7 +123,10 @@ def flash_attention(
       q: ``[batch, q_heads, n_q, head_dim]``.
       k, v: ``[batch, kv_heads, n_kv, head_dim]`` (kv_heads may divide
         q_heads for GQA/MQA).
-      causal: apply causal masking (diagonal aligned at sequence ends).
+      q_offset: optional int32 scalar (may be traced): with ``causal``,
+        query row r attends to key cols c <= r + q_offset.  Defaults to
+        ``n_kv - n_q`` (end-aligned diagonals).
+      causal: apply causal masking.
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
@@ -132,6 +142,9 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = default_scale(q.shape[-1])
     k, v = _broadcast_kv_heads(q, k, v)
+    if q_offset is None:
+        q_offset = k.shape[2] - q.shape[2]
+    q_offset = jnp.asarray(q_offset, jnp.int32)
 
     if impl == "auto":
         impl = "pallas"
@@ -141,9 +154,11 @@ def flash_attention(
     if impl == "xla":
         if save_lse:
             return attention_reference_with_lse(
-                q, k, v, causal=causal, sm_scale=sm_scale
+                q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
             )
-        return attention_reference(q, k, v, causal=causal, sm_scale=sm_scale)
+        return attention_reference(
+            q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
+        )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -154,6 +169,7 @@ def flash_attention(
             q,
             k,
             v,
+            q_offset,
             sm_scale=sm_scale,
             causal=causal,
             block_sizes=block_sizes,
@@ -161,7 +177,7 @@ def flash_attention(
             interpret=interpret,
         )
         return o, lse_lanes[..., 0]
-    return _flash(q, k, v, causal, sm_scale, block_sizes, interpret)
+    return _flash(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret)
 
 
 def mha(

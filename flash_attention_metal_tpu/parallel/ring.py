@@ -1,0 +1,186 @@
+"""Ring (sequence-parallel) flash attention over a device mesh.
+
+The mechanism is exactly the reference's online-softmax block merge
+(``kernels.metal:148-159,565-575``) lifted from intra-chip KV tiles to
+inter-chip KV *shards*: each device holds one contiguous KV shard, KV
+rotates around the ring via ``jax.lax.ppermute`` (point-to-point over
+ICI), and each step's partial attention — computed by the full local
+flash kernel, which returns its logsumexp (``kernels.metal:861-864``) —
+is folded into the running (o, lse) with the identical rescale rule.
+
+The next shard's ``ppermute`` is issued *before* the current step's
+compute, so XLA's latency-hiding scheduler overlaps the transfer with the
+kernel — the inter-chip version of V2's prefetch-next-while-compute-
+current double buffer (``kernels.metal:531-588``).
+
+Causal masking falls out of the kernel's traced ``q_offset``: on ring
+step s, this device (index ``i``) is looking at the shard that originated
+on device ``src = (i - s) mod n``; visibility of local KV column ``c``
+(global ``src*n_loc + c``) to local Q row ``r`` (global ``i*n_loc + r``)
+is ``c <= r + (i - src)*n_loc`` — one scalar offset per step:
+* ``src < i``  -> offset >= n_loc: fully visible (mask is a no-op)
+* ``src == i`` -> offset 0: standard causal
+* ``src > i``  -> offset <= -n_loc: fully masked; the kernel's block skip
+  prunes every tile, so the step costs ~nothing on the compute side.
+
+These functions are meant to be called INSIDE ``jax.shard_map`` (see
+``make_ring_attention`` for a canned wrapper).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..config import BlockSizes
+from ..kernels.flash_fwd import flash_attention_fwd
+from ..reference.oracle import attention_reference_with_lse
+
+
+def merge_partials(
+    o_a: jax.Array,
+    lse_a: jax.Array,
+    o_b: jax.Array,
+    lse_b: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Combine two normalized attention partials via their logsumexps.
+
+    ``o_*``: [..., N, D] fp32 normalized partial outputs;
+    ``lse_*``: [..., N, 1] fp32 logsumexp (``-inf`` == empty partial).
+    Returns the merged (o, lse).  This is the reference's online-softmax
+    rescale (``kernels.metal:148-159``) in merge form.
+    """
+    m = jnp.maximum(lse_a, lse_b)
+    # exp(-inf - -inf) would be NaN; clamp the pivot for empty pairs.
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    w_a = jnp.where(jnp.isneginf(lse_a), 0.0, jnp.exp(lse_a - m_safe))
+    w_b = jnp.where(jnp.isneginf(lse_b), 0.0, jnp.exp(lse_b - m_safe))
+    denom = w_a + w_b
+    denom_safe = jnp.where(denom == 0.0, 1.0, denom)
+    o = (o_a * w_a + o_b * w_b) / denom_safe
+    lse = jnp.where(denom == 0.0, -jnp.inf, m_safe + jnp.log(denom_safe))
+    return o, lse
+
+
+def ring_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    save_lse: bool = False,
+    interpret: Optional[bool] = None,
+    impl: str = "pallas",
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Ring attention over sequence-sharded [B, H, n_local, D] shards.
+
+    Call inside ``shard_map`` with the sequence dim sharded on
+    ``axis_name``.  Requires equal Q and KV shard lengths (self-attention
+    layout).  Returns the local output shard (and local LSE if requested).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_loc = q.shape[2]
+    if k.shape[2] != n_loc:
+        raise ValueError("ring attention expects equal q/kv shard lengths")
+    my = jax.lax.axis_index(axis_name)
+
+    def local_flash(q_, k_, v_, offset):
+        if impl == "xla":
+            return attention_reference_with_lse(
+                q_, k_, v_, causal=causal, sm_scale=sm_scale, q_offset=offset
+            )
+        o_, lse_lanes = flash_attention_fwd(
+            q_,
+            k_,
+            v_,
+            offset,
+            causal=causal,
+            sm_scale=sm_scale,
+            block_sizes=block_sizes,
+            save_lse=True,
+            interpret=interpret,
+        )
+        return o_, lse_lanes[..., 0]
+
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    o_acc = jnp.zeros(q.shape, jnp.float32)
+    lse_acc = jnp.full((*q.shape[:3], 1), -jnp.inf, jnp.float32)
+    kb, vb = k, v
+    # Statically unrolled ring: axis_size is a mesh constant, so each step
+    # specializes its collective and lets XLA overlap it with compute.
+    for step in range(axis_size):
+        if step < axis_size - 1:
+            kb_next = jax.lax.ppermute(kb, axis_name, perm)
+            vb_next = jax.lax.ppermute(vb, axis_name, perm)
+        else:
+            kb_next = vb_next = None
+
+        src = (my - step) % axis_size
+        offset = (my - src) * n_loc  # traced; sign encodes the mask mode
+        o_i, lse_i = local_flash(q, kb, vb, offset)
+        o_acc, lse_acc = merge_partials(
+            o_acc,
+            lse_acc,
+            o_i.astype(jnp.float32),
+            lse_i[..., None].astype(jnp.float32),
+        )
+
+        if kb_next is not None:
+            kb, vb = kb_next, vb_next
+
+    o = o_acc.astype(q.dtype)
+    if save_lse:
+        return o, lse_acc[..., 0]
+    return o
+
+
+def make_ring_attention(
+    mesh: Mesh,
+    axis_name: str = "sp",
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    impl: str = "pallas",
+):
+    """shard_map-wrapped ring attention over ``mesh``'s ``axis_name``.
+
+    Returns a function of global ``[B, H, N, D]`` arrays whose sequence
+    dim is sharded over ``axis_name``; batch/head dims follow the mesh's
+    remaining axes only if the caller shards them separately.
+    """
+    axis_size = mesh.shape[axis_name]
+    spec = PartitionSpec(None, None, axis_name, None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def ring(q, k, v):
+        return ring_flash_attention(
+            q,
+            k,
+            v,
+            axis_name=axis_name,
+            axis_size=axis_size,
+            causal=causal,
+            sm_scale=sm_scale,
+            block_sizes=block_sizes,
+            impl=impl,
+        )
+
+    return ring

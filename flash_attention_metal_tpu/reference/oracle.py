@@ -33,6 +33,7 @@ def attention_reference(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    q_offset: Optional[jax.Array] = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
@@ -53,8 +54,10 @@ def attention_reference(
     if causal:
         n_q, n_kv = s.shape[-2], s.shape[-1]
         # Align the diagonals at the *end* of the sequences (the usual decode
-        # convention); for n_q == n_kv this is the standard causal mask.
-        row = jnp.arange(n_q)[:, None] + (n_kv - n_q)
+        # convention) unless an explicit q_offset is given; for n_q == n_kv
+        # the default is the standard causal mask.
+        off = (n_kv - n_q) if q_offset is None else q_offset
+        row = jnp.arange(n_q)[:, None] + off
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
     # Two-pass safe softmax, exactly the oracle's structure
@@ -74,6 +77,7 @@ def attention_reference_with_lse(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    q_offset: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward oracle that also returns the logsumexp L = m + log(l).
 
@@ -89,7 +93,8 @@ def attention_reference_with_lse(
                    precision=jax.lax.Precision.HIGHEST) * sm_scale
     if causal:
         n_q, n_kv = s.shape[-2], s.shape[-1]
-        row = jnp.arange(n_q)[:, None] + (n_kv - n_q)
+        off = (n_kv - n_q) if q_offset is None else q_offset
+        row = jnp.arange(n_q)[:, None] + off
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)

@@ -1,0 +1,205 @@
+"""Distributed attention on the 8-device virtual CPU mesh (SURVEY.md §4).
+
+Every sharded variant must reproduce the single-device oracle bit-for-
+tolerance: the cross-device online-softmax merge is exactly the kernel's
+intra-chip merge, so the tolerances match the fp32 ladder rung.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec
+
+from flash_attention_metal_tpu.parallel import (
+    allgather_attention,
+    lse_combine_attention,
+    make_mesh,
+    make_ring_attention,
+    merge_partials,
+    ring_flash_attention,
+    ulysses_attention,
+)
+from flash_attention_metal_tpu.reference import (
+    attention_reference,
+    attention_reference_with_lse,
+    make_qkv,
+)
+
+SP = PartitionSpec(None, None, "sp", None)
+
+
+def max_abs_diff(a, b):
+    return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+
+def sp_mesh():
+    return make_mesh((1, 1, 8))
+
+
+def test_merge_partials_equals_full_softmax(rng_key):
+    """Merging two disjoint-KV partials == attention over the union."""
+    q, k, v = make_qkv(rng_key, (1, 1, 128, 64))
+    k2, v2 = jax.random.normal(jax.random.PRNGKey(5), k.shape), jax.random.normal(
+        jax.random.PRNGKey(6), v.shape
+    )
+    o_a, lse_a = attention_reference_with_lse(q, k, v)
+    o_b, lse_b = attention_reference_with_lse(q, k2, v2)
+    o, lse = merge_partials(
+        o_a.astype(jnp.float32),
+        lse_a[..., None],
+        o_b.astype(jnp.float32),
+        lse_b[..., None],
+    )
+    want = attention_reference(
+        q, jnp.concatenate([k, k2], 2), jnp.concatenate([v, v2], 2)
+    )
+    assert max_abs_diff(o, want) < 1e-5
+
+
+def test_merge_partials_empty_side(rng_key):
+    q, k, v = make_qkv(rng_key, (1, 1, 128, 64))
+    o_a, lse_a = attention_reference_with_lse(q, k, v)
+    o_a = o_a.astype(jnp.float32)
+    empty_o = jnp.zeros_like(o_a)
+    empty_lse = jnp.full((*o_a.shape[:3], 1), -jnp.inf)
+    o, lse = merge_partials(o_a, lse_a[..., None], empty_o, empty_lse)
+    assert max_abs_diff(o, o_a) == 0.0
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), np.asarray(lse_a))
+    # both sides empty -> zeros, -inf
+    o2, lse2 = merge_partials(empty_o, empty_lse, empty_o, empty_lse)
+    assert float(jnp.max(jnp.abs(o2))) == 0.0
+    assert bool(jnp.all(jnp.isneginf(lse2)))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_vs_oracle(rng_key, causal):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 2, 1024, 64))
+    want = attention_reference(q, k, v, causal=causal)
+
+    ring = make_ring_attention(mesh, "sp", causal=causal)
+    got = ring(q, k, v)
+    assert max_abs_diff(got, want) < 1e-3
+
+
+def test_ring_attention_xla_impl(rng_key):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64))
+    want = attention_reference(q, k, v, causal=True)
+    ring = make_ring_attention(mesh, "sp", causal=True, impl="xla")
+    got = ring(q, k, v)
+    assert max_abs_diff(got, want) < 1e-3
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_allgather_cp_vs_oracle(rng_key, causal):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 2, 1024, 64))
+    want = attention_reference(q, k, v, causal=causal)
+
+    f = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                allgather_attention, axis_name="sp", causal=causal
+            ),
+            mesh=mesh,
+            in_specs=(SP, SP, SP),
+            out_specs=SP,
+            check_vma=False,
+        )
+    )
+    got = f(q, k, v)
+    assert max_abs_diff(got, want) < 1e-3
+
+
+def test_allgather_cp_grad_matches_oracle(rng_key):
+    """The CP training path: grads through shard_map == oracle grads."""
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64))
+
+    inner = jax.shard_map(
+        functools.partial(allgather_attention, axis_name="sp", causal=True),
+        mesh=mesh,
+        in_specs=(SP, SP, SP),
+        out_specs=SP,
+        check_vma=False,
+    )
+    g = jax.jit(jax.grad(lambda q_, k_, v_: jnp.sum(inner(q_, k_, v_) ** 2)))
+    gq, = (g(q, k, v),)
+    g_ref = jax.grad(
+        lambda q_: jnp.sum(attention_reference(q_, k, v, causal=True) ** 2)
+    )(q)
+    assert max_abs_diff(gq, g_ref) < 5e-3
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_lse_combine_decode_topology(rng_key, causal):
+    """Replicated Q (decode step), sequence-sharded KV."""
+    mesh = sp_mesh()
+    kq, _, _ = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (1, 2, 128, 64), jnp.float32, -1, 1)
+    _, k, v = make_qkv(rng_key, (1, 2, 1024, 64))
+    want = attention_reference(q, k, v, causal=causal)
+
+    f = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                lse_combine_attention, axis_name="sp", causal=causal
+            ),
+            mesh=mesh,
+            in_specs=(PartitionSpec(), SP, SP),
+            out_specs=PartitionSpec(),
+            check_vma=False,
+        )
+    )
+    got = f(q, k, v)
+    assert max_abs_diff(got, want) < 1e-3
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_vs_oracle(rng_key, causal):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 8, 1024, 64))  # 8 heads over 8 devices
+    want = attention_reference(q, k, v, causal=causal)
+
+    f = jax.jit(
+        jax.shard_map(
+            functools.partial(ulysses_attention, axis_name="sp", causal=causal),
+            mesh=mesh,
+            in_specs=(SP, SP, SP),
+            out_specs=SP,
+            check_vma=False,
+        )
+    )
+    got = f(q, k, v)
+    assert max_abs_diff(got, want) < 1e-3
+
+
+def test_ulysses_grad(rng_key):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (1, 8, 512, 64))
+    inner = jax.shard_map(
+        functools.partial(ulysses_attention, axis_name="sp", causal=True),
+        mesh=mesh,
+        in_specs=(SP, SP, SP),
+        out_specs=SP,
+        check_vma=False,
+    )
+    g = jax.jit(jax.grad(lambda v_: jnp.sum(inner(q, k, v_) ** 2)))(v)
+    g_ref = jax.grad(
+        lambda v_: jnp.sum(attention_reference(q, k, v_, causal=True) ** 2)
+    )(v)
+    assert max_abs_diff(g, g_ref) < 5e-3
+
+
+def test_ring_bf16(rng_key):
+    mesh = sp_mesh()
+    q, k, v = make_qkv(rng_key, (2, 4, 1024, 64), dtype=jnp.bfloat16)
+    want = attention_reference(q, k, v, causal=True)
+    ring = make_ring_attention(mesh, "sp", causal=True)
+    got = ring(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    assert max_abs_diff(got, want) < 1e-2
