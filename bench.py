@@ -1,0 +1,162 @@
+"""Driver benchmark: ONE JSON line on stdout.
+
+Metric: geometric-mean speedup of the production MXU causal flash kernel
+(bf16 in/out, fp32 stats) over the naive O(N^2) fp32 baseline across the
+reference's sequence sweep — the same "speedup vs naive" contract the
+Metal reference publishes (``main.mm:862-865``, BASELINE.md), measured
+with warmed, fenced, slope-based per-iteration timing instead of the
+reference's single-shot wall clock.
+
+``vs_baseline`` compares our geomean against the reference's V2 geomean
+over its published sweep (3.56x, from BASELINE.md's speedup row).
+
+Extra detail (absolute TFLOP/s, %-of-roofline, high-occupancy fwd/bwd)
+goes to stderr and bench_detail.json.
+"""
+
+import functools
+import json
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from flash_attention_metal_tpu.config import BlockSizes
+from flash_attention_metal_tpu.kernels import (
+    flash_attention_bwd,
+    flash_attention_fwd,
+    flash_attention_mxu,
+    naive_attention,
+)
+from flash_attention_metal_tpu.reference import make_qkv
+from flash_attention_metal_tpu.utils import (
+    attention_flops,
+    attention_bytes,
+    detect_chip,
+    roofline_fraction,
+)
+from flash_attention_metal_tpu.utils.timing import measure_compiled, measure_kernel
+
+# Reference V2 speedups over its N sweep (BASELINE.md): geomean = 3.56.
+REFERENCE_GEOMEAN_SPEEDUP = 3.56
+
+# The reference's published sweep (BASELINE.md, naive capped at 8192).
+SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    interpret = jax.default_backend() != "tpu"
+    spec = detect_chip()
+    log(f"bench on {spec.name} backend={jax.default_backend()}")
+
+    detail = {"chip": spec.name, "sweep": []}
+    speedups = []
+    for n in SWEEP:
+        q, k, v = make_qkv(jax.random.PRNGKey(42), (1, 1, n, 64))
+        qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        iters = max(10, min(30, (1 << 21) // n))
+        # Small kernels need more inner repeats for timing resolution.
+        inner_hi = 17 if n <= 512 else (9 if n <= 2048 else 5)
+
+        t_naive = measure_kernel(
+            functools.partial(
+                naive_attention, causal=True, interpret=interpret
+            ),
+            (q, k, v),
+            iters=iters,
+            inner_hi=inner_hi,
+        )["median_s"]
+        t_flash = measure_kernel(
+            functools.partial(
+                flash_attention_mxu, causal=True, interpret=interpret
+            ),
+            (qh, kh, vh),
+            iters=iters,
+            inner_hi=inner_hi,
+        )["median_s"]
+        sp = t_naive / t_flash
+        speedups.append(sp)
+        flops = attention_flops(1, 1, n, n, 64, causal=True)
+        detail["sweep"].append(
+            {
+                "n": n,
+                "naive_ms": t_naive * 1e3,
+                "flash_ms": t_flash * 1e3,
+                "speedup": sp,
+                "flash_tflops_exec": flops / t_flash / 1e12,
+            }
+        )
+        log(
+            f"N={n}: naive {t_naive*1e3:.3f} ms, flash {t_flash*1e3:.3f} ms,"
+            f" speedup {sp:.2f}x"
+        )
+
+    geomean = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
+
+    # High-occupancy phase (reference main.mm:881-1204 analog): B=16 H=8.
+    B, H, N, D = 16, 8, 2048, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(7), (B, H, N, D), dtype=jnp.bfloat16)
+    do = q * 0.01
+    t_fwd = measure_compiled(
+        functools.partial(
+            flash_attention_fwd, causal=True, save_lse=True, interpret=interpret
+        ),
+        (q, k, v),
+        iters=20,
+    )["median_s"]
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=interpret
+    )
+    bwd_bs = BlockSizes(
+        block_q_dkv=512, block_kv_dkv=512, block_q_dq=512, block_kv_dq=512
+    )
+    t_bwd = measure_compiled(
+        functools.partial(
+            flash_attention_bwd,
+            causal=True,
+            block_sizes=bwd_bs,
+            interpret=interpret,
+        ),
+        (q, k, v, o, do, lse),
+        iters=20,
+    )["median_s"]
+    f_fwd = attention_flops(B, H, N, N, D, causal=True)
+    f_bwd = attention_flops(B, H, N, N, D, causal=True, backward=True)
+    bts = attention_bytes(B, H, N, N, D, 2)
+    detail["high_occupancy"] = {
+        "fwd_ms": t_fwd * 1e3,
+        "bwd_ms": t_bwd * 1e3,
+        "fwd_tflops": f_fwd / t_fwd / 1e12,
+        "bwd_tflops": f_bwd / t_bwd / 1e12,
+        "fwd_roofline": roofline_fraction(t_fwd, f_fwd, bts, spec),
+    }
+    log(
+        f"high-occupancy B{B} H{H} N{N}: fwd {t_fwd*1e3:.3f} ms "
+        f"({f_fwd/t_fwd/1e12:.1f} TF/s, "
+        f"{detail['high_occupancy']['fwd_roofline']:.0%} roofline), "
+        f"bwd {t_bwd*1e3:.3f} ms ({f_bwd/t_bwd/1e12:.1f} TF/s)"
+    )
+
+    detail["geomean_speedup"] = geomean
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64",
+                "value": round(geomean, 3),
+                "unit": "x",
+                "vs_baseline": round(geomean / REFERENCE_GEOMEAN_SPEEDUP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

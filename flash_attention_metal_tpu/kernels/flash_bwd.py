@@ -65,7 +65,7 @@ def _dkv_kernel(
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     if causal:
-        q_offset = off_ref[0]
+        q_offset = off_ref[pl.program_id(0)]
         # A Q block contributes to this KV block only if some of its rows
         # lie on/below the diagonal within the block's columns.
         should_run = (
@@ -165,7 +165,7 @@ def _dq_kernel(
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     if causal:
-        q_offset = off_ref[0]
+        q_offset = off_ref[pl.program_id(0)]
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
         )
@@ -254,7 +254,8 @@ def flash_attention_bwd(
         block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
     if q_offset is None:
         q_offset = n_kv - n_q
-    q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
     # delta_i = sum(dO * O) per row (``kernels.metal:982-990``), precomputed
     # once and shared by both kernels; lane-replicated like the LSE.

@@ -78,6 +78,76 @@ def _fwd_kernel(
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
+    # One KV tile covers the whole sequence: no online statistics needed —
+    # a direct two-pass softmax saves every scratch read-modify-write.
+    single_block = num_kv_major == 1 and block_k_major == block_k
+
+    if causal:
+        q_offset = off_ref[pl.program_id(0)]
+
+    def _mask(s, start):
+        # Unconditional elementwise mask on running blocks: measured
+        # faster than a lax.cond-guarded mask on straddling blocks
+        # only (the cond breaks Mosaic's MXU/VPU overlap), and the
+        # whole-block skip already prunes the above-diagonal majors
+        # (``kernels.metal:682`` analog).
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            + q_idx * block_q
+            + q_offset
+        )
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + kv_major * block_k_major
+            + start
+        )
+        return jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+
+    def _scaled_q():
+        # Fold sm_scale into Q once per tile: (bq, D) elements instead of a
+        # (bq, bk) pass over every score sub-tile.  Exact when the scale is
+        # a power of two (D=64 -> 0.125); otherwise well inside the input
+        # dtype's own rounding.
+        q = q_ref[0, 0]
+        return (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+
+    if single_block:
+
+        def _single():
+            q = _scaled_q()
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision(q.dtype),
+            )
+            if causal:
+                s = _mask(s, 0)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu_precision(v.dtype),
+            )
+            o_ref[0, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
+            if save_lse:
+                lse = jnp.where(
+                    l == 0.0,
+                    -jnp.inf,
+                    m + jnp.log(jnp.where(l == 0.0, 1.0, l)),
+                )
+                lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+        _single()
+        return
 
     @pl.when(kv_major == 0)
     def _init():
@@ -86,7 +156,6 @@ def _fwd_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     if causal:
-        q_offset = off_ref[0]
         # Whole-major-block skip: run only if the block's first column can
         # be visible to the Q tile's last row (``kernels.metal:682`` analog).
         should_run = (
@@ -97,7 +166,7 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]
+        q = _scaled_q()
         # Inner loop over block_k sub-tiles — statically unrolled, so each
         # iteration's slice offsets are compile-time constants.
         for start in range(0, block_k_major, block_k):
@@ -111,25 +180,9 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_precision(q.dtype),
             )
-            s = s * sm_scale
 
             if causal:
-                # Unconditional elementwise mask on running blocks: measured
-                # faster than a lax.cond-guarded mask on straddling blocks
-                # only (the cond breaks Mosaic's MXU/VPU overlap), and the
-                # whole-block skip above already prunes the above-diagonal
-                # majors (``kernels.metal:682`` analog).
-                row = (
-                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                    + q_idx * block_q
-                    + q_offset
-                )
-                col = (
-                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    + kv_major * block_k_major
-                    + start
-                )
-                s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+                s = _mask(s, start)
 
             m_prev = m_scratch[...]
             l_prev = l_scratch[...]
@@ -188,10 +241,12 @@ def flash_attention_fwd(
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
 
-    ``q_offset``: optional int32 scalar — query row ``r`` may attend to key
-    columns ``c <= r + q_offset`` when ``causal=True``.  Defaults to
+    ``q_offset``: optional int32 scalar or per-batch ``[B]`` vector —
+    query row ``r`` of batch ``b`` may attend to key columns
+    ``c <= r + q_offset[b]`` when ``causal=True``.  Defaults to
     ``n_kv - n_q`` (end-aligned).  May be traced (e.g. derived from
-    ``jax.lax.axis_index`` under ``shard_map``).
+    ``jax.lax.axis_index`` under ``shard_map``, or from per-sequence KV
+    lengths in continuous-batching decode).
 
     Returns ``o`` or ``(o, lse)`` where ``lse`` has shape
     ``[B, H, N_q, NUM_LANES]`` with the per-row logsumexp replicated across
@@ -218,7 +273,8 @@ def flash_attention_fwd(
 
     if q_offset is None:
         q_offset = n_kv - n_q
-    q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
     bound = functools.partial(
         _fwd_kernel,

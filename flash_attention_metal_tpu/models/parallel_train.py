@@ -1,0 +1,207 @@
+"""Manually-sharded (dp x tp x sp) training step for FlashLM.
+
+The reference has no distribution at all (SURVEY.md §2 parallelism table);
+this module is the TPU-native scaling story end-to-end: one ``shard_map``
+over a 3-axis mesh, with every collective explicit —
+
+* **dp** (data):      batch sharded; gradient ``psum`` at the end.
+* **tp** (tensor):    attention heads + FFN width sharded column/row-wise
+                      (Megatron layout): wq/wk/wv/w_gate/w_up column-
+                      sharded (no comms in), wo/w_down row-sharded
+                      (one ``psum`` out).  GQA keeps each KV head
+                      co-located with its Q-head group (boom guide §14).
+* **sp** (sequence):  activations sharded along the sequence; attention
+                      runs the context-parallel all-gather path
+                      (``parallel/context.py`` — differentiable, the
+                      gather transposes to reduce-scatter in the
+                      backward); the next-token shift fetches the
+                      neighbor's first token with a ``ppermute``; the
+                      vocab-sharded cross entropy does a pmax/psum
+                      logsumexp.
+
+Everything is jit-compiled once over the mesh; the driver exercises it on
+a virtual CPU mesh (``__graft_entry__.dryrun_multichip``) and the same
+code lays onto a real pod slice unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..parallel.context import allgather_attention
+from .transformer import (
+    ModelConfig,
+    Params,
+    _merge_heads,
+    _split_heads,
+    rms_norm,
+    rope,
+)
+
+AXES = ("dp", "tp", "sp")
+
+
+def param_specs(cfg: ModelConfig) -> Params:
+    """PartitionSpec tree matching the Megatron TP layout."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "tp"),
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "mlp_norm": P(),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    return {
+        "embed": P(),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": P(),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def _replicated_axes(spec: P) -> Tuple[str, ...]:
+    """Mesh axes a param with this spec is replicated over (grad-psum set)."""
+    used = {a for part in spec for a in ((part,) if isinstance(part, str) else (part or ()))}
+    return tuple(a for a in AXES if a not in used)
+
+
+def _tp_attention(layer, x, cfg, positions, tp_size):
+    dt = cfg.dtype
+    h_local = cfg.n_heads // tp_size
+    hk_local = max(cfg.n_kv_heads // tp_size, 1)
+    if cfg.n_kv_heads % tp_size and tp_size % cfg.n_kv_heads:
+        raise ValueError("tp size must divide n_kv_heads or vice versa")
+    h = rms_norm(x, layer["attn_norm"])
+    q = _split_heads(h @ layer["wq"].astype(dt), h_local, cfg.head_dim)
+    k = _split_heads(h @ layer["wk"].astype(dt), hk_local, cfg.head_dim)
+    v = _split_heads(h @ layer["wv"].astype(dt), hk_local, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    # Sequence-parallel attention on local heads: all-gather KV over sp,
+    # per-shard causal offset handled inside.
+    o = allgather_attention(
+        q,
+        k,
+        v,
+        axis_name="sp",
+        causal=True,
+        block_sizes=cfg.block_sizes,
+        impl=cfg.attn_impl,
+    )
+    out_partial = _merge_heads(o) @ layer["wo"].astype(dt)
+    out = jax.lax.psum(out_partial, "tp")
+    return x + out
+
+
+def _tp_mlp(layer, x, cfg):
+    dt = cfg.dtype
+    h = rms_norm(x, layer["mlp_norm"])
+    gate = jax.nn.silu(h @ layer["w_gate"].astype(dt))
+    up = h @ layer["w_up"].astype(dt)
+    down_partial = (gate * up) @ layer["w_down"].astype(dt)
+    return x + jax.lax.psum(down_partial, "tp")
+
+
+def _sharded_loss(params, tokens, cfg: ModelConfig, tp_size: int):
+    """Per-shard forward + vocab/sequence-sharded cross entropy."""
+    sp_size = jax.lax.psum(1, "sp")
+    sp_idx = jax.lax.axis_index("sp")
+    n_loc = tokens.shape[1]
+    positions = sp_idx * n_loc + jnp.broadcast_to(
+        jnp.arange(n_loc), tokens.shape
+    )
+
+    x = params["embed"][tokens].astype(cfg.dtype)
+
+    def block(x, layer):
+        x = _tp_attention(layer, x, cfg, positions, tp_size)
+        return _tp_mlp(layer, x, cfg)
+
+    block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(x, layer)
+    x = rms_norm(x, params["final_norm"])
+    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    # logits: [B_loc, n_loc, V/tp]
+
+    # --- next-token targets across the sp boundary ---
+    # Shift left within the shard; the last target comes from the right
+    # neighbor's first token (ring ppermute).
+    first_tok = tokens[:, :1]
+    left_perm = [(i, (i - 1) % sp_size) for i in range(sp_size)]
+    recv_first = jax.lax.ppermute(first_tok, "sp", left_perm)
+    targets = jnp.concatenate([tokens[:, 1:], recv_first], axis=1)
+    # The global final position has no target.
+    pos_global = positions
+    valid = pos_global < (sp_size * n_loc - 1)
+
+    # --- vocab-sharded cross entropy (pmax/psum logsumexp) ---
+    tp_idx = jax.lax.axis_index("tp")
+    v_local = logits.shape[-1]
+    # The logsumexp pivot is gradient-invariant, so stop_gradient around the
+    # (non-differentiable) pmax is mathematically exact.
+    m_local = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, "tp"))
+    sumexp = jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
+    lse = jnp.log(jax.lax.psum(sumexp, "tp")) + m
+
+    local_idx = targets - tp_idx * v_local
+    in_shard = (local_idx >= 0) & (local_idx < v_local)
+    gathered = jnp.take_along_axis(
+        logits, jnp.clip(local_idx, 0, v_local - 1)[..., None], axis=-1
+    )[..., 0]
+    target_logit = jax.lax.psum(jnp.where(in_shard, gathered, 0.0), "tp")
+
+    nll = jnp.where(valid, lse - target_logit, 0.0)
+    total = jax.lax.psum(jnp.sum(nll), ("dp", "sp"))
+    count = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), ("dp", "sp"))
+    return total / count
+
+
+def make_train_step(mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2):
+    """jit(shard_map(...)) training step over a (dp, tp, sp) mesh.
+
+    Returns ``step(params, tokens) -> (params, loss)`` where ``tokens`` is
+    a global ``[B, N]`` int array (B % dp == 0, N % sp == 0) and params
+    follow ``param_specs``.
+    """
+    tp_size = mesh.shape["tp"]
+    p_specs = param_specs(cfg)
+    data_spec = P("dp", "sp")
+
+    def step(params, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda p: _sharded_loss(p, tokens, cfg, tp_size)
+        )(params)
+        # Gradients for replicated params must be summed over the axes the
+        # param does not use; sharded params already received their full
+        # gradient through the loss's dp/sp psum (value_and_grad of a
+        # psum-reduced scalar yields per-shard grads that still need the
+        # dp/sp replica sum for replicated leaves).
+        grads = jax.tree_util.tree_map(
+            lambda g, s: jax.lax.psum(g, _replicated_axes(s))
+            if _replicated_axes(s)
+            else g,
+            grads,
+            p_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(p_specs, data_spec),
+        out_specs=(p_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

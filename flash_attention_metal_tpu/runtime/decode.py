@@ -1,0 +1,139 @@
+"""Prefill + single-step decode against the KV cache.
+
+Decode attention is the SAME flash kernel as training: a decode step with
+per-slot valid lengths is causal flash attention with the per-batch
+offset ``q_offset[b] = length[b] - T_new`` (``flash_fwd.py``), so stale
+cache entries beyond each slot's write head are masked exactly like
+future tokens.  No dynamic shapes, no second kernel to validate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.transformer import (
+    ModelConfig,
+    Params,
+    _merge_heads,
+    _split_heads,
+    mlp_block,
+    rms_norm,
+    rope,
+)
+from ..ops.attention import flash_attention
+from .kv_cache import KVCache, append_tokens, bump_lengths
+
+
+def _attn_with_cache(
+    layer: Params,
+    x: jax.Array,
+    cfg: ModelConfig,
+    cache: KVCache,
+    layer_idx: int,
+    positions: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """One attention block reading/writing the cache (T new tokens)."""
+    dt = cfg.dtype
+    t_new = x.shape[1]
+    h = rms_norm(x, layer["attn_norm"])
+    q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
+    k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    cache = append_tokens(cache, layer_idx, k, v)
+    # Valid cache length for masking is the OLD length + t_new; query row r
+    # (0-based within the new tokens) sits at global position length + r,
+    # so the causal offset is exactly the old length.
+    o = flash_attention(
+        q,
+        cache.k[layer_idx],
+        cache.v[layer_idx],
+        q_offset=cache.lengths,
+        causal=True,
+        block_sizes=cfg.block_sizes,
+        impl=cfg.attn_impl,
+    )
+    out = _merge_heads(o) @ layer["wo"].astype(dt)
+    return x + out, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,
+    active: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """One token per active slot: ``tokens [B]`` -> logits ``[B, V]``.
+
+    ``active``: bool ``[B]`` — inactive slots run but their cache length
+    does not advance, so their output is discarded for free.
+    """
+    positions = cache.lengths[:, None]  # [B, 1]
+    x = params["embed"][tokens[:, None]].astype(cfg.dtype)
+    for i, layer in enumerate(params["layers"]):
+        x, cache = _attn_with_cache(layer, x, cfg, cache, i, positions)
+        x = mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"])
+    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    cache = bump_lengths(cache, 1, active)
+    return logits[:, 0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+def prefill_slot(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,
+    prompt_len: jax.Array,
+    slot: int,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill one slot with a (padded) prompt ``[N_pad]``.
+
+    ``prompt_len``: true prompt length (<= N_pad, N_pad % 128 == 0).
+    Returns the next-token logits for the prompt's last true token.
+    The slot's cache must be fresh (length 0).
+    """
+    n_pad = tokens.shape[0]
+    positions = jnp.arange(n_pad)[None, :]
+    x = params["embed"][tokens[None, :]].astype(cfg.dtype)
+
+    slot_cache = KVCache(
+        k=cache.k[:, slot : slot + 1],
+        v=cache.v[:, slot : slot + 1],
+        lengths=cache.lengths[slot : slot + 1] * 0,
+    )
+    for i, layer in enumerate(params["layers"]):
+        x, slot_cache = _attn_with_cache(
+            layer, x, cfg, slot_cache, i, positions
+        )
+        x = mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"])
+    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+
+    new_cache = KVCache(
+        k=cache.k.at[:, slot : slot + 1].set(slot_cache.k),
+        v=cache.v.at[:, slot : slot + 1].set(slot_cache.v),
+        lengths=cache.lengths.at[slot].set(prompt_len.astype(jnp.int32)),
+    )
+    last = logits[0, prompt_len - 1]
+    return last, new_cache
+
+
+def sample(
+    logits: jax.Array,
+    key: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+) -> jax.Array:
+    """Greedy (t=0) or temperature sampling over ``[..., V]`` logits."""
+    if temperature <= 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits / temperature).astype(jnp.int32)

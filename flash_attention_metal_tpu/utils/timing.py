@@ -91,6 +91,7 @@ def measure_compiled(
     *,
     iters: int = 40,
     warmup: int = 1,
+    inner: int = 1,
 ) -> dict:
     """Marginal per-iteration device time of ``fn(*args)``.
 
@@ -109,12 +110,18 @@ def measure_compiled(
     @jax.jit
     def run(leaves, deltas):
         def body(carry, d):
-            stepped = list(leaves)
-            stepped[0] = stepped[0] + d.astype(stepped[0].dtype)
-            out = fn(*jax.tree_util.tree_unflatten(treedef, stepped))
-            first = jax.tree_util.tree_leaves(out)[0]
-            checksum = jnp.sum(first.astype(jnp.float32))
-            return carry + checksum, None
+            acc = carry
+            for rep in range(inner):
+                stepped = list(leaves)
+                # Distinct per-repeat perturbation (zeros at runtime) so
+                # repeats cannot be CSE'd into one execution.
+                stepped[0] = stepped[0] + (d * (rep + 1)).astype(
+                    stepped[0].dtype
+                )
+                out = fn(*jax.tree_util.tree_unflatten(treedef, stepped))
+                first = jax.tree_util.tree_leaves(out)[0]
+                acc = acc + jnp.sum(first.astype(jnp.float32))
+            return acc, None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), deltas)
         return total
@@ -140,4 +147,32 @@ def measure_compiled(
         "std_s": 0.0,
         "iters": iters,
         "chunk": 1,
+    }
+
+
+def measure_kernel(
+    fn: Callable[..., object],
+    args: tuple,
+    *,
+    iters: int = 30,
+    inner_hi: int = 5,
+) -> dict:
+    """Per-call kernel time with BOTH fixed and per-iteration overheads
+    cancelled.
+
+    Measures the iteration slope at two inner-repeat counts (1 and
+    ``inner_hi``); the difference divided by ``inner_hi - 1`` is the pure
+    marginal cost of one kernel execution — immune to the scan-step floor
+    that dominates sub-100us kernels on remote-tunneled platforms.
+    """
+    t1 = measure_compiled(fn, args, iters=iters, inner=1)["median_s"]
+    t2 = measure_compiled(fn, args, iters=iters, inner=inner_hi)["median_s"]
+    per = max((t2 - t1) / (inner_hi - 1), 1e-9)
+    return {
+        "median_s": per,
+        "min_s": per,
+        "mean_s": per,
+        "std_s": 0.0,
+        "iters": iters,
+        "chunk": inner_hi,
     }
