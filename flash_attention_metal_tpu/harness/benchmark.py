@@ -35,9 +35,9 @@ from ..utils import (
     attention_bytes,
     attention_flops,
     detect_chip,
-    measure,
     roofline_fraction,
 )
+from ..utils.timing import measure_compiled, measure_kernel
 
 # Reference sweep (main.mm:608); naive skipped above 8192 (main.mm:673).
 DEFAULT_SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
@@ -87,8 +87,14 @@ class SweepRow:
         )
 
 
-def _time_ms(fn, warmup=2, iters=5) -> float:
-    return measure(fn, warmup=warmup, iters=iters)["median_s"] * 1e3
+def _time_ms(fn, args, iters=20, inner_hi=5) -> float:
+    """Marginal per-call kernel ms (slope + dual-repeat methodology).
+
+    Floored at 0.1us: below that the dual-difference is inside timer
+    noise and ratios would be meaningless.
+    """
+    t = measure_kernel(fn, args, iters=iters, inner_hi=inner_hi)["median_s"]
+    return max(t, 1e-7) * 1e3
 
 
 def run_sweep(
@@ -96,7 +102,7 @@ def run_sweep(
     head_dim: int = 64,
     *,
     warmup: int = 2,
-    iters: int = 5,
+    iters: int = 20,
     interpret: Optional[bool] = None,
     log=print,
 ) -> List[SweepRow]:
@@ -111,38 +117,45 @@ def run_sweep(
         qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
         bs = BlockSizes.for_seq_len(n, n)
 
+        import functools as _ft
+
+        inner_hi = 17 if n <= 512 else (9 if n <= 2048 else 5)
         naive_ms = None
         if n <= NAIVE_MAX_N:
             naive_ms = _time_ms(
-                lambda: naive_attention(q, k, v, interpret=interpret),
-                warmup,
+                _ft.partial(naive_attention, interpret=interpret),
+                (q, k, v),
                 iters,
+                inner_hi,
             )
         v1_ms = _time_ms(
-            lambda: flash_attention_v1(q, k, v, interpret=interpret),
-            warmup,
+            _ft.partial(flash_attention_v1, interpret=interpret),
+            (q, k, v),
             iters,
+            inner_hi,
         )
         v2_ms = _time_ms(
-            lambda: flash_attention_v2(
-                q, k, v, block_sizes=bs, interpret=interpret
-            ),
-            warmup,
+            _ft.partial(flash_attention_v2, block_sizes=bs, interpret=interpret),
+            (q, k, v),
             iters,
+            inner_hi,
         )
         mxu_ms = _time_ms(
-            lambda: flash_attention_mxu(
-                qh, kh, vh, block_sizes=bs, interpret=interpret
-            ),
-            warmup,
+            _ft.partial(flash_attention_mxu, block_sizes=bs, interpret=interpret),
+            (qh, kh, vh),
             iters,
+            inner_hi,
         )
         mxuc_ms = _time_ms(
-            lambda: flash_attention_mxu(
-                qh, kh, vh, causal=True, block_sizes=bs, interpret=interpret
+            _ft.partial(
+                flash_attention_mxu,
+                causal=True,
+                block_sizes=bs,
+                interpret=interpret,
             ),
-            warmup,
+            (qh, kh, vh),
             iters,
+            inner_hi,
         )
 
         flops = attention_flops(1, 1, n, n, head_dim)
@@ -174,7 +187,7 @@ def run_high_occupancy(
     head_dim: int = 64,
     *,
     warmup: int = 2,
-    iters: int = 5,
+    iters: int = 20,
     interpret: Optional[bool] = None,
     log=print,
 ) -> dict:
@@ -193,21 +206,21 @@ def run_high_occupancy(
         jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32) * 0.01
     ).astype(jnp.bfloat16)
 
+    import functools as _ft
+
     fwd_ms = _time_ms(
-        lambda: flash_attention_fwd(
-            q, k, v, causal=True, save_lse=True, interpret=interpret
+        _ft.partial(
+            flash_attention_fwd, causal=True, save_lse=True, interpret=interpret
         ),
-        warmup,
+        (q, k, v),
         iters,
     )
     o, lse_lanes = flash_attention_fwd(
         q, k, v, causal=True, save_lse=True, interpret=interpret
     )
     bwd_ms = _time_ms(
-        lambda: flash_attention_bwd(
-            q, k, v, o, do, lse_lanes, causal=True, interpret=interpret
-        ),
-        warmup,
+        _ft.partial(flash_attention_bwd, causal=True, interpret=interpret),
+        (q, k, v, o, do, lse_lanes),
         iters,
     )
 

@@ -1,0 +1,63 @@
+"""Checkpoint, scaling-harness, and native-extension tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_metal_tpu.utils.checkpoint import restore_pytree, save_pytree
+from flash_attention_metal_tpu.runtime import init_cache
+
+
+def test_checkpoint_roundtrip_params(tmp_path):
+    tree = {
+        "w": jnp.arange(12.0).reshape(3, 4),
+        "layers": [{"b": jnp.ones((2,))}, {"b": jnp.zeros((2,))}],
+    }
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree)
+    restored = restore_pytree(path, like=tree)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_kv_cache_snapshot(tmp_path):
+    """Decode-loop restart state: the KV cache snapshot (SURVEY.md §5)."""
+    cache = init_cache(2, 2, 2, 256, 64, dtype=jnp.float32)
+    cache.lengths = cache.lengths.at[0].set(7)
+    path = str(tmp_path / "kv")
+    save_pytree(path, cache)
+    restored = restore_pytree(path, like=cache)
+    assert int(restored.lengths[0]) == 7
+    assert restored.k.shape == cache.k.shape
+
+
+def test_scaling_harness_smoke():
+    from flash_attention_metal_tpu.harness.scaling import run_scaling
+
+    rows = run_scaling(
+        n_global=512, heads=2, shard_counts=[1, 2], log=lambda *_: None
+    )
+    assert [r["shards"] for r in rows] == [1, 2]
+    assert all(r["tokens_per_s"] > 0 for r in rows)
+    assert rows[0]["scaling_efficiency"] == pytest.approx(1.0)
+
+
+def test_native_extension_if_built():
+    try:
+        from flash_attention_metal_tpu.utils import _native_timer as nt
+    except ImportError:
+        pytest.skip("native extension not built (make -C native)")
+    t0 = nt.monotonic_ns()
+    nt.busy_wait_ns(1_000_00)
+    assert nt.monotonic_ns() - t0 >= 1_000_00
+    assert nt.percentile([3.0, 1.0, 2.0], 50.0) == 2.0
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.csv")
+        assert nt.write_csv(p, "a,b", [[1, 2.0], ["z", None]]) == 2
+        lines = open(p).read().splitlines()
+        assert lines == ["a,b", "1,2", "z,"]
