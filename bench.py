@@ -22,7 +22,6 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from flash_attention_metal_tpu.config import BlockSizes
 from flash_attention_metal_tpu.kernels import (
     flash_attention_bwd,
     flash_attention_fwd,
@@ -59,26 +58,42 @@ def main():
     for n in SWEEP:
         q, k, v = make_qkv(jax.random.PRNGKey(42), (1, 1, n, 64))
         qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
-        iters = max(10, min(30, (1 << 21) // n))
-        # Small kernels need more inner repeats for timing resolution.
-        inner_hi = 17 if n <= 512 else (9 if n <= 2048 else 5)
+        iters = max(16, min(30, (1 << 21) // n))
+        # Small kernels need more inner repeats for timing resolution: the
+        # signal is (inner_hi - 1) * t_kernel per scan step, and must rise
+        # above the per-step noise of the tunneled dispatch floor.
+        inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
 
-        t_naive = measure_kernel(
+        def timed(fn, args, inner):
+            # Individual slope readings bounce +-2x at the microsecond
+            # scale on this tunneled platform: take the median of three
+            # independent measurements, dropping sub-floor (<0.2us) noise.
+            reads = []
+            for attempt in range(3):
+                t = measure_kernel(fn, args, iters=iters, inner_hi=inner)[
+                    "median_s"
+                ]
+                if t > 2e-7:
+                    reads.append(t)
+            if not reads:
+                return 2e-7
+            reads.sort()
+            return reads[len(reads) // 2]
+
+        t_naive = timed(
             functools.partial(
                 naive_attention, causal=True, interpret=interpret
             ),
             (q, k, v),
-            iters=iters,
-            inner_hi=inner_hi,
-        )["median_s"]
-        t_flash = measure_kernel(
+            inner_hi,
+        )
+        t_flash = timed(
             functools.partial(
                 flash_attention_mxu, causal=True, interpret=interpret
             ),
             (qh, kh, vh),
-            iters=iters,
-            inner_hi=inner_hi,
-        )["median_s"]
+            inner_hi,
+        )
         sp = t_naive / t_flash
         speedups.append(sp)
         flops = attention_flops(1, 1, n, n, 64, causal=True)
@@ -112,14 +127,10 @@ def main():
     o, lse = flash_attention_fwd(
         q, k, v, causal=True, save_lse=True, interpret=interpret
     )
-    bwd_bs = BlockSizes(
-        block_q_dkv=512, block_kv_dkv=512, block_q_dq=512, block_kv_dq=512
-    )
     t_bwd = measure_compiled(
         functools.partial(
             flash_attention_bwd,
             causal=True,
-            block_sizes=bwd_bs,
             interpret=interpret,
         ),
         (q, k, v, o, do, lse),

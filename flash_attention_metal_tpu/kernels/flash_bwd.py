@@ -264,15 +264,31 @@ def flash_attention_bwd(
     )
     delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
 
-    def lanes_spec(bq):
-        return pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, j, i, *_: (b, h, i, 0))
-
     # ---------------- dK/dV kernel ----------------
     bq = min(block_sizes.block_q_dkv, n_q)
     bkv = min(block_sizes.block_kv_dkv, n_kv)
     if n_q % bq or n_kv % bkv:
         raise ValueError(f"({n_q},{n_kv}) not divisible by dkv blocks ({bq},{bkv})")
     num_q_blocks = n_q // bq
+
+    if causal:
+        # Q blocks entirely above the causal diagonal are compute-skipped
+        # (``pl.when(should_run)``); clamping their block index to the first
+        # contributing Q block makes consecutive index_map results identical
+        # so the pipeline elides their Q/dO/LSE/delta DMAs (same trick as
+        # the forward's KV clamp).  i_min = floor((j*bkv - off) / bq).
+        def q_block_map(b, h, j, i, off_ref):
+            i_min = (j * bkv - off_ref[b]) // bq
+            i_eff = jnp.clip(jnp.maximum(i, i_min), 0, num_q_blocks - 1)
+            return (b, h, i_eff, 0)
+
+    else:
+        def q_block_map(b, h, j, i, *_):
+            return (b, h, i, 0)
+
+    def lanes_spec(bq):
+        return pl.BlockSpec((1, 1, bq, NUM_LANES), q_block_map)
+
     dkv_grid = (batch, heads, n_kv // bkv, num_q_blocks)
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -291,10 +307,10 @@ def flash_attention_bwd(
         num_scalar_prefetch=1,
         grid=dkv_grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
             pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
             pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, j, i, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
             lanes_spec(bq),
             lanes_spec(bq),
         ],
@@ -327,6 +343,19 @@ def flash_attention_bwd(
         raise ValueError(f"({n_q},{n_kv}) not divisible by dq blocks ({bq},{bkv})")
     num_kv_blocks = n_kv // bkv
     dq_grid = (batch, heads, n_q // bq, num_kv_blocks)
+
+    if causal:
+        # Mirror of the forward's clamp: above-diagonal KV blocks re-map to
+        # the diagonal block so their K/V DMAs are elided.
+        def kv_block_map(b, h, i, j, off_ref):
+            diag = ((i + 1) * bq - 1 + off_ref[b]) // bkv
+            j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv_blocks - 1)
+            return (b, h, j_eff, 0)
+
+    else:
+        def kv_block_map(b, h, i, j, *_):
+            return (b, h, j, 0)
+
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel,
@@ -342,8 +371,8 @@ def flash_attention_bwd(
         grid=dq_grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, i, j, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
+            pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
             pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
