@@ -35,7 +35,10 @@ from flash_attention_metal_tpu.utils import (
     detect_chip,
     roofline_fraction,
 )
-from flash_attention_metal_tpu.utils.timing import measure_compiled, measure_kernel
+from flash_attention_metal_tpu.utils.timing import (
+    measure_compiled,
+    measure_kernel_stable,
+)
 
 # Reference V2 speedups over its N sweep (BASELINE.md): geomean = 3.56.
 REFERENCE_GEOMEAN_SPEEDUP = 3.56
@@ -65,20 +68,11 @@ def main():
         inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
 
         def timed(fn, args, inner):
-            # Individual slope readings bounce +-2x at the microsecond
-            # scale on this tunneled platform: take the median of three
-            # independent measurements, dropping sub-floor (<0.2us) noise.
-            reads = []
-            for attempt in range(3):
-                t = measure_kernel(fn, args, iters=iters, inner_hi=inner)[
-                    "median_s"
-                ]
-                if t > 2e-7:
-                    reads.append(t)
-            if not reads:
-                return 2e-7
-            reads.sort()
-            return reads[len(reads) // 2]
+            # Median of three slope readings, dropping sub-floor noise
+            # (individual microsecond-scale readings bounce +-2x here).
+            return measure_kernel_stable(
+                fn, args, iters=iters, inner_hi=inner
+            )["median_s"]
 
         t_naive = timed(
             functools.partial(

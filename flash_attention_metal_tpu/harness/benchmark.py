@@ -37,7 +37,7 @@ from ..utils import (
     detect_chip,
     roofline_fraction,
 )
-from ..utils.timing import measure_compiled, measure_kernel
+from ..utils.timing import measure_compiled, measure_kernel_stable
 
 # Reference sweep (main.mm:608); naive skipped above 8192 (main.mm:673).
 DEFAULT_SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
@@ -87,14 +87,17 @@ class SweepRow:
         )
 
 
-def _time_ms(fn, args, iters=20, inner_hi=5) -> float:
-    """Marginal per-call kernel ms (slope + dual-repeat methodology).
+def _time_ms(fn, args, iters=20, inner_hi=5, repeats=1) -> float:
+    """Marginal per-call kernel ms (median of ``repeats`` dual-slope reads).
 
-    Floored at 0.1us: below that the dual-difference is inside timer
-    noise and ratios would be meaningless.
+    Floored at 0.2us: below that the dual-difference is inside timer
+    noise and ratios would be meaningless.  Use repeats=3 for
+    microsecond-scale kernels; a single reading is stable above ~50us.
     """
-    t = measure_kernel(fn, args, iters=iters, inner_hi=inner_hi)["median_s"]
-    return max(t, 1e-7) * 1e3
+    t = measure_kernel_stable(
+        fn, args, iters=iters, inner_hi=inner_hi, repeats=repeats
+    )["median_s"]
+    return t * 1e3
 
 
 def run_sweep(
@@ -119,7 +122,8 @@ def run_sweep(
 
         import functools as _ft
 
-        inner_hi = 17 if n <= 512 else (9 if n <= 2048 else 5)
+        inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
+        repeats = 3 if n <= 2048 else 1
         naive_ms = None
         if n <= NAIVE_MAX_N:
             naive_ms = _time_ms(
@@ -127,24 +131,28 @@ def run_sweep(
                 (q, k, v),
                 iters,
                 inner_hi,
+                repeats,
             )
         v1_ms = _time_ms(
             _ft.partial(flash_attention_v1, interpret=interpret),
             (q, k, v),
             iters,
             inner_hi,
+            repeats,
         )
         v2_ms = _time_ms(
             _ft.partial(flash_attention_v2, block_sizes=bs, interpret=interpret),
             (q, k, v),
             iters,
             inner_hi,
+            repeats,
         )
         mxu_ms = _time_ms(
             _ft.partial(flash_attention_mxu, block_sizes=bs, interpret=interpret),
             (qh, kh, vh),
             iters,
             inner_hi,
+            repeats,
         )
         mxuc_ms = _time_ms(
             _ft.partial(
@@ -156,6 +164,7 @@ def run_sweep(
             (qh, kh, vh),
             iters,
             inner_hi,
+            repeats,
         )
 
         flops = attention_flops(1, 1, n, n, head_dim)
