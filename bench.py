@@ -138,7 +138,7 @@ def main():
         "bwd_ms": t_bwd * 1e3,
         "fwd_tflops": f_fwd / t_fwd / 1e12,
         "bwd_tflops": f_bwd / t_bwd / 1e12,
-        "fwd_roofline": roofline_fraction(t_fwd, f_fwd, bts, spec),
+        "fwd_roofline": roofline_fraction(t_fwd, f_fwd, bts, spec, head_dim=D),
     }
     log(
         f"high-occupancy B{B} H{H} N{N}: fwd {t_fwd*1e3:.3f} ms "

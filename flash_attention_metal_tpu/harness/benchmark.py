@@ -179,9 +179,11 @@ def run_sweep(
             mxu_causal_ms=mxuc_ms,
             tflops_mxu=flops / (mxu_ms * 1e-3) / 1e12,
             tflops_mxu_causal=flops_c / (mxuc_ms * 1e-3) / 1e12,
-            roofline_mxu=roofline_fraction(mxu_ms * 1e-3, flops, bts, spec),
+            roofline_mxu=roofline_fraction(
+                mxu_ms * 1e-3, flops, bts, spec, head_dim=head_dim
+            ),
             roofline_mxu_causal=roofline_fraction(
-                mxuc_ms * 1e-3, flops_c, bts, spec
+                mxuc_ms * 1e-3, flops_c, bts, spec, head_dim=head_dim
             ),
         )
         rows.append(row)
@@ -246,9 +248,11 @@ def run_high_occupancy(
         "bwd_ms": bwd_ms,
         "fwd_tflops": flops_f / (fwd_ms * 1e-3) / 1e12,
         "bwd_tflops": flops_b / (bwd_ms * 1e-3) / 1e12,
-        "fwd_roofline": roofline_fraction(fwd_ms * 1e-3, flops_f, bts, spec),
+        "fwd_roofline": roofline_fraction(
+            fwd_ms * 1e-3, flops_f, bts, spec, head_dim=head_dim
+        ),
         "bwd_roofline": roofline_fraction(
-            bwd_ms * 1e-3, flops_b, 2 * bts, spec
+            bwd_ms * 1e-3, flops_b, 2 * bts, spec, head_dim=head_dim
         ),
     }
     log(

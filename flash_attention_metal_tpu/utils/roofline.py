@@ -95,16 +95,37 @@ def attention_bytes(
     )
 
 
+def mxu_width_factor(head_dim: int) -> float:
+    """Achievable MXU duty factor for attention at a given head dim.
+
+    The MXU is a 128x128 systolic array.  Attention's two matmuls have one
+    dimension pinned to ``head_dim`` (the QK^T contraction depth and the
+    P.V output width), so for D < 128 no kernel on the chip can exceed
+    D/128 of the dense peak on those passes.  This is part of the
+    *speed of light* for the config, not kernel inefficiency — D=64 (the
+    reference's structural head dim, ``main.mm:12``) caps attention at
+    50% of the dense MXU peak.
+    """
+    return min(head_dim, 128) / 128.0
+
+
 def roofline_time(
     flops: float,
     bytes_moved: float,
     spec: Optional[ChipSpec] = None,
     dtype_bits: int = 16,
+    head_dim: int = 128,
 ) -> float:
-    """Speed-of-light seconds for a kernel under the roofline model."""
+    """Speed-of-light seconds for a kernel under the roofline model.
+
+    Pass ``head_dim`` to account for the MXU width cap (see
+    ``mxu_width_factor``); the default 128 reproduces the plain dense
+    roofline.
+    """
     if spec is None:
         spec = detect_chip()
     peak = spec.peak_bf16_flops if dtype_bits <= 16 else spec.peak_fp32_flops
+    peak = peak * mxu_width_factor(head_dim)
     return max(flops / peak, bytes_moved / spec.hbm_bw)
 
 
@@ -114,7 +135,8 @@ def roofline_fraction(
     bytes_moved: float,
     spec: Optional[ChipSpec] = None,
     dtype_bits: int = 16,
+    head_dim: int = 128,
 ) -> float:
     """Fraction of speed-of-light achieved (1.0 == at the roofline)."""
-    ideal = roofline_time(flops, bytes_moved, spec, dtype_bits)
+    ideal = roofline_time(flops, bytes_moved, spec, dtype_bits, head_dim)
     return ideal / measured_s if measured_s > 0 else 0.0

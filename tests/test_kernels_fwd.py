@@ -131,3 +131,68 @@ def test_cross_attention_lengths(rng_key):
     got = flash_attention_fwd(q, k, v, interpret=INTERPRET)
     want = attention_reference(q, k, v)
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_lagged_base_rebase(rng_key):
+    """Multi-block online path where a LATE KV block holds the row max.
+
+    Exercises the lagged-base softmax rebase (flash_fwd._EXP2_CLAMP
+    path): the first blocks run with base 0/early maxima and the state
+    must rebase correctly when block 3's much larger scores arrive.
+    """
+    n, bq = 512, 128
+    q, k, v = make_qkv(rng_key, (1, 1, n, 64))
+    # Inflate the last KV block's keys so its scores dominate (but stay
+    # inside the lazy-softmax envelope: |scores| < ~33 nats).
+    k = k.at[:, :, 384:, :].multiply(4.0)
+    bs = BlockSizes(block_q=bq, block_k_major=bq, block_k=bq)
+    for causal in (False, True):
+        got = flash_attention_fwd(
+            q, k, v, causal=causal, block_sizes=bs, interpret=INTERPRET
+        )
+        want = attention_reference(q, k, v, causal=causal)
+        assert max_abs_diff(got, want) < TOL_FP32, causal
+
+
+def test_eager_softmax_extreme_magnitudes(rng_key):
+    """lazy_softmax=False is exact for arbitrary score magnitudes.
+
+    Scores here jump ~+700 nats between KV blocks — outside the lazy
+    path's documented envelope; the eager fallback must stay exact.
+    """
+    n, bq = 512, 128
+    q, k, v = make_qkv(rng_key, (1, 1, n, 64))
+    k = k.at[:, :, 384:, :].multiply(60.0)
+    bs = BlockSizes(block_q=bq, block_k_major=bq, block_k=bq)
+    got = flash_attention_fwd(
+        q, k, v, block_sizes=bs, lazy_softmax=False, interpret=INTERPRET
+    )
+    want = attention_reference(q, k, v)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_lagged_base_negative_scores_in_envelope(rng_key):
+    """Scores well below the initial base 0 (but inside the documented
+    [-87, +66] nat envelope) stay exact under the lazy softmax."""
+    n, bq = 512, 128
+    q, k, v = make_qkv(rng_key, (1, 1, n, 64))
+    q = q - 2.0  # uniform shift: scores ~ -40..-25 nats after scaling
+    k = k + 2.0
+    bs = BlockSizes(block_q=bq, block_k_major=bq, block_k=bq)
+    got = flash_attention_fwd(q, k, v, block_sizes=bs, interpret=INTERPRET)
+    want = attention_reference(q, k, v)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_eager_softmax_all_negative_extreme(rng_key):
+    """Rows whose max score sits below -87 nats need the eager fallback."""
+    n, bq = 512, 128
+    q, k, v = make_qkv(rng_key, (1, 1, n, 64))
+    q = q - 8.0  # scores ~ -750..-550 nats: outside the lazy envelope
+    k = k + 8.0
+    bs = BlockSizes(block_q=bq, block_k_major=bq, block_k=bq)
+    got = flash_attention_fwd(
+        q, k, v, block_sizes=bs, lazy_softmax=False, interpret=INTERPRET
+    )
+    want = attention_reference(q, k, v)
+    assert max_abs_diff(got, want) < TOL_FP32
