@@ -36,6 +36,8 @@ TOL_FP32 = 1e-3  # main.mm:239,253,292
 TOL_V3 = 5e-3  # main.mm:375
 TOL_HALF = 1e-2  # main.mm:452,591
 TOL_BWD = 1e-1  # main.mm:1191
+TOL_QUANT_INT8 = 3e-2  # int8 KV rung: 7 effective mantissa bits
+TOL_QUANT_FP8 = 5e-2  # fp8(e4m3) KV rung: 3 mantissa bits -> ~2x int8 error
 
 
 @dataclasses.dataclass
@@ -140,6 +142,20 @@ def run_ladder(
     rung("backward dQ vs oracle (bf16, causal)", dqh, dq_rh, TOL_BWD)
     rung("backward dK vs oracle (bf16, causal)", dkh, dk_rh, TOL_BWD)
     rung("backward dV vs oracle (bf16, causal)", dvh, dv_rh, TOL_BWD)
+
+    # Rung 8: quantized-KV forward (BASELINE.json config 4).  8-bit KV
+    # error dominates: verified against the bf16 rung's own output at a
+    # 3e-2 tolerance (the int8 analog of the reference's widening ladder,
+    # main.mm:452).
+    from ..kernels import flash_attention_quant, quantize_kv
+
+    for qdtype, qname, qtol in (
+        (jnp.int8, "int8", TOL_QUANT_INT8),
+        (jnp.float8_e4m3fn, "fp8", TOL_QUANT_FP8),
+    ):
+        qkv_q = quantize_kv(kh, vh, dtype=qdtype)
+        oq = flash_attention_quant(qh, qkv_q, causal=True, interpret=interpret)
+        rung(f"flash_quant {qname}-KV causal vs causal oracle", oq, oracle_c, qtol)
 
     return results
 

@@ -6,6 +6,12 @@ from .flash_v2 import flash_attention_v2
 from .flash_mxu import flash_attention_mxu
 from .flash_fwd import flash_attention_fwd
 from .flash_bwd import flash_attention_bwd
+from .quant import (
+    QuantizedKV,
+    dequantize_kv,
+    flash_attention_quant,
+    quantize_kv,
+)
 
 __all__ = [
     "naive_attention",
@@ -14,4 +20,8 @@ __all__ = [
     "flash_attention_mxu",
     "flash_attention_fwd",
     "flash_attention_bwd",
+    "QuantizedKV",
+    "quantize_kv",
+    "dequantize_kv",
+    "flash_attention_quant",
 ]

@@ -22,6 +22,14 @@ Verified against the fp32 oracle at the reference's half-precision
 tolerance ladder (int8 attention error is dominated by the 8-bit mantissa,
 comfortably under the 1e-1 backward rung; forward holds ~1e-2-class
 accuracy like the V4 rung, ``main.mm:452``).
+
+Performance note (measured on v5e): **int8 is the production 8-bit
+format on this chip** — the int8->bf16 upcast is native and the
+memory-bound decode case runs ~25% faster than bf16 KV (7.4us vs 9.5us
+for 128 q-rows against a 16K cache).  The fp8 formats (e4m3/e5m2) are
+numerically supported but ~10x slower here: v5e has no fp8 datapath, so
+the cast lowers to scalar VPU ops.  Chips with native fp8 (v6e+) flip
+that trade; the format is a config knob, not a code change.
 """
 
 from __future__ import annotations
@@ -41,6 +49,7 @@ from ..config import (
     BlockSizes,
     default_scale,
 )
+from .flash_fwd import _EXP2_CLAMP, _LN2, _LOG2E
 
 
 _QMAX = {
@@ -130,7 +139,9 @@ def _quant_fwd_kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        # Lagged-base softmax (see flash_fwd): base starts at 0 and only
+        # grows; any base is algebraically valid.
+        m_scratch[...] = jnp.zeros_like(m_scratch)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -155,8 +166,9 @@ def _quant_fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # Fold the K dequant scale into the score scale (column-wise).
-        s = s * (k_scale * sm_scale)
+        # Fold the K dequant scale AND log2(e) into the score scale
+        # (column-wise, one pass): the softmax below is a raw exp2.
+        s = s * (k_scale * (sm_scale * _LOG2E))
 
         if causal:
             row = (
@@ -169,26 +181,27 @@ def _quant_fwd_kernel(
             )
             s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        acc_scratch[...] *= alpha[:, :1]
-        # Fold the V dequant scale into the existing P rescale — zero extra
-        # VPU passes for V dequantization.
-        acc_scratch[...] += jax.lax.dot_general(
+        # Lagged-base update (flash_fwd._lazy analog): exponentiate
+        # against the previous block's base so the max reduce overlaps
+        # P.V instead of serializing before the exp.
+        b_prev = m_scratch[...]
+        p = jnp.exp2(jnp.minimum(s - b_prev[:, :1], _EXP2_CLAMP))
+        # Fold the V dequant scale into the existing P rescale — zero
+        # extra VPU passes for V dequantization.
+        pv = jax.lax.dot_general(
             (p * v_scale).astype(compute_dtype),
             v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        b_next = jnp.maximum(b_prev, m_curr)
+        alpha = jnp.exp2(b_prev - b_next)
+        l_scratch[...] = (
+            l_scratch[...] + jnp.sum(p, axis=-1, keepdims=True)
+        ) * alpha
+        acc_scratch[...] = (acc_scratch[...] + pv) * alpha[:, :1]
+        m_scratch[...] = b_next
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
@@ -197,7 +210,11 @@ def _quant_fwd_kernel(
         o_ref[0, 0, :, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
         if save_lse:
             m = m_scratch[...][:, :1]
-            lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+            lse = jnp.where(
+                l == 0.0,
+                -jnp.inf,
+                m * _LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l)),
+            )
             lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -263,6 +280,17 @@ def flash_attention_quant(
             )
         )
 
+    if causal:
+        # Above-diagonal steps re-reference the diagonal block so their
+        # HBM->VMEM DMAs are elided (flash_fwd clamp analog).
+        def kv_map(b, h, i, j):
+            diag = ((i + 1) * block_q - 1) // block_k
+            return (b, h, jnp.clip(jnp.minimum(j, diag), 0, num_kv - 1), 0)
+
+    else:
+        def kv_map(b, h, i, j):
+            return (b, h, j, 0)
+
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     results = pl.pallas_call(
         kernel,
@@ -272,18 +300,10 @@ def flash_attention_quant(
             pl.BlockSpec(
                 (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
             ),
-            pl.BlockSpec(
-                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, scale_rows, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, scale_rows, NUM_LANES), lambda b, h, i, j: (b, h, j, 0)
-            ),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
+            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
         ],
         out_specs=out_specs,
         scratch_shapes=[
