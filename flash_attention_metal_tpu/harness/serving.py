@@ -1,0 +1,134 @@
+"""Serving benchmark: continuous-batching decode throughput on one chip.
+
+The reference has no serving layer; this is the single-chip half of
+BASELINE.json config 5 ("ring flash-attention decode ... fp8 KV +
+continuous batching") — steady-state decode tokens/s and per-step latency
+of the ``DecodeEngine`` on a FlashLM model, with the multi-chip scaling
+story covered by ``harness/scaling.py`` and ``parallel/``.
+
+Run: ``timeout 590 python -m flash_attention_metal_tpu.harness.serving``
+Writes ``serving_bench.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ModelConfig, init_params
+from ..runtime.engine import DecodeEngine, Request
+
+
+def build_engine(
+    *,
+    max_batch: int = 8,
+    max_len: int = 2048,
+    n_layers: int = 4,
+    d_model: int = 512,
+    n_heads: int = 8,
+    n_kv_heads: int = 4,
+    d_ff: int = 2048,
+    vocab: int = 32768,
+    seed: int = 0,
+) -> tuple:
+    cfg = ModelConfig(
+        vocab_size=vocab,
+        d_model=d_model,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        head_dim=64,
+        d_ff=d_ff,
+        max_seq_len=max_len,
+        dtype=jnp.bfloat16,
+    )
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    eng = DecodeEngine(params, cfg, max_batch=max_batch, max_len=max_len)
+    return eng, cfg
+
+
+def run_serving_bench(
+    *,
+    max_batch: int = 8,
+    n_requests: int = 16,
+    prompt_len: int = 128,
+    max_new: int = 128,
+    log=print,
+) -> dict:
+    eng, cfg = build_engine(max_batch=max_batch)
+    rng = np.random.default_rng(0)
+    for uid in range(n_requests):
+        eng.submit(
+            Request(
+                uid=uid,
+                prompt=rng.integers(1, cfg.vocab_size, prompt_len).tolist(),
+                max_new_tokens=max_new,
+            )
+        )
+
+    # Warm both executables (prefill admits up to max_batch, decode runs
+    # one token) before the timed region.
+    eng.step()
+    eng.step()
+
+    t0 = time.perf_counter()
+    steps0 = eng.steps
+    while eng.pending():
+        eng.step()
+    elapsed = time.perf_counter() - t0
+    steps = eng.steps - steps0
+
+    total_tokens = sum(len(r.generated) for r in eng.finished.values())
+    result = {
+        "model": {
+            "n_layers": cfg.n_layers,
+            "d_model": cfg.d_model,
+            "n_heads": cfg.n_heads,
+            "n_kv_heads": cfg.n_kv_heads,
+            "d_ff": cfg.d_ff,
+            "vocab": cfg.vocab_size,
+        },
+        "max_batch": max_batch,
+        "n_requests": n_requests,
+        "prompt_len": prompt_len,
+        "max_new": max_new,
+        "decode_steps": steps,
+        "elapsed_s": elapsed,
+        "total_generated_tokens": total_tokens,
+        "tokens_per_s": total_tokens / elapsed,
+        "ms_per_step": elapsed / max(steps, 1) * 1e3,
+    }
+    log(
+        f"serving: {total_tokens} tokens in {elapsed:.2f}s over {steps} steps"
+        f" -> {result['tokens_per_s']:.0f} tok/s,"
+        f" {result['ms_per_step']:.1f} ms/step (batch {max_batch})"
+    )
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--max-new", type=int, default=128)
+    args = ap.parse_args()
+    result = run_serving_bench(
+        max_batch=args.max_batch,
+        n_requests=args.requests,
+        prompt_len=args.prompt_len,
+        max_new=args.max_new,
+    )
+    with open("serving_bench.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print("wrote serving_bench.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -63,7 +63,9 @@ def _attn_with_cache(
     return x + out, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+)
 def decode_step(
     params: Params,
     cfg: ModelConfig,
@@ -87,7 +89,9 @@ def decode_step(
     return logits[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "slot"), donate_argnames=("cache",)
+)
 def prefill_slot(
     params: Params,
     cfg: ModelConfig,
@@ -137,3 +141,50 @@ def sample(
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+
+
+@jax.jit
+def sample_batch(
+    logits: jax.Array,
+    key: jax.Array,
+    temperatures: jax.Array,
+) -> jax.Array:
+    """Per-slot greedy/temperature sampling in ONE device program.
+
+    ``logits [B, V]``, ``temperatures [B]`` (0 = greedy).  Keeps the
+    serving loop at a single host<->device round trip per decode step —
+    per-slot host-side sampling costs one transfer each, which dominates
+    end-to-end latency on dispatch-bound links.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temps = jnp.maximum(temperatures, 1e-6)[:, None]
+    keys = jax.random.split(key, logits.shape[0])
+    sampled = jax.vmap(
+        lambda k, l: jax.random.categorical(k, l).astype(jnp.int32)
+    )(keys, logits / temps)
+    return jnp.where(temperatures <= 0.0, greedy, sampled)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+)
+def decode_and_sample(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,
+    active: jax.Array,
+    key: jax.Array,
+    temperatures: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """One fused device program per serving step: decode + batched sample.
+
+    The KV cache is donated (updated in place -- no per-step copy of the
+    whole cache) and the sampled tokens stay on device, so the serving
+    loop costs exactly one dispatch plus one result fetch per step.
+    """
+    logits, cache = decode_step.__wrapped__(params, cfg, cache, tokens, active)
+    toks = sample_batch.__wrapped__(logits, key, temperatures)
+    # Inactive slots keep feeding token 0; their cache does not advance.
+    toks = jnp.where(active, toks, 0)
+    return toks, cache

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.transformer import ModelConfig, Params
-from .decode import decode_step, prefill_slot, sample
+from .decode import decode_and_sample, prefill_slot, sample
 from .kv_cache import KVCache, init_cache, reset_slot
 
 
@@ -61,6 +61,7 @@ class DecodeEngine:
         max_len: int,
         eos_id: int = -1,
         seed: int = 0,
+        harvest_lag: int = 16,
     ):
         self.params = params
         self.cfg = cfg
@@ -75,11 +76,24 @@ class DecodeEngine:
             dtype=cfg.dtype,
         )
         self.slots: List[Optional[Request]] = [None] * max_batch
-        self.next_token = np.zeros((max_batch,), np.int32)
+        # Device-resident per-slot state: the decode chain never
+        # round-trips tokens through the host.
+        self.next_token = jnp.zeros((max_batch,), jnp.int32)
+        self.temps = jnp.zeros((max_batch,), jnp.float32)
         self.queue: deque[Request] = deque()
         self.key = jax.random.PRNGKey(seed)
         self.steps = 0
         self.finished: Dict[int, Request] = {}
+        # Fetch-behind pipeline: device->host token transfers are issued
+        # asynchronously and bookkeeping runs ``harvest_lag`` steps behind
+        # the decode chain, so the (tens-of-ms on tunneled links) fetch
+        # latency overlaps subsequent decode steps instead of serializing
+        # the loop.  Retirement/admission lag by <= harvest_lag steps;
+        # tokens decoded for an already-retired occupant are discarded.
+        self.harvest_lag = max(harvest_lag, 0)
+        self._inflight: deque = deque()  # (toks_dev, [uid or None per slot])
+        self._active_dev = jnp.zeros((max_batch,), bool)
+        self._occupancy_dirty = True
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
@@ -88,7 +102,11 @@ class DecodeEngine:
         self.queue.append(request)
 
     def pending(self) -> bool:
-        return bool(self.queue) or any(r is not None for r in self.slots)
+        return (
+            bool(self.queue)
+            or any(r is not None for r in self.slots)
+            or bool(self._inflight)
+        )
 
     # ------------------------------------------------------------------
     def _admit(self) -> None:
@@ -111,48 +129,82 @@ class DecodeEngine:
             req.slot = slot
             req.generated.append(tok)
             self.slots[slot] = req
-            self.next_token[slot] = tok
+            self.next_token = self.next_token.at[slot].set(tok)
+            self.temps = self.temps.at[slot].set(req.temperature)
+            self._occupancy_dirty = True
             self._maybe_finish(req)
 
     def _maybe_finish(self, req: Request) -> None:
         hit_eos = req.generated and req.generated[-1] == self.eos_id
-        full = len(req.prompt) + len(req.generated) >= self.max_len - 1
+        # Margin covers the up-to-harvest_lag zombie steps that may still
+        # advance this slot's write head before retirement lands.
+        full = (
+            len(req.prompt) + len(req.generated)
+            >= self.max_len - 1 - self.harvest_lag
+        )
         if hit_eos or len(req.generated) >= req.max_new_tokens or full:
             req.done = True
             self.slots[req.slot] = None
+            self._occupancy_dirty = True
             self.cache = reset_slot(self.cache, req.slot)
             self.finished[req.uid] = req
 
     # ------------------------------------------------------------------
-    def step(self) -> List[Request]:
-        """Admit, run one decode step, retire finished requests."""
-        self._admit()
-        active_reqs = [r for r in self.slots if r is not None]
-        if not active_reqs:
-            return []
-
-        active = jnp.asarray(
-            [r is not None for r in self.slots], dtype=bool
-        )
-        logits, self.cache = decode_step(
-            self.params,
-            self.cfg,
-            self.cache,
-            jnp.asarray(self.next_token),
-            active,
-        )
-        self.steps += 1
+    def _harvest_one(self) -> List[Request]:
+        """Apply bookkeeping for the oldest in-flight decode step."""
+        toks_dev, uids = self._inflight.popleft()
+        toks = np.asarray(toks_dev)  # async copy usually already landed
         finished: List[Request] = []
-        for slot, req in enumerate(list(self.slots)):
-            if req is None:
-                continue
-            self.key, sub = jax.random.split(self.key)
-            tok = int(sample(logits[slot], sub, req.temperature))
-            req.generated.append(tok)
-            self.next_token[slot] = tok
+        for slot, uid in enumerate(uids):
+            req = self.slots[slot]
+            if uid is None or req is None or req.uid != uid or req.done:
+                continue  # slot was retired/reused since this step ran
+            req.generated.append(int(toks[slot]))
             self._maybe_finish(req)
             if req.done:
                 finished.append(req)
+        return finished
+
+    def step(self) -> List[Request]:
+        """Admit, enqueue one decode step, harvest lagged bookkeeping."""
+        self._admit()
+        active_reqs = [r for r in self.slots if r is not None]
+        if active_reqs:
+            if self._occupancy_dirty:
+                # Host->device occupancy transfer only when it changed.
+                self._active_dev = jnp.asarray(
+                    [r is not None for r in self.slots], dtype=bool
+                )
+                self._occupancy_dirty = False
+            active = self._active_dev
+            # One fused device program (decode + batched sample, KV cache
+            # donated/in-place) per step; the token fetch is issued
+            # asynchronously and consumed ``harvest_lag`` steps later.
+            self.key, sub = jax.random.split(self.key)
+            toks_dev, self.cache = decode_and_sample(
+                self.params,
+                self.cfg,
+                self.cache,
+                self.next_token,
+                active,
+                sub,
+                self.temps,
+            )
+            self.next_token = toks_dev
+            try:
+                toks_dev.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - older jax
+                pass
+            self._inflight.append(
+                (toks_dev, [r.uid if r else None for r in self.slots])
+            )
+            self.steps += 1
+
+        finished: List[Request] = []
+        while self._inflight and (
+            len(self._inflight) > self.harvest_lag or not active_reqs
+        ):
+            finished.extend(self._harvest_one())
         return finished
 
     def run(self) -> Dict[int, List[int]]:
