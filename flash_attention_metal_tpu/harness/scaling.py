@@ -39,6 +39,15 @@ def run_scaling(
     if shard_counts is None:
         shard_counts = [c for c in (1, 2, 4, 8, 16) if c <= n_dev]
 
+    on_tpu = jax.default_backend() == "tpu"
+    iters = 10
+    if not on_tpu:
+        # CPU virtual mesh runs the kernels in interpreter mode: shrink
+        # the problem so this stays a functional smoke, not an hour-long
+        # interpreted crawl.
+        n_global = min(n_global, 1024)
+        iters = 2
+
     q, k, v = make_qkv(
         jax.random.PRNGKey(0), (1, heads, n_global, head_dim), dtype=jnp.bfloat16
     )
@@ -47,7 +56,7 @@ def run_scaling(
     for c in shard_counts:
         mesh = make_mesh((1, 1, c), devices=jax.devices()[:c])
         ring = make_ring_attention(mesh, "sp", causal=causal)
-        r = measure_compiled(ring, (q, k, v), iters=10)
+        r = measure_compiled(ring, (q, k, v), iters=iters)
         tokens_per_s = n_global / r["median_s"]
         if base_tps is None:
             base_tps = tokens_per_s

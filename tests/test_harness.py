@@ -70,3 +70,26 @@ def test_svg_handles_nan():
         [128, 256], {"a": [1.0, math.nan]}, title="t", y_label="y"
     )
     assert "NaN" not in svg.split("polyline")[1].split("/>")[0]
+
+
+def test_train_bench_flops_model():
+    from flash_attention_metal_tpu.harness.train_bench import (
+        model_flops_per_token,
+    )
+    from flash_attention_metal_tpu.models import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=1024,
+        d_model=256,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=64,
+        d_ff=512,
+        max_seq_len=512,
+    )
+    f = model_flops_per_token(cfg, seq=512)
+    # 6x matmul params dominates at tiny seq; sanity-bound the model.
+    params = 2 * (256 * 64 * 8 + 4 * 64 * 256 + 3 * 256 * 512) + 1024 * 256
+    assert f > 6 * params
+    assert f < 12 * params + 7 * 2 * 4 * 64 * 512
