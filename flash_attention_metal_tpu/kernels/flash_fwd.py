@@ -347,7 +347,17 @@ def _fwd_kernel_lean(
 
 
 def _fwd_lean(
-    q, k, v, *, sm_scale, causal, q_offset, block_q, save_lse, interpret
+    q,
+    k,
+    v,
+    *,
+    sm_scale,
+    causal,
+    q_offset,
+    block_q,
+    save_lse,
+    kv_group,
+    interpret,
 ):
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -387,8 +397,12 @@ def _fwd_lean(
         grid=(batch, heads, n_q // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, n_kv, head_dim), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, n_kv, head_dim), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, n_kv, head_dim), lambda b, h, i: (b, h // kv_group, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, n_kv, head_dim), lambda b, h, i: (b, h // kv_group, 0, 0)
+            ),
         ],
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
@@ -459,6 +473,16 @@ def flash_attention_fwd(
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
+    kv_heads = k.shape[1]
+    if heads % kv_heads:
+        raise ValueError(
+            f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
+        )
+    # Native GQA/MQA: the KV index maps send q-head h to kv-head
+    # h // group; consecutive q-heads of a group reference identical KV
+    # blocks, so their DMAs are elided by the pipeline — no materialized
+    # head broadcast anywhere.
+    kv_group = heads // kv_heads
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
@@ -489,6 +513,7 @@ def flash_attention_fwd(
             q_offset=n_kv - n_q if q_offset is None else int(q_offset),
             block_q=block_q,
             save_lse=save_lse,
+            kv_group=kv_group,
             interpret=interpret,
         )
 
@@ -551,11 +576,11 @@ def flash_attention_fwd(
         def kv_block_map(b, h, i, j, off_ref):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k_major
             j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv_major - 1)
-            return (b, h, j_eff, 0)
+            return (b, h // kv_group, j_eff, 0)
 
     else:
         def kv_block_map(b, h, i, j, *_):
-            return (b, h, j, 0)
+            return (b, h // kv_group, j, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

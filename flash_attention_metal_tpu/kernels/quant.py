@@ -116,6 +116,7 @@ def dequantize_kv(qkv: QuantizedKV, dtype=jnp.bfloat16):
 
 
 def _quant_fwd_kernel(
+    off_ref,
     q_ref,
     kq_ref,
     vq_ref,
@@ -146,7 +147,10 @@ def _quant_fwd_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     if causal:
-        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+        q_offset = off_ref[pl.program_id(0)]
+        should_run = (
+            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_k
+        )
     else:
         should_run = True
 
@@ -174,6 +178,7 @@ def _quant_fwd_kernel(
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 + q_idx * block_q
+                + q_offset
             )
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -225,6 +230,7 @@ def _quant_fwd_kernel(
 def flash_attention_quant(
     q: jax.Array,
     qkv: QuantizedKV,
+    q_offset=None,
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
@@ -236,9 +242,20 @@ def flash_attention_quant(
 
     ``q``: ``[B, H, N_q, D]`` bf16/fp16/fp32; returns ``o`` (and the
     lane-replicated LSE when requested, like ``flash_attention_fwd``).
+    ``q_offset``: optional per-batch int32 causal offset, same semantics
+    as ``flash_attention_fwd`` (ragged continuous-batching decode against
+    a quantized cache rides this).
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = qkv.seq_len
+    kv_heads = qkv.k_q.shape[1]
+    if heads % kv_heads:
+        raise ValueError(
+            f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
+        )
+    # Native GQA: KV/scale index maps fold the head group (flash_fwd
+    # analog) -- no materialized broadcast of the 8-bit cache.
+    kv_group = heads // kv_heads
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
@@ -250,6 +267,11 @@ def flash_attention_quant(
     num_kv = n_kv // block_k
     grid = (batch, heads, n_q // block_q, num_kv)
     scale_rows = block_k // NUM_LANES
+
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
     kernel = functools.partial(
         _quant_fwd_kernel,
@@ -263,12 +285,16 @@ def flash_attention_quant(
     bound = kernel
     if not save_lse:
 
-        def kernel(q_r, kq_r, vq_r, ks_r, vs_r, o_r, m_s, l_s, acc_s):
-            return bound(q_r, kq_r, vq_r, ks_r, vs_r, o_r, None, m_s, l_s, acc_s)
+        def kernel(off_r, q_r, kq_r, vq_r, ks_r, vs_r, o_r, m_s, l_s, acc_s):
+            return bound(
+                off_r, q_r, kq_r, vq_r, ks_r, vs_r, o_r, None, m_s, l_s, acc_s
+            )
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0))
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+        )
     ]
     if save_lse:
         out_shapes.append(
@@ -276,41 +302,46 @@ def flash_attention_quant(
         )
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, block_q, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)
+                (1, 1, block_q, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)
             )
         )
 
     if causal:
         # Above-diagonal steps re-reference the diagonal block so their
         # HBM->VMEM DMAs are elided (flash_fwd clamp analog).
-        def kv_map(b, h, i, j):
-            diag = ((i + 1) * block_q - 1) // block_k
-            return (b, h, jnp.clip(jnp.minimum(j, diag), 0, num_kv - 1), 0)
+        def kv_map(b, h, i, j, off_ref):
+            diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k
+            j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv - 1)
+            return (b, h // kv_group, j_eff, 0)
 
     else:
-        def kv_map(b, h, i, j):
-            return (b, h, j, 0)
+        def kv_map(b, h, i, j, *_):
+            return (b, h // kv_group, j, 0)
 
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     results = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
-            ),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
-            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
-            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
-        ],
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, head_dim),
+                    lambda b, h, i, j, *_: (b, h, i, 0),
+                ),
+                pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+                pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+                pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
+                pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=32 * 1024 * 1024,
@@ -327,7 +358,7 @@ def flash_attention_quant(
             transcendentals=batch * heads * n_q * n_kv // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale)
+    )(q_offset, q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale)
 
     if save_lse:
         return results[0], results[1]

@@ -70,10 +70,16 @@ def _flash_fwd_rule(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret)
 
 def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
     q, k, v, q_offset, o, lse_lanes = residuals
+    # The forward runs GQA natively (KV index maps fold the head group);
+    # the FA-2 backward kernels want equal head counts, so broadcast here
+    # and group-reduce the KV grads afterwards.
+    h_q, h_kv = q.shape[1], k.shape[1]
+    reps = h_q // h_kv
+    kb, vb = _broadcast_kv_heads(q, k, v)
     dq, dk, dv = flash_attention_bwd(
         q,
-        k,
-        v,
+        kb,
+        vb,
         o,
         do,
         lse_lanes,
@@ -83,6 +89,10 @@ def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
         block_sizes=block_sizes,
         interpret=interpret,
     )
+    if reps > 1:
+        b, _, n, d = dk.shape
+        dk = dk.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(v.dtype)
     # Integer offsets get a float0 cotangent.
     d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
     return dq, dk, dv, d_off
@@ -141,7 +151,11 @@ def flash_attention(
         raise ValueError(f"expected [B, H, N, D] inputs, got {q.shape}")
     if sm_scale is None:
         sm_scale = default_scale(q.shape[-1])
-    k, v = _broadcast_kv_heads(q, k, v)
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(
+            f"q heads ({q.shape[1]}) must be a multiple of kv heads "
+            f"({k.shape[1]})"
+        )
     if q_offset is None:
         q_offset = k.shape[2] - q.shape[2]
     q_offset = jnp.asarray(q_offset, jnp.int32)
@@ -152,6 +166,7 @@ def flash_attention(
         interpret = _use_interpret()
 
     if impl == "xla":
+        k, v = _broadcast_kv_heads(q, k, v)
         if save_lse:
             return attention_reference_with_lse(
                 q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset

@@ -24,8 +24,15 @@ from ..models.transformer import (
     rms_norm,
     rope,
 )
+from ..kernels.quant import QuantizedKV, flash_attention_quant
 from ..ops.attention import flash_attention
-from .kv_cache import KVCache, append_tokens, bump_lengths
+from .kv_cache import (
+    KVCache,
+    QuantKVCache,
+    append_tokens,
+    append_tokens_quant,
+    bump_lengths,
+)
 
 
 def _attn_with_cache(
@@ -46,19 +53,43 @@ def _attn_with_cache(
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
-    cache = append_tokens(cache, layer_idx, k, v)
     # Valid cache length for masking is the OLD length + t_new; query row r
     # (0-based within the new tokens) sits at global position length + r,
     # so the causal offset is exactly the old length.
-    o = flash_attention(
-        q,
-        cache.k[layer_idx],
-        cache.v[layer_idx],
-        q_offset=cache.lengths,
-        causal=True,
-        block_sizes=cfg.block_sizes,
-        impl=cfg.attn_impl,
-    )
+    if isinstance(cache, QuantKVCache):
+        # 8-bit cache path: tokens were quantized at append; attention
+        # reads 8-bit KV + per-token scales (``kernels/quant.py``).
+        cache = append_tokens_quant(cache, layer_idx, k, v)
+        n_cache = cache.max_len
+
+        qkv_q = QuantizedKV(
+            k_q=cache.k_q[layer_idx],
+            v_q=cache.v_q[layer_idx],
+            k_scale=cache.k_scale[layer_idx].reshape(
+                x.shape[0], cfg.n_kv_heads, n_cache // 128, 128
+            ),
+            v_scale=cache.v_scale[layer_idx].reshape(
+                x.shape[0], cfg.n_kv_heads, n_cache // 128, 128
+            ),
+        )
+        o = flash_attention_quant(
+            q,
+            qkv_q,
+            cache.lengths,
+            causal=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        cache = append_tokens(cache, layer_idx, k, v)
+        o = flash_attention(
+            q,
+            cache.k[layer_idx],
+            cache.v[layer_idx],
+            q_offset=cache.lengths,
+            causal=True,
+            block_sizes=cfg.block_sizes,
+            impl=cfg.attn_impl,
+        )
     out = _merge_heads(o) @ layer["wo"].astype(dt)
     return x + out, cache
 
@@ -110,11 +141,15 @@ def prefill_slot(
     positions = jnp.arange(n_pad)[None, :]
     x = params["embed"][tokens[None, :]].astype(cfg.dtype)
 
-    slot_cache = KVCache(
-        k=cache.k[:, slot : slot + 1],
-        v=cache.v[:, slot : slot + 1],
-        lengths=cache.lengths[slot : slot + 1] * 0,
-    )
+    # Slot view / write-back work generically over both cache classes
+    # (dense KVCache and QuantKVCache): rank-1 leaves are the per-slot
+    # lengths, everything else is [n_layers, B, ...].
+    def view(leaf):
+        if leaf.ndim == 1:
+            return leaf[slot : slot + 1] * 0
+        return leaf[:, slot : slot + 1]
+
+    slot_cache = jax.tree_util.tree_map(view, cache)
     for i, layer in enumerate(params["layers"]):
         x, slot_cache = _attn_with_cache(
             layer, x, cfg, slot_cache, i, positions
@@ -123,11 +158,12 @@ def prefill_slot(
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
 
-    new_cache = KVCache(
-        k=cache.k.at[:, slot : slot + 1].set(slot_cache.k),
-        v=cache.v.at[:, slot : slot + 1].set(slot_cache.v),
-        lengths=cache.lengths.at[slot].set(prompt_len.astype(jnp.int32)),
-    )
+    def write(buf, new):
+        if buf.ndim == 1:
+            return buf.at[slot].set(prompt_len.astype(jnp.int32))
+        return buf.at[:, slot : slot + 1].set(new)
+
+    new_cache = jax.tree_util.tree_map(write, cache, slot_cache)
     last = logits[0, prompt_len - 1]
     return last, new_cache
 

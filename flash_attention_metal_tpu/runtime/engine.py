@@ -20,7 +20,7 @@ import numpy as np
 
 from ..models.transformer import ModelConfig, Params
 from .decode import decode_and_sample, prefill_slot, sample
-from .kv_cache import KVCache, init_cache, reset_slot
+from .kv_cache import KVCache, init_cache, init_quant_cache, reset_slot
 
 
 @dataclasses.dataclass
@@ -62,19 +62,33 @@ class DecodeEngine:
         eos_id: int = -1,
         seed: int = 0,
         harvest_lag: int = 16,
+        kv_quant: Optional[str] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.max_len = max_len
-        self.cache: KVCache = init_cache(
-            cfg.n_layers,
-            max_batch,
-            cfg.n_kv_heads,
-            max_len,
-            cfg.head_dim,
-            dtype=cfg.dtype,
-        )
+        if kv_quant:
+            # 8-bit KV cache (BASELINE config 5): int8 is the production
+            # format on v5e; "fp8" maps to e4m3 for chips with native fp8.
+            qdt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_quant]
+            self.cache = init_quant_cache(
+                cfg.n_layers,
+                max_batch,
+                cfg.n_kv_heads,
+                max_len,
+                cfg.head_dim,
+                dtype=qdt,
+            )
+        else:
+            self.cache = init_cache(
+                cfg.n_layers,
+                max_batch,
+                cfg.n_kv_heads,
+                max_len,
+                cfg.head_dim,
+                dtype=cfg.dtype,
+            )
         self.slots: List[Optional[Request]] = [None] * max_batch
         # Device-resident per-slot state: the decode chain never
         # round-trips tokens through the host.

@@ -84,17 +84,133 @@ def append_tokens(
     )
 
 
-def bump_lengths(cache: KVCache, n: int, mask: jax.Array) -> KVCache:
-    """Advance write heads by ``n`` for slots where ``mask`` is True."""
-    return KVCache(
-        k=cache.k,
-        v=cache.v,
+def bump_lengths(cache, n: int, mask: jax.Array):
+    """Advance write heads by ``n`` for slots where ``mask`` is True
+    (works for both dense and quantized caches)."""
+    return dataclasses.replace(
+        cache,
         lengths=cache.lengths + jnp.where(mask, n, 0).astype(jnp.int32),
     )
 
 
-def reset_slot(cache: KVCache, slot: int) -> KVCache:
+def reset_slot(cache, slot: int):
     """Free a slot for reuse (stale KV is masked out by lengths=0)."""
-    return KVCache(
-        k=cache.k, v=cache.v, lengths=cache.lengths.at[slot].set(0)
+    return dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(0)
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Quantized KV cache (BASELINE.json config 5: 8-bit KV + continuous batching)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantKVCache:
+    """8-bit per-slot KV cache with per-token absmax scales.
+
+    ``k_q/v_q``: ``[n_layers, B, H_kv, max_len, head_dim]`` int8/fp8;
+    ``k_scale/v_scale``: ``[n_layers, B, H_kv, max_len]`` fp32 (reshaped
+    to the kernel's lane-tiled layout at use); ``lengths``: ``[B]``.
+    Tokens are quantized once at append time — HBM holds 8-bit KV, halving
+    (vs bf16) the decode-dominant cache reads (``kernels/quant.py``).
+    """
+
+    k_q: jax.Array
+    v_q: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    lengths: jax.Array
+
+    def tree_flatten(self):
+        return (
+            self.k_q,
+            self.v_q,
+            self.k_scale,
+            self.v_scale,
+            self.lengths,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k_q.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k_q.shape[1]
+
+
+def init_quant_cache(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    max_len: int,
+    head_dim: int,
+    dtype=jnp.int8,
+) -> QuantKVCache:
+    if max_len % 128:
+        raise ValueError(f"max_len={max_len} must be a multiple of 128")
+    shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
+    sshape = shape[:-1]
+    return QuantKVCache(
+        k_q=jnp.zeros(shape, dtype),
+        v_q=jnp.zeros(shape, dtype),
+        # Scale 1.0 for unwritten slots keeps dequant of stale zeros at 0.
+        k_scale=jnp.ones(sshape, jnp.float32),
+        v_scale=jnp.ones(sshape, jnp.float32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def append_tokens_quant(
+    cache: QuantKVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> QuantKVCache:
+    """Quantize + insert ``[B, H_kv, T, D]`` keys/values at the write head.
+
+    Symmetric per-token absmax, matching ``kernels.quant.quantize_kv``.
+    Does NOT bump ``lengths`` (the caller bumps once after all layers).
+    """
+    from ..kernels.quant import _QMAX
+
+    qdtype = cache.k_q.dtype
+    qmax = _QMAX[jnp.dtype(qdtype)]
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / qmax
+        xf = x.astype(jnp.float32) / scale
+        if jnp.dtype(qdtype) == jnp.int8.dtype:
+            xq = jnp.clip(jnp.round(xf), -qmax, qmax).astype(qdtype)
+        else:
+            xq = xf.astype(qdtype)
+        return xq, scale[..., 0]  # [B, H, T]
+
+    kq_new, ks_new = quant(k_new)
+    vq_new, vs_new = quant(v_new)
+
+    def put(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
+
+    def put_s(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new, (0, start))
+
+    k_l = jax.vmap(put)(cache.k_q[layer], kq_new, cache.lengths)
+    v_l = jax.vmap(put)(cache.v_q[layer], vq_new, cache.lengths)
+    ks_l = jax.vmap(put_s)(cache.k_scale[layer], ks_new, cache.lengths)
+    vs_l = jax.vmap(put_s)(cache.v_scale[layer], vs_new, cache.lengths)
+    return dataclasses.replace(
+        cache,
+        k_q=cache.k_q.at[layer].set(k_l),
+        v_q=cache.v_q.at[layer].set(v_l),
+        k_scale=cache.k_scale.at[layer].set(ks_l),
+        v_scale=cache.v_scale.at[layer].set(vs_l),
     )

@@ -132,3 +132,61 @@ def test_engine_slot_reuse_isolation(params):
     eng2.submit(Request(uid=1, prompt=[1, 2, 3], max_new_tokens=4))
     out2 = eng2.run()
     assert out[1] == out2[1]
+
+
+def test_engine_quantized_kv_cache(params):
+    """int8-KV engine produces valid tokens and near-dense greedy output."""
+    eng_q = DecodeEngine(
+        params, CFG, max_batch=2, max_len=256, kv_quant="int8"
+    )
+    for uid in range(3):
+        eng_q.submit(
+            Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=5)
+        )
+    out_q = eng_q.run()
+    assert sorted(out_q.keys()) == [0, 1, 2]
+    for toks in out_q.values():
+        assert len(toks) == 5 and all(0 <= t < 256 for t in toks)
+
+    # Greedy decode usually survives 8-bit KV: require most tokens equal.
+    eng_d = DecodeEngine(params, CFG, max_batch=2, max_len=256)
+    for uid in range(3):
+        eng_d.submit(
+            Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=5)
+        )
+    out_d = eng_d.run()
+    same = sum(
+        t1 == t2
+        for uid in out_d
+        for t1, t2 in zip(out_d[uid], out_q[uid])
+    )
+    assert same >= 10  # of 15
+
+
+def test_quant_cache_prefill_decode_consistency(params):
+    """Quant-cache decode tracks the dense-cache decode logits closely."""
+    from flash_attention_metal_tpu.runtime import decode_step
+    from flash_attention_metal_tpu.runtime.kv_cache import init_quant_cache
+    from flash_attention_metal_tpu.runtime import prefill_slot
+
+    prompt = jnp.asarray([3, 1, 4, 1, 5, 9, 2, 6] * 4, jnp.int32)
+    padded = jnp.pad(prompt, (0, 128 - prompt.shape[0]))
+
+    dense = init_cache(
+        CFG.n_layers, 1, CFG.n_kv_heads, 256, CFG.head_dim, dtype=CFG.dtype
+    )
+    quant = init_quant_cache(
+        CFG.n_layers, 1, CFG.n_kv_heads, 256, CFG.head_dim
+    )
+    lg_d, dense = prefill_slot(
+        params, CFG, dense, padded, jnp.int32(prompt.shape[0]), 0
+    )
+    lg_q, quant = prefill_slot(
+        params, CFG, quant, padded, jnp.int32(prompt.shape[0]), 0
+    )
+    # Same argmax and close logits through an entire prefill.
+    assert int(jnp.argmax(lg_d)) == int(jnp.argmax(lg_q))
+    rel = float(
+        jnp.max(jnp.abs(lg_d - lg_q)) / (jnp.max(jnp.abs(lg_d)) + 1e-6)
+    )
+    assert rel < 0.15

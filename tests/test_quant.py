@@ -82,3 +82,31 @@ def test_quantized_kv_is_pytree(rng_key):
         jax.tree_util.tree_structure(qkv), leaves
     )
     assert isinstance(qkv2, QuantizedKV)
+
+
+def test_quant_ragged_offsets(rng_key):
+    """Per-batch traced q_offset against a quantized cache (decode path)."""
+    kq, kk, kv_ = jax.random.split(rng_key, 3)
+    n_q, n_kv = 128, 512
+    q = jax.random.uniform(kq, (2, 2, n_q, 64), jnp.float32, -1, 1).astype(
+        jnp.bfloat16
+    )
+    k = jax.random.uniform(kk, (2, 2, n_kv, 64), jnp.float32, -1, 1).astype(
+        jnp.bfloat16
+    )
+    v = jax.random.uniform(kv_, (2, 2, n_kv, 64), jnp.float32, -1, 1).astype(
+        jnp.bfloat16
+    )
+    offsets = jnp.asarray([64, 200], jnp.int32)
+    qkv = quantize_kv(k, v, dtype=jnp.int8)
+    got = flash_attention_quant(
+        q, qkv, offsets, causal=True, interpret=INTERPRET
+    )
+    kd, vd = dequantize_kv(qkv, jnp.float32)
+    want = attention_reference(
+        q.astype(jnp.float32), kd, vd, causal=True,
+        q_offset=offsets[:, None, None, None],
+    )
+    assert (
+        float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) < 1e-2
+    )
