@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.context import allgather_attention
+from ..parallel.ring import ring_flash_attention_diff
 from .transformer import (
     ModelConfig,
     Params,
@@ -73,7 +74,7 @@ def _replicated_axes(spec: P) -> Tuple[str, ...]:
     return tuple(a for a in AXES if a not in used)
 
 
-def _tp_attention(layer, x, cfg, positions, tp_size):
+def _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn):
     dt = cfg.dtype
     h_local = cfg.n_heads // tp_size
     hk_local = max(cfg.n_kv_heads // tp_size, 1)
@@ -85,17 +86,24 @@ def _tp_attention(layer, x, cfg, positions, tp_size):
     v = _split_heads(h @ layer["wv"].astype(dt), hk_local, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
-    # Sequence-parallel attention on local heads: all-gather KV over sp,
-    # per-shard causal offset handled inside.
-    o = allgather_attention(
-        q,
-        k,
-        v,
-        axis_name="sp",
-        causal=True,
-        block_sizes=cfg.block_sizes,
-        impl=cfg.attn_impl,
-    )
+    if sp_attn == "ring":
+        # Sequence-parallel attention via the reverse-ring custom VJP:
+        # KV (and dK/dV in the backward) rotate over ICI instead of an
+        # all-gather -- peak memory O(n_local) instead of O(n_global).
+        o = ring_flash_attention_diff(
+            q, k, v, "sp", sp_size, True, None, cfg.block_sizes, None
+        )
+    else:
+        # All-gather KV over sp, per-shard causal offset handled inside.
+        o = allgather_attention(
+            q,
+            k,
+            v,
+            axis_name="sp",
+            causal=True,
+            block_sizes=cfg.block_sizes,
+            impl=cfg.attn_impl,
+        )
     out_partial = _merge_heads(o) @ layer["wo"].astype(dt)
     out = jax.lax.psum(out_partial, "tp")
     return x + out
@@ -110,9 +118,10 @@ def _tp_mlp(layer, x, cfg):
     return x + jax.lax.psum(down_partial, "tp")
 
 
-def _sharded_loss(params, tokens, cfg: ModelConfig, tp_size: int):
+def _sharded_loss(
+    params, tokens, cfg: ModelConfig, tp_size: int, sp_size: int, sp_attn: str
+):
     """Per-shard forward + vocab/sequence-sharded cross entropy."""
-    sp_size = jax.lax.psum(1, "sp")
     sp_idx = jax.lax.axis_index("sp")
     n_loc = tokens.shape[1]
     positions = sp_idx * n_loc + jnp.broadcast_to(
@@ -122,7 +131,7 @@ def _sharded_loss(params, tokens, cfg: ModelConfig, tp_size: int):
     x = params["embed"][tokens].astype(cfg.dtype)
 
     def block(x, layer):
-        x = _tp_attention(layer, x, cfg, positions, tp_size)
+        x = _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn)
         return _tp_mlp(layer, x, cfg)
 
     block = jax.checkpoint(block)
@@ -166,7 +175,9 @@ def _sharded_loss(params, tokens, cfg: ModelConfig, tp_size: int):
     return total / count
 
 
-def make_train_step(mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2):
+def make_train_step(
+    mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2, sp_attn: str = "allgather"
+):
     """jit(shard_map(...)) training step over a (dp, tp, sp) mesh.
 
     Returns ``step(params, tokens) -> (params, loss)`` where ``tokens`` is
@@ -174,12 +185,13 @@ def make_train_step(mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2):
     follow ``param_specs``.
     """
     tp_size = mesh.shape["tp"]
+    sp_size = mesh.shape["sp"]
     p_specs = param_specs(cfg)
     data_spec = P("dp", "sp")
 
     def step(params, tokens):
         loss, grads = jax.value_and_grad(
-            lambda p: _sharded_loss(p, tokens, cfg, tp_size)
+            lambda p: _sharded_loss(p, tokens, cfg, tp_size, sp_size, sp_attn)
         )(params)
         # Gradients for replicated params must be summed over the axes the
         # param does not use; sharded params already received their full

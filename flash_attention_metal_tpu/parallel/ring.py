@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from ..config import BlockSizes
+from ..config import NUM_LANES, BlockSizes
+from ..kernels.flash_bwd import flash_attention_bwd
 from ..kernels.flash_fwd import flash_attention_fwd
 from ..reference.oracle import attention_reference_with_lse
 
@@ -144,6 +145,118 @@ def ring_flash_attention(
     return o
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def ring_flash_attention_diff(
+    q,
+    k,
+    v,
+    axis_name: str,
+    axis_size: int,
+    causal: bool,
+    sm_scale: Optional[float],
+    block_sizes: Optional[BlockSizes],
+    interpret: Optional[bool],
+):
+    """Differentiable ring attention (call inside ``shard_map``).
+
+    Forward is ``ring_flash_attention``; backward is a *reverse ring*:
+    KV shards rotate around the ring a second time together with their
+    fp32 dK/dV accumulators, each device folding in the FA-2 backward
+    partial for (local Q x visiting KV), and after a full cycle every
+    dK/dV lands back on its home device — no all-gather, comm volume
+    2x the forward ring (dK and dV ride along), overlapped with the
+    backward kernels the same way the forward overlaps ``ppermute``.
+    """
+    return ring_flash_attention(
+        q,
+        k,
+        v,
+        axis_name=axis_name,
+        axis_size=axis_size,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+
+
+def _ring_diff_fwd(
+    q, k, v, axis_name, axis_size, causal, sm_scale, block_sizes, interpret
+):
+    o, lse = ring_flash_attention(
+        q,
+        k,
+        v,
+        axis_name=axis_name,
+        axis_size=axis_size,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_sizes=block_sizes,
+        save_lse=True,
+        interpret=interpret,
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _ring_diff_bwd(
+    axis_name, axis_size, causal, sm_scale, block_sizes, interpret, res, do
+):
+    q, k, v, o, lse = res
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_loc = q.shape[2]
+    my = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    # The local LSE (already merged over the whole ring) reconstructs
+    # P = exp(S - L) exactly on every ring step, so per-step partials are
+    # true slices of the global gradient (``flash_bwd`` recompute trick,
+    # ``kernels.metal:1081-1089``, lifted across devices).
+    lse_lanes = jnp.broadcast_to(
+        lse[..., None].astype(jnp.float32), (*lse.shape, NUM_LANES)
+    )
+
+    dq_acc = jnp.zeros(q.shape, jnp.float32)
+    kb, vb = k, v
+    dkb = jnp.zeros(k.shape, jnp.float32)
+    dvb = jnp.zeros(v.shape, jnp.float32)
+    for step in range(axis_size):
+        src = (my - step) % axis_size
+        offset = (my - src) * n_loc
+        dq_i, dk_i, dv_i = flash_attention_bwd(
+            q,
+            kb.astype(q.dtype),
+            vb.astype(q.dtype),
+            o,
+            do.astype(q.dtype),
+            lse_lanes,
+            offset,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_sizes=block_sizes,
+            interpret=interpret,
+        )
+        dq_acc = dq_acc + dq_i.astype(jnp.float32)
+        dkb = dkb + dk_i.astype(jnp.float32)
+        dvb = dvb + dv_i.astype(jnp.float32)
+        # Rotate the KV shard together with its gradient accumulators;
+        # after axis_size single-step rotations everything is home.  The
+        # last step only needs the accumulators to travel.
+        if step < axis_size - 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+        dkb = jax.lax.ppermute(dkb, axis_name, perm)
+        dvb = jax.lax.ppermute(dvb, axis_name, perm)
+
+    return (
+        dq_acc.astype(q.dtype),
+        dkb.astype(k.dtype),
+        dvb.astype(v.dtype),
+    )
+
+
+ring_flash_attention_diff.defvjp(_ring_diff_fwd, _ring_diff_bwd)
+
+
 def make_ring_attention(
     mesh: Mesh,
     axis_name: str = "sp",
@@ -152,12 +265,15 @@ def make_ring_attention(
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     impl: str = "pallas",
+    differentiable: bool = False,
 ):
     """shard_map-wrapped ring attention over ``mesh``'s ``axis_name``.
 
     Returns a function of global ``[B, H, N, D]`` arrays whose sequence
     dim is sharded over ``axis_name``; batch/head dims follow the mesh's
-    remaining axes only if the caller shards them separately.
+    remaining axes only if the caller shards them separately.  With
+    ``differentiable=True`` the returned function carries the
+    reverse-ring custom VJP (``ring_flash_attention_diff``).
     """
     axis_size = mesh.shape[axis_name]
     spec = PartitionSpec(None, None, axis_name, None)
@@ -171,6 +287,11 @@ def make_ring_attention(
         check_vma=False,
     )
     def ring(q, k, v):
+        if differentiable:
+            return ring_flash_attention_diff(
+                q, k, v, axis_name, axis_size, causal, sm_scale, block_sizes,
+                None,
+            )
         return ring_flash_attention(
             q,
             k,
