@@ -55,6 +55,7 @@ def _dkv_kernel(
     block_q: int,
     block_kv: int,
     num_q_blocks: int,
+    window,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
@@ -71,6 +72,12 @@ def _dkv_kernel(
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
         )
+        if window is not None:
+            # ...and the block's last column is inside some row's window.
+            should_run &= (
+                (kv_idx + 1) * block_kv - 1
+                >= q_idx * block_q + q_offset - window + 1
+            )
     else:
         should_run = True
 
@@ -104,7 +111,10 @@ def _dkv_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
                 + kv_idx * block_kv
             )
-            p = jnp.where(col <= row, p, 0.0)
+            visible = col <= row
+            if window is not None:
+                visible &= col > row - window
+            p = jnp.where(visible, p, 0.0)
 
         # dV += P^T dO  (``kernels.metal:1101-1126``, minus the transposes —
         # the MXU contracts either operand dimension natively).
@@ -156,6 +166,7 @@ def _dq_kernel(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    window,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -169,6 +180,11 @@ def _dq_kernel(
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
         )
+        if window is not None:
+            should_run &= (
+                (kv_idx + 1) * block_kv - 1
+                >= q_idx * block_q + q_offset - window + 1
+            )
     else:
         should_run = True
 
@@ -200,7 +216,10 @@ def _dq_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
                 + kv_idx * block_kv
             )
-            p = jnp.where(col <= row, p, 0.0)
+            visible = col <= row
+            if window is not None:
+                visible &= col > row - window
+            p = jnp.where(visible, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -225,7 +244,7 @@ def _dq_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "block_sizes", "interpret"),
+    static_argnames=("sm_scale", "causal", "window", "block_sizes", "interpret"),
 )
 def flash_attention_bwd(
     q: jax.Array,
@@ -238,6 +257,7 @@ def flash_attention_bwd(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
+    window: Optional[int] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -256,6 +276,10 @@ def flash_attention_bwd(
         q_offset = n_kv - n_q
     q_offset = jnp.asarray(q_offset, jnp.int32)
     q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
 
     # delta_i = sum(dO * O) per row (``kernels.metal:982-990``), precomputed
     # once and shared by both kernels; lane-replicated like the LSE.
@@ -279,7 +303,13 @@ def flash_attention_bwd(
         # the forward's KV clamp).  i_min = floor((j*bkv - off) / bq).
         def q_block_map(b, h, j, i, off_ref):
             i_min = (j * bkv - off_ref[b]) // bq
-            i_eff = jnp.clip(jnp.maximum(i, i_min), 0, num_q_blocks - 1)
+            i_eff = jnp.maximum(i, i_min)
+            if window is not None:
+                # Q blocks whose windows have slid past this KV block
+                # re-map to the last contributing Q block (DMA elided).
+                i_max = ((j + 1) * bkv + window - off_ref[b] - 2) // bq
+                i_eff = jnp.minimum(i_eff, i_max)
+            i_eff = jnp.clip(i_eff, 0, num_q_blocks - 1)
             return (b, h, i_eff, 0)
 
     else:
@@ -298,6 +328,7 @@ def flash_attention_bwd(
             block_q=bq,
             block_kv=bkv,
             num_q_blocks=num_q_blocks,
+            window=window,
         ),
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -349,7 +380,11 @@ def flash_attention_bwd(
         # the diagonal block so their K/V DMAs are elided.
         def kv_block_map(b, h, i, j, off_ref):
             diag = ((i + 1) * bq - 1 + off_ref[b]) // bkv
-            j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv_blocks - 1)
+            j_eff = jnp.minimum(j, diag)
+            if window is not None:
+                j_min = (i * bq + off_ref[b] - window + 1) // bkv
+                j_eff = jnp.maximum(j_eff, j_min)
+            j_eff = jnp.clip(j_eff, 0, num_kv_blocks - 1)
             return (b, h, j_eff, 0)
 
     else:
@@ -364,6 +399,7 @@ def flash_attention_bwd(
             block_q=bq,
             block_kv=bkv,
             num_kv_blocks=num_kv_blocks,
+            window=window,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(

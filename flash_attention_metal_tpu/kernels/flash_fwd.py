@@ -96,6 +96,7 @@ def _fwd_kernel(
     num_kv_major: int,
     save_lse: bool,
     lazy_softmax: bool,
+    window,
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
@@ -122,7 +123,11 @@ def _fwd_kernel(
             + kv_major * block_k_major
             + start
         )
-        return jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+        visible = col <= row
+        if window is not None:
+            # Sliding window: only the last ``window`` visible keys count.
+            visible &= col > row - window
+        return jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
     def _scaled_q():
         # Fold sm_scale AND log2(e) into Q once per tile: (bq, D) elements
@@ -189,6 +194,12 @@ def _fwd_kernel(
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_major * block_k_major
         )
+        if window is not None:
+            # ...and its last column is inside the first row's window.
+            should_run &= (
+                (kv_major + 1) * block_k_major - 1
+                >= q_idx * block_q + q_offset - window + 1
+            )
     else:
         should_run = True
 
@@ -426,6 +437,7 @@ def _fwd_lean(
     static_argnames=(
         "sm_scale",
         "causal",
+        "window",
         "block_sizes",
         "save_lse",
         "lazy_softmax",
@@ -440,6 +452,7 @@ def flash_attention_fwd(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
+    window: Optional[int] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
@@ -453,6 +466,12 @@ def flash_attention_fwd(
     ``n_kv - n_q`` (end-aligned).  May be traced (e.g. derived from
     ``jax.lax.axis_index`` under ``shard_map``, or from per-sequence KV
     lengths in continuous-batching decode).
+
+    ``window``: with ``causal``, each query row attends only to the last
+    ``window`` visible keys (sliding-window / local attention — the
+    long-context serving pattern).  Out-of-window KV blocks are skipped
+    AND their DMAs elided, so compute and bandwidth scale with
+    ``window``, not ``n_kv``.
 
     ``lazy_softmax`` (default True): exponentiate each KV block against
     the previous block's base (starting from base 0) so the max-reduce
@@ -497,9 +516,17 @@ def flash_attention_fwd(
         )
     num_kv_major = n_kv // block_k_major
 
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+
     if (
         num_kv_major == 1
         and block_k_major == block_k
+        and window is None
         and (q_offset is None or isinstance(q_offset, int))
     ):
         # Whole KV fits one block and the causal offset is static: take the
@@ -534,6 +561,7 @@ def flash_attention_fwd(
         num_kv_major=num_kv_major,
         save_lse=save_lse,
         lazy_softmax=lazy_softmax,
+        window=window,
     )
     if save_lse:
         kernel = bound
@@ -575,7 +603,15 @@ def flash_attention_fwd(
         # offsets (ring shards, ragged decode).
         def kv_block_map(b, h, i, j, off_ref):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k_major
-            j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv_major - 1)
+            j_eff = jnp.minimum(j, diag)
+            if window is not None:
+                # Blocks entirely below the sliding window re-map to the
+                # first in-window block (DMA elided like the diagonal clamp).
+                j_min = (
+                    i * block_q + off_ref[b] - window + 1
+                ) // block_k_major
+                j_eff = jnp.maximum(j_eff, j_min)
+            j_eff = jnp.clip(j_eff, 0, num_kv_major - 1)
             return (b, h // kv_group, j_eff, 0)
 
     else:

@@ -37,7 +37,14 @@ from .flash_fwd import flash_attention_fwd
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "block_sizes", "save_lse", "interpret"),
+    static_argnames=(
+        "sm_scale",
+        "causal",
+        "window",
+        "block_sizes",
+        "save_lse",
+        "interpret",
+    ),
 )
 def flash_attention_mxu(
     q: jax.Array,
@@ -46,6 +53,7 @@ def flash_attention_mxu(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
+    window: Optional[int] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     interpret: bool = False,
@@ -61,6 +69,7 @@ def flash_attention_mxu(
         v,
         sm_scale=sm_scale,
         causal=causal,
+        window=window,
         block_sizes=block_sizes,
         save_lse=save_lse,
         interpret=interpret,

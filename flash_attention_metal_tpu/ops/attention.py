@@ -38,8 +38,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret):
     return flash_attention_fwd(
         q,
         k,
@@ -47,13 +47,16 @@ def _flash(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret):
         q_offset,
         sm_scale=sm_scale,
         causal=causal,
+        window=window,
         block_sizes=block_sizes,
         save_lse=False,
         interpret=interpret,
     )
 
 
-def _flash_fwd_rule(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret):
+def _flash_fwd_rule(
+    q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret
+):
     o, lse_lanes = flash_attention_fwd(
         q,
         k,
@@ -61,6 +64,7 @@ def _flash_fwd_rule(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret)
         q_offset,
         sm_scale=sm_scale,
         causal=causal,
+        window=window,
         block_sizes=block_sizes,
         save_lse=True,
         interpret=interpret,
@@ -68,7 +72,9 @@ def _flash_fwd_rule(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret)
     return o, (q, k, v, q_offset, o, lse_lanes)
 
 
-def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
+def _flash_bwd_rule(
+    causal, window, sm_scale, block_sizes, interpret, residuals, do
+):
     q, k, v, q_offset, o, lse_lanes = residuals
     # The forward runs GQA natively (KV index maps fold the head group);
     # the FA-2 backward kernels want equal head counts, so broadcast here
@@ -86,6 +92,7 @@ def _flash_bwd_rule(causal, sm_scale, block_sizes, interpret, residuals, do):
         q_offset,
         sm_scale=sm_scale,
         causal=causal,
+        window=window,
         block_sizes=block_sizes,
         interpret=interpret,
     )
@@ -121,6 +128,7 @@ def flash_attention(
     q_offset: Optional[jax.Array] = None,
     *,
     causal: bool = False,
+    window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
@@ -137,6 +145,9 @@ def flash_attention(
         query row r attends to key cols c <= r + q_offset.  Defaults to
         ``n_kv - n_q`` (end-aligned diagonals).
       causal: apply causal masking.
+      window: with causal, restrict each row to its last ``window``
+        visible keys (sliding-window attention); out-of-window blocks are
+        skipped and their DMAs elided.
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
@@ -169,10 +180,22 @@ def flash_attention(
         k, v = _broadcast_kv_heads(q, k, v)
         if save_lse:
             return attention_reference_with_lse(
-                q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
+                q,
+                k,
+                v,
+                causal=causal,
+                sm_scale=sm_scale,
+                q_offset=q_offset,
+                window=window,
             )
         return attention_reference(
-            q, k, v, causal=causal, sm_scale=sm_scale, q_offset=q_offset
+            q,
+            k,
+            v,
+            causal=causal,
+            sm_scale=sm_scale,
+            q_offset=q_offset,
+            window=window,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
@@ -187,12 +210,15 @@ def flash_attention(
             q_offset,
             sm_scale=sm_scale,
             causal=causal,
+            window=window,
             block_sizes=block_sizes,
             save_lse=True,
             interpret=interpret,
         )
         return o, lse_lanes[..., 0]
-    return _flash(q, k, v, q_offset, causal, sm_scale, block_sizes, interpret)
+    return _flash(
+        q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret
+    )
 
 
 def mha(

@@ -34,8 +34,12 @@ def attention_reference(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     q_offset: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
+
+    ``window``: with ``causal``, restrict each row to the last ``window``
+    visible keys (sliding-window / local attention).
 
     Accepts ``[..., N_q, D]`` / ``[..., N_kv, D]`` (leading batch/head dims
     broadcast).  All math in fp32 regardless of input dtype; output cast back
@@ -60,6 +64,8 @@ def attention_reference(
         row = jnp.arange(n_q)[:, None] + off
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
+        if window is not None:
+            s = jnp.where(col > row - window, s, -jnp.inf)
     # Two-pass safe softmax, exactly the oracle's structure
     # (row max ``main.mm:131-137``, exp/sum ``main.mm:139-147``).
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -78,6 +84,7 @@ def attention_reference_with_lse(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     q_offset: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward oracle that also returns the logsumexp L = m + log(l).
 
@@ -97,6 +104,8 @@ def attention_reference_with_lse(
         row = jnp.arange(n_q)[:, None] + off
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
+        if window is not None:
+            s = jnp.where(col > row - window, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)

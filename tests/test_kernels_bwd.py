@@ -118,3 +118,32 @@ def test_gqa_forward_and_grad(rng_key):
     g = jax.grad(lambda k_: jnp.sum(flash_attention(q, k_, v, causal=True)))(k)
     assert g.shape == k.shape
     assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_sliding_window_grads(rng_key):
+    """Windowed-attention grads through the public op match the oracle."""
+    from flash_attention_metal_tpu.ops.attention import flash_attention
+    from flash_attention_metal_tpu.reference import attention_reference
+
+    n, w = 512, 160
+    q, k, v = make_qkv(rng_key, (1, 2, n, 64))
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(
+                q_, k_, v_, causal=True, window=w, block_sizes=bs,
+                interpret=INTERPRET,
+            )
+            ** 2
+        )
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(
+            attention_reference(q_, k_, v_, causal=True, window=w) ** 2
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        assert max_abs_diff(a, b) < 5e-3, name

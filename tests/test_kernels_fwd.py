@@ -196,3 +196,35 @@ def test_eager_softmax_all_negative_extreme(rng_key):
     )
     want = attention_reference(q, k, v)
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+@pytest.mark.parametrize("window", [64, 200, 512])
+def test_sliding_window_vs_oracle(rng_key, window):
+    n = 512
+    q, k, v = make_qkv(rng_key, (1, 2, n, 64))
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, causal=True, window=window, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(q, k, v, causal=True, window=window)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_sliding_window_with_offset(rng_key):
+    """Decode shape: short q against a long cache, windowed."""
+    kq, kk, kv2 = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (2, 2, 128, 64), jnp.float32, -1, 1)
+    k = jax.random.uniform(kk, (2, 2, 512, 64), jnp.float32, -1, 1)
+    v = jax.random.uniform(kv2, (2, 2, 512, 64), jnp.float32, -1, 1)
+    offsets = jnp.asarray([256, 380], jnp.int32)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, offsets, causal=True, window=100, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(
+        q, k, v, causal=True, window=100,
+        q_offset=offsets[:, None, None, None],
+    )
+    assert max_abs_diff(got, want) < TOL_FP32
