@@ -157,6 +157,28 @@ def run_ladder(
         oq = flash_attention_quant(qh, qkv_q, causal=True, interpret=interpret)
         rung(f"flash_quant {qname}-KV causal vs causal oracle", oq, oracle_c, qtol)
 
+    # Rung 9: native GQA (KV heads folded in the kernel index maps, no
+    # materialized broadcast) vs broadcast oracle.
+    from ..ops.attention import flash_attention
+
+    kg, vg = kh[:, :1], vh[:, :1]  # MQA: 1 KV head under `heads` Q heads
+    og = flash_attention(qh, kg, vg, causal=True, interpret=interpret)
+    oracle_g = attention_reference(
+        q,
+        jnp.broadcast_to(kg, k.shape).astype(jnp.float32),
+        jnp.broadcast_to(vg, v.shape).astype(jnp.float32),
+        causal=True,
+    )
+    rung("flash MQA (native head-fold) vs oracle", og, oracle_g, TOL_HALF)
+
+    # Rung 10: sliding-window attention vs windowed oracle.
+    w = max(n // 4, 128)
+    ow = flash_attention_fwd(
+        qh, kh, vh, causal=True, window=w, interpret=interpret
+    )
+    oracle_w = attention_reference(q, k, v, causal=True, window=w)
+    rung(f"flash sliding-window (W={w}) vs oracle", ow, oracle_w, TOL_HALF)
+
     return results
 
 

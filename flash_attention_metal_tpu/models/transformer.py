@@ -44,6 +44,8 @@ class ModelConfig:
     # Attention kernel configuration.
     block_sizes: Optional[BlockSizes] = None
     attn_impl: str = "auto"
+    # Sliding-window (local) attention; None = full causal.
+    attn_window: Optional[int] = None
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -154,6 +156,7 @@ def attention_block(
         v,
         q_offset=q_offset,
         causal=True,
+        window=cfg.attn_window,
         block_sizes=cfg.block_sizes,
         impl=cfg.attn_impl,
     )

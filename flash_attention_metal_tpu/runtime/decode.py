@@ -72,6 +72,10 @@ def _attn_with_cache(
                 x.shape[0], cfg.n_kv_heads, n_cache // 128, 128
             ),
         )
+        if cfg.attn_window is not None:
+            raise NotImplementedError(
+                "sliding window with a quantized cache is not wired yet"
+            )
         o = flash_attention_quant(
             q,
             qkv_q,
@@ -87,6 +91,7 @@ def _attn_with_cache(
             cache.v[layer_idx],
             q_offset=cache.lengths,
             causal=True,
+            window=cfg.attn_window,
             block_sizes=cfg.block_sizes,
             impl=cfg.attn_impl,
         )

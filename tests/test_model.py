@@ -43,6 +43,25 @@ def params():
     return init_params(jax.random.PRNGKey(0), CFG)
 
 
+CFG_WINDOW = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    head_dim=64,
+    d_ff=256,
+    max_seq_len=256,
+    dtype=jnp.float32,
+    attn_window=32,
+)
+
+
+@pytest.fixture(scope="module")
+def params_window():
+    return init_params(jax.random.PRNGKey(0), CFG_WINDOW)
+
+
 def test_forward_shapes_and_loss(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 0, 256)
     logits = forward(params, tokens, CFG)
@@ -190,3 +209,26 @@ def test_quant_cache_prefill_decode_consistency(params):
         jnp.max(jnp.abs(lg_d - lg_q)) / (jnp.max(jnp.abs(lg_d)) + 1e-6)
     )
     assert rel < 0.15
+
+
+def test_windowed_model_decode_matches_forward(params_window):
+    """Sliding-window model: decode == teacher-forced forward."""
+    from flash_attention_metal_tpu.models import forward
+
+    cfg = CFG_WINDOW
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 64), 0, 256)
+    logits_fwd = forward(params_window, tokens, cfg=cfg)
+
+    cache = init_cache(
+        cfg.n_layers, 1, cfg.n_kv_heads, 256, cfg.head_dim, dtype=cfg.dtype
+    )
+    padded = jnp.pad(tokens[0], (0, 128 - tokens.shape[1]))
+    lg, cache = prefill_slot(
+        params_window, cfg, cache, padded, jnp.int32(tokens.shape[1]), 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg),
+        np.asarray(logits_fwd[0, -1]),
+        atol=2e-2,
+        rtol=2e-2,
+    )
