@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 # Default head dim mirrors the reference's structural D=64 assumption
@@ -99,6 +100,26 @@ class BlockSizes:
             block_q_dq=min(b, q_len) if q_len >= NUM_LANES else NUM_LANES,
             block_kv_dq=min(b, kv_len) if kv_len >= NUM_LANES else NUM_LANES,
         )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SegmentIds:
+    """Packed-sequence segment ids for Q and KV (splash/flash convention).
+
+    Tokens attend only within equal ids.  ``q``: [B, N_q] int32;
+    ``kv``: [B, N_kv] int32.  Composes with causal/windowed masking.
+    """
+
+    q: "jax.Array"
+    kv: "jax.Array"
+
+    def tree_flatten(self):
+        return (self.q, self.kv), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 @dataclasses.dataclass(frozen=True)

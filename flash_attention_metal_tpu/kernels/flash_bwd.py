@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import BlockSizes, NUM_LANES, default_scale
+from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
 from ._common import mxu_precision
 
 
@@ -45,6 +45,8 @@ def _dkv_kernel(
     do_ref,
     lse_ref,
     delta_ref,
+    qseg_ref,
+    kvseg_ref,
     dk_ref,
     dv_ref,
     dk_acc,
@@ -115,6 +117,10 @@ def _dkv_kernel(
             if window is not None:
                 visible &= col > row - window
             p = jnp.where(visible, p, 0.0)
+        if qseg_ref is not None:
+            qs = jnp.tile(qseg_ref[0], (1, p.shape[1] // NUM_LANES))
+            ks = kvseg_ref[0, :1, :]
+            p = jnp.where(qs == ks, p, 0.0)
 
         # dV += P^T dO  (``kernels.metal:1101-1126``, minus the transposes —
         # the MXU contracts either operand dimension natively).
@@ -158,6 +164,8 @@ def _dq_kernel(
     do_ref,
     lse_ref,
     delta_ref,
+    qseg_ref,
+    kvseg_ref,
     dq_ref,
     dq_acc,
     *,
@@ -220,6 +228,10 @@ def _dq_kernel(
             if window is not None:
                 visible &= col > row - window
             p = jnp.where(visible, p, 0.0)
+        if qseg_ref is not None:
+            qs = jnp.tile(qseg_ref[0], (1, p.shape[1] // NUM_LANES))
+            ks = kvseg_ref[0, :1, :]
+            p = jnp.where(qs == ks, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -258,6 +270,7 @@ def flash_attention_bwd(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     window: Optional[int] = None,
+    segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -280,6 +293,19 @@ def flash_attention_bwd(
         if not causal:
             raise ValueError("window requires causal=True")
         window = int(window)
+
+    has_seg = segment_ids is not None
+    if has_seg:
+        qseg = jax.lax.broadcast_in_dim(
+            segment_ids.q.astype(jnp.int32),
+            (batch, n_q, NUM_LANES),
+            (0, 1),
+        )
+        kvseg = jax.lax.broadcast_in_dim(
+            segment_ids.kv.astype(jnp.int32),
+            (batch, NUM_SUBLANES, n_kv),
+            (0, 2),
+        )
 
     # delta_i = sum(dO * O) per row (``kernels.metal:982-990``), precomputed
     # once and shared by both kernels; lane-replicated like the LSE.
@@ -320,16 +346,49 @@ def flash_attention_bwd(
         return pl.BlockSpec((1, 1, bq, NUM_LANES), q_block_map)
 
     dkv_grid = (batch, heads, n_kv // bkv, num_q_blocks)
+    dkv_bound = functools.partial(
+        _dkv_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=bq,
+        block_kv=bkv,
+        num_q_blocks=num_q_blocks,
+        window=window,
+    )
+    if has_seg:
+        dkv_kernel = dkv_bound
+    else:
+        def dkv_kernel(off_r, q_r, k_r, v_r, do_r, lse_r, d_r, *rest):
+            return dkv_bound(
+                off_r, q_r, k_r, v_r, do_r, lse_r, d_r, None, None, *rest
+            )
+
+    dkv_in_specs = [
+        pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
+        lanes_spec(bq),
+        lanes_spec(bq),
+    ]
+    dkv_inputs = [q, k, v, do, lse_lanes, delta_lanes]
+    if has_seg:
+        def dkv_qseg_map(b, h, j, i, *args):
+            bb, hh, ii, _ = q_block_map(b, h, j, i, *args)
+            return (bb, ii, 0)
+
+        dkv_in_specs.append(
+            pl.BlockSpec((1, bq, NUM_LANES), dkv_qseg_map)
+        )
+        dkv_in_specs.append(
+            pl.BlockSpec(
+                (1, NUM_SUBLANES, bkv), lambda b, h, j, i, *_: (b, 0, j)
+            )
+        )
+        dkv_inputs += [qseg, kvseg]
+
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel,
-            sm_scale=sm_scale,
-            causal=causal,
-            block_q=bq,
-            block_kv=bkv,
-            num_q_blocks=num_q_blocks,
-            window=window,
-        ),
+        dkv_kernel,
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -337,14 +396,7 @@ def flash_attention_bwd(
         grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=dkv_grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
-            lanes_spec(bq),
-            lanes_spec(bq),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
             pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
@@ -365,7 +417,7 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q_offset, q, k, v, do, lse_lanes, delta_lanes)
+    )(q_offset, *dkv_inputs)
 
     # ---------------- dQ kernel ----------------
     bq = min(block_sizes.block_q_dq, n_q)
@@ -391,28 +443,53 @@ def flash_attention_bwd(
         def kv_block_map(b, h, i, j, *_):
             return (b, h, j, 0)
 
+    dq_bound = functools.partial(
+        _dq_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=bq,
+        block_kv=bkv,
+        num_kv_blocks=num_kv_blocks,
+        window=window,
+    )
+    if has_seg:
+        dq_kernel = dq_bound
+    else:
+        def dq_kernel(off_r, q_r, k_r, v_r, do_r, lse_r, d_r, *rest):
+            return dq_bound(
+                off_r, q_r, k_r, v_r, do_r, lse_r, d_r, None, None, *rest
+            )
+
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
+        pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
+        pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
+    ]
+    dq_inputs = [q, k, v, do, lse_lanes, delta_lanes]
+    if has_seg:
+        dq_in_specs.append(
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, i, 0))
+        )
+
+        def dq_kvseg_map(b, h, i, j, *args):
+            bb, hh, jj, _ = kv_block_map(b, h, i, j, *args)
+            return (bb, 0, jj)
+
+        dq_in_specs.append(
+            pl.BlockSpec((1, NUM_SUBLANES, bkv), dq_kvseg_map)
+        )
+        dq_inputs += [qseg, kvseg]
+
     dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel,
-            sm_scale=sm_scale,
-            causal=causal,
-            block_q=bq,
-            block_kv=bkv,
-            num_kv_blocks=num_kv_blocks,
-            window=window,
-        ),
+        dq_kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=dq_grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
-            pl.BlockSpec((1, 1, bkv, head_dim), kv_block_map),
-            pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j, *_: (b, h, i, 0)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
         ),
@@ -429,6 +506,6 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q_offset, q, k, v, do, lse_lanes, delta_lanes)
+    )(q_offset, *dq_inputs)
 
     return dq, dk, dv

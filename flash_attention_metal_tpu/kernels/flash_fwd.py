@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
+    NUM_SUBLANES,
     BlockSizes,
     default_scale,
 )
@@ -82,6 +83,8 @@ def _fwd_kernel(
     q_ref,
     k_ref,
     v_ref,
+    qseg_ref,
+    kvseg_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -113,20 +116,32 @@ def _fwd_kernel(
         # only (the cond breaks Mosaic's MXU/VPU overlap), and the
         # whole-block skip already prunes the above-diagonal majors
         # (``kernels.metal:682`` analog).
-        row = (
-            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            + q_idx * block_q
-            + q_offset
-        )
-        col = (
-            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            + kv_major * block_k_major
-            + start
-        )
-        visible = col <= row
-        if window is not None:
-            # Sliding window: only the last ``window`` visible keys count.
-            visible &= col > row - window
+        visible = None
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + kv_major * block_k_major
+                + start
+            )
+            visible = col <= row
+            if window is not None:
+                # Sliding window: only the last ``window`` keys count.
+                visible &= col > row - window
+        if qseg_ref is not None:
+            # Packed sequences: equal segment ids only.  Layouts follow
+            # the lane-replicated convention: q ids [block_q, LANES],
+            # kv ids [SUBLANES, block_k_major].
+            qs = jnp.tile(qseg_ref[0], (1, s.shape[1] // NUM_LANES))
+            ks = kvseg_ref[0, :1, start : start + s.shape[1]]
+            seg = qs == ks
+            visible = seg if visible is None else (visible & seg)
+        if visible is None:
+            return s
         return jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
     def _scaled_q():
@@ -151,7 +166,7 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_precision(q.dtype),
             )
-            if causal:
+            if causal or qseg_ref is not None:
                 s = _mask(s, 0)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m)
@@ -220,7 +235,7 @@ def _fwd_kernel(
                 precision=mxu_precision(q.dtype),
             )
 
-            if causal:
+            if causal or qseg_ref is not None:
                 s = _mask(s, start)
 
             def _pv(p):
@@ -443,6 +458,7 @@ def _fwd_lean(
         "lazy_softmax",
         "interpret",
     ),
+    # segment_ids is a traced pytree argument
 )
 def flash_attention_fwd(
     q: jax.Array,
@@ -453,12 +469,17 @@ def flash_attention_fwd(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     window: Optional[int] = None,
+    segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
+
+    ``segment_ids``: optional ``config.SegmentIds`` (``q: [B, N_q]``,
+    ``kv: [B, N_kv]`` int32) for packed sequences — tokens attend only
+    within equal ids; composes with causal/window masking.
 
     ``q_offset``: optional int32 scalar or per-batch ``[B]`` vector —
     query row ``r`` of batch ``b`` may attend to key columns
@@ -527,6 +548,7 @@ def flash_attention_fwd(
         num_kv_major == 1
         and block_k_major == block_k
         and window is None
+        and segment_ids is None
         and (q_offset is None or isinstance(q_offset, int))
     ):
         # Whole KV fits one block and the causal offset is static: take the
@@ -563,12 +585,37 @@ def flash_attention_fwd(
         lazy_softmax=lazy_softmax,
         window=window,
     )
-    if save_lse:
-        kernel = bound
-    else:
-        # No LSE output ref in the argument list when it isn't requested.
-        def kernel(off_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s):
-            return bound(off_ref, q_ref, k_ref, v_ref, o_ref, None, m_s, l_s, acc_s)
+    has_seg = segment_ids is not None
+
+    def kernel(off_ref, *rest):
+        # Optional-arg shim: segment-id inputs and the LSE output are only
+        # present in the pallas_call signature when requested.
+        q_ref, k_ref, v_ref = rest[:3]
+        i = 3
+        qseg_ref = kvseg_ref = None
+        if has_seg:
+            qseg_ref, kvseg_ref = rest[i : i + 2]
+            i += 2
+        o_ref = rest[i]
+        i += 1
+        lse_ref = None
+        if save_lse:
+            lse_ref = rest[i]
+            i += 1
+        m_s, l_s, acc_s = rest[i : i + 3]
+        return bound(
+            off_ref,
+            q_ref,
+            k_ref,
+            v_ref,
+            qseg_ref,
+            kvseg_ref,
+            o_ref,
+            lse_ref,
+            m_s,
+            l_s,
+            acc_s,
+        )
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
@@ -618,16 +665,47 @@ def flash_attention_fwd(
         def kv_block_map(b, h, i, j, *_):
             return (b, h // kv_group, j, 0)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+        ),
+        pl.BlockSpec((1, 1, block_k_major, head_dim), kv_block_map),
+        pl.BlockSpec((1, 1, block_k_major, head_dim), kv_block_map),
+    ]
+    inputs = [q, k, v]
+    if has_seg:
+        # Lane-replicated Q ids and sublane-replicated KV ids — the
+        # tile-aligned segment layout (same convention as jax's own TPU
+        # flash kernel).
+        qseg = jax.lax.broadcast_in_dim(
+            segment_ids.q.astype(jnp.int32),
+            (batch, n_q, NUM_LANES),
+            (0, 1),
+        )
+        kvseg = jax.lax.broadcast_in_dim(
+            segment_ids.kv.astype(jnp.int32),
+            (batch, NUM_SUBLANES, n_kv),
+            (0, 2),
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, NUM_LANES), lambda b, h, i, j, *_: (b, i, 0)
+            )
+        )
+
+        def kvseg_map(b, h, i, j, *args):
+            bb, hh, jj, _ = kv_block_map(b, h, i, j, *args)
+            return (bb, 0, jj)
+
+        in_specs.append(
+            pl.BlockSpec((1, NUM_SUBLANES, block_k_major), kvseg_map)
+        )
+        inputs += [qseg, kvseg]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
-            ),
-            pl.BlockSpec((1, 1, block_k_major, head_dim), kv_block_map),
-            pl.BlockSpec((1, 1, block_k_major, head_dim), kv_block_map),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -654,7 +732,7 @@ def flash_attention_fwd(
             transcendentals=transcendentals,
         ),
         interpret=interpret,
-    )(q_offset, q, k, v)
+    )(q_offset, *inputs)
 
     if save_lse:
         o, lse_lanes = results

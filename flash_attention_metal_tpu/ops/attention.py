@@ -38,8 +38,11 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(
+    q, k, v, q_offset, segment_ids, causal, window, sm_scale, block_sizes,
+    interpret,
+):
     return flash_attention_fwd(
         q,
         k,
@@ -48,6 +51,7 @@ def _flash(q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret):
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=False,
         interpret=interpret,
@@ -55,7 +59,8 @@ def _flash(q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret):
 
 
 def _flash_fwd_rule(
-    q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret
+    q, k, v, q_offset, segment_ids, causal, window, sm_scale, block_sizes,
+    interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -65,17 +70,18 @@ def _flash_fwd_rule(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=True,
         interpret=interpret,
     )
-    return o, (q, k, v, q_offset, o, lse_lanes)
+    return o, (q, k, v, q_offset, segment_ids, o, lse_lanes)
 
 
 def _flash_bwd_rule(
     causal, window, sm_scale, block_sizes, interpret, residuals, do
 ):
-    q, k, v, q_offset, o, lse_lanes = residuals
+    q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
     # The forward runs GQA natively (KV index maps fold the head group);
     # the FA-2 backward kernels want equal head counts, so broadcast here
     # and group-reduce the KV grads afterwards.
@@ -93,6 +99,7 @@ def _flash_bwd_rule(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        segment_ids=segment_ids,
         block_sizes=block_sizes,
         interpret=interpret,
     )
@@ -100,9 +107,16 @@ def _flash_bwd_rule(
         b, _, n, d = dk.shape
         dk = dk.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(k.dtype)
         dv = dv.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(v.dtype)
-    # Integer offsets get a float0 cotangent.
+    # Integer offsets/segment-ids get float0 cotangents.
     d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
-    return dq, dk, dv, d_off
+    d_seg = (
+        None
+        if segment_ids is None
+        else jax.tree_util.tree_map(
+            lambda x: np.zeros(np.shape(x), jax.dtypes.float0), segment_ids
+        )
+    )
+    return dq, dk, dv, d_off, d_seg
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -126,6 +140,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     q_offset: Optional[jax.Array] = None,
+    segment_ids=None,
     *,
     causal: bool = False,
     window: Optional[int] = None,
@@ -148,6 +163,8 @@ def flash_attention(
       window: with causal, restrict each row to its last ``window``
         visible keys (sliding-window attention); out-of-window blocks are
         skipped and their DMAs elided.
+      segment_ids: optional ``config.SegmentIds`` for packed sequences
+        (tokens attend only within equal ids).
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
@@ -196,6 +213,7 @@ def flash_attention(
             sm_scale=sm_scale,
             q_offset=q_offset,
             window=window,
+            segment_ids=segment_ids,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
@@ -211,13 +229,23 @@ def flash_attention(
             sm_scale=sm_scale,
             causal=causal,
             window=window,
+            segment_ids=segment_ids,
             block_sizes=block_sizes,
             save_lse=True,
             interpret=interpret,
         )
         return o, lse_lanes[..., 0]
     return _flash(
-        q, k, v, q_offset, causal, window, sm_scale, block_sizes, interpret
+        q,
+        k,
+        v,
+        q_offset,
+        segment_ids,
+        causal,
+        window,
+        sm_scale,
+        block_sizes,
+        interpret,
     )
 
 

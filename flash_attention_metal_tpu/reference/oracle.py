@@ -35,6 +35,7 @@ def attention_reference(
     sm_scale: Optional[float] = None,
     q_offset: Optional[jax.Array] = None,
     window: Optional[int] = None,
+    segment_ids=None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
@@ -66,11 +67,17 @@ def attention_reference(
         s = jnp.where(col <= row, s, -jnp.inf)
         if window is not None:
             s = jnp.where(col > row - window, s, -jnp.inf)
+    if segment_ids is not None:
+        seg = segment_ids.q[..., :, None] == segment_ids.kv[..., None, :]
+        # [B, nq, nkv] -> broadcast over heads.
+        s = jnp.where(seg[:, None] if seg.ndim == 3 else seg, s, -jnp.inf)
     # Two-pass safe softmax, exactly the oracle's structure
     # (row max ``main.mm:131-137``, exp/sum ``main.mm:139-147``).
     m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isneginf(m), 0.0, m)  # fully-masked rows -> zeros
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.where(l == 0.0, 1.0, l)
     o = jnp.einsum("...qk,...kd->...qd", p / l, vf,
                    precision=jax.lax.Precision.HIGHEST)
     return o.astype(orig_dtype)

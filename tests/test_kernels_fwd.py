@@ -228,3 +228,29 @@ def test_sliding_window_with_offset(rng_key):
         q_offset=offsets[:, None, None, None],
     )
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+def _packed_segments(n):
+    """Three packed docs of uneven lengths."""
+    a, b = int(n * 0.4), int(n * 0.4)
+    seg = jnp.concatenate(
+        [jnp.zeros(a), jnp.ones(b), jnp.full(n - a - b, 2)]
+    ).astype(jnp.int32)
+    return jnp.stack([seg, seg + 10])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_segment_ids_vs_oracle(rng_key, causal):
+    from flash_attention_metal_tpu.config import SegmentIds
+
+    n = 512
+    q, k, v = make_qkv(rng_key, (2, 2, n, 64))
+    seg = _packed_segments(n)
+    sids = SegmentIds(q=seg, kv=seg)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, causal=causal, segment_ids=sids, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(q, k, v, causal=causal, segment_ids=sids)
+    assert max_abs_diff(got, want) < TOL_FP32
