@@ -226,3 +226,78 @@ class DecodeEngine:
         while self.pending():
             self.step()
         return {uid: r.generated for uid, r in self.finished.items()}
+
+    # ------------------------------------------------------------------
+    # Crash/restart recovery (SURVEY.md §5: the decode loop tolerates
+    # restart from a KV-cache snapshot — the serving-scale generalization
+    # of the reference persisting its logsumexp as re-entry state,
+    # kernels.metal:861-864).
+    def snapshot(self) -> dict:
+        """Consistent serving state: drain lagged bookkeeping, then copy.
+
+        The returned dict round-trips through ``utils.checkpoint``
+        (pure arrays + plain metadata).
+        """
+        while self._inflight:
+            self._harvest_one()
+        return {
+            "cache": self.cache,
+            "next_token": self.next_token,
+            "temps": self.temps,
+            "key": self.key,
+            "steps": self.steps,
+            "slots": [
+                None
+                if r is None
+                else {
+                    "uid": r.uid,
+                    "prompt": list(r.prompt),
+                    "max_new_tokens": r.max_new_tokens,
+                    "temperature": r.temperature,
+                    "generated": list(r.generated),
+                    "slot": r.slot,
+                }
+                for r in self.slots
+            ],
+            "queue": [
+                {
+                    "uid": r.uid,
+                    "prompt": list(r.prompt),
+                    "max_new_tokens": r.max_new_tokens,
+                    "temperature": r.temperature,
+                }
+                for r in self.queue
+            ],
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Resume from a ``snapshot()`` (e.g. after a crash/restart)."""
+        self.cache = snap["cache"]
+        self.next_token = jnp.asarray(snap["next_token"])
+        self.temps = jnp.asarray(snap["temps"])
+        self.key = jnp.asarray(snap["key"])
+        self.steps = int(snap["steps"])
+        self.slots = [
+            None
+            if meta is None
+            else Request(
+                uid=meta["uid"],
+                prompt=list(meta["prompt"]),
+                max_new_tokens=meta["max_new_tokens"],
+                temperature=meta["temperature"],
+                generated=list(meta["generated"]),
+                slot=meta["slot"],
+            )
+            for meta in snap["slots"]
+        ]
+        self.queue = deque(
+            Request(
+                uid=meta["uid"],
+                prompt=list(meta["prompt"]),
+                max_new_tokens=meta["max_new_tokens"],
+                temperature=meta["temperature"],
+            )
+            for meta in snap["queue"]
+        )
+        self._inflight.clear()
+        self._occupancy_dirty = True

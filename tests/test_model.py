@@ -232,3 +232,45 @@ def test_windowed_model_decode_matches_forward(params_window):
         atol=2e-2,
         rtol=2e-2,
     )
+
+
+def test_engine_snapshot_restart_resumes_identically(params):
+    """Crash-restart from a KV snapshot continues the exact generation."""
+    def submit_all(eng):
+        for uid in range(3):
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=8)
+            )
+
+    # Uninterrupted run.
+    ref = DecodeEngine(params, CFG, max_batch=2, max_len=256)
+    submit_all(ref)
+    want = ref.run()
+
+    # Interrupted run: snapshot mid-flight, "crash", restore, finish.
+    eng = DecodeEngine(params, CFG, max_batch=2, max_len=256)
+    submit_all(eng)
+    for _ in range(4):
+        eng.step()
+    snap = eng.snapshot()
+    finished_before = {uid: r.generated for uid, r in eng.finished.items()}
+    del eng
+
+    # Round-trip the snapshot through the checkpoint layer (disk).
+    import tempfile, os
+    from flash_attention_metal_tpu.utils.checkpoint import (
+        restore_pytree,
+        save_pytree,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "serving_snap")
+        save_pytree(path, snap)
+        snap = restore_pytree(path, like=snap)
+
+    eng2 = DecodeEngine(params, CFG, max_batch=2, max_len=256)
+    eng2.restore(snap)
+    eng2.finished = {}
+    got = eng2.run()
+    got.update(finished_before)
+    assert got == want
