@@ -1,0 +1,167 @@
+"""Training loop: optax optimizer, LR schedule, checkpoint/resume.
+
+The reference has no training at all (``project_narrative.md:42-53``);
+this is the framework-completion layer above ``transformer.py``'s loss —
+an AdamW + cosine-schedule trainer whose state (params, optimizer
+moments, step count, RNG key) checkpoints through ``utils.checkpoint``
+and resumes bit-exactly, the training-side counterpart of the serving
+engine's KV-snapshot restart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.checkpoint import restore_pytree, save_pytree
+from .transformer import ModelConfig, Params, init_params, loss_fn
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    key: jax.Array
+
+
+def make_optimizer(
+    peak_lr: float = 3e-4,
+    warmup_steps: int = 100,
+    total_steps: int = 10_000,
+    weight_decay: float = 0.1,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW + linear warmup + cosine decay + global-norm clipping."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=peak_lr * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+class Trainer:
+    """Single-host trainer over the FlashLM loss.
+
+    For multi-chip training use ``parallel_train.make_train_step`` and
+    shard the same optimizer state with the param specs; this class
+    covers the one-device loop plus durable checkpoint/resume.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        *,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.opt = optimizer if optimizer is not None else make_optimizer()
+
+        cfg_ = cfg
+        opt = self.opt
+
+        @jax.jit
+        def _step(state_tuple, tokens):
+            params, opt_state, step = state_tuple
+            loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg_)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, step + 1), loss
+
+        self._step = _step
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        params = init_params(sub, cfg)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            step=jnp.int32(0),
+            key=key,
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, tokens: jax.Array) -> float:
+        """One optimizer step on a ``[B, N]`` int32 token batch."""
+        (params, opt_state, step), loss = self._step(
+            (self.state.params, self.state.opt_state, self.state.step), tokens
+        )
+        self.state = TrainState(
+            params=params, opt_state=opt_state, step=step, key=self.state.key
+        )
+        return float(loss)
+
+    def train(
+        self,
+        batches: Iterator[jax.Array],
+        *,
+        steps: int,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        log_every: int = 0,
+        log: Callable[[str], None] = print,
+    ) -> Dict[str, Any]:
+        """Drive ``steps`` optimizer steps; optionally checkpoint/log."""
+        losses = []
+        for _ in range(steps):
+            loss = self.step(next(batches))
+            losses.append(loss)
+            n = int(self.state.step)
+            if log_every and n % log_every == 0:
+                log(f"step {n}: loss {loss:.4f}")
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and n % checkpoint_every == 0
+            ):
+                self.save(checkpoint_path)
+        return {"losses": losses, "final_step": int(self.state.step)}
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        save_pytree(
+            path,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "key": self.state.key,
+            },
+        )
+
+    def load(self, path: str) -> None:
+        like = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "key": self.state.key,
+        }
+        snap = restore_pytree(path, like=like)
+        self.state = TrainState(
+            params=snap["params"],
+            opt_state=snap["opt_state"],
+            step=jnp.asarray(snap["step"], jnp.int32),
+            key=jnp.asarray(snap["key"]),
+        )
+
+
+def synthetic_batches(
+    cfg: ModelConfig, batch: int, seq: int, seed: int = 0
+) -> Iterator[jax.Array]:
+    """Deterministic synthetic token stream (for tests and benchmarks)."""
+    key = jax.random.PRNGKey(seed)
+    while True:
+        key, sub = jax.random.split(key)
+        yield jax.random.randint(sub, (batch, seq), 0, cfg.vocab_size)
