@@ -93,3 +93,20 @@ def test_train_bench_flops_model():
     params = 2 * (256 * 64 * 8 + 4 * 64 * 256 + 3 * 256 * 512) + 1024 * 256
     assert f > 6 * params
     assert f < 12 * params + 7 * 2 * 4 * 64 * 512
+
+
+def test_autotune_fwd_smoke(tmp_path):
+    """Autotuner picks a valid BlockSizes and caches the decision."""
+    from flash_attention_metal_tpu.harness.autotune import autotune_fwd
+
+    cache = str(tmp_path / "cache.json")
+    logs = []
+    bs = autotune_fwd(
+        (1, 1, 512, 64), cache_path=cache, log=logs.append
+    )
+    assert bs.block_q in (256, 512) and bs.block_k_major in (256, 512)
+    assert logs  # measured something
+    # Second call hits the cache (no new measurements).
+    logs2 = []
+    bs2 = autotune_fwd((1, 1, 512, 64), cache_path=cache, log=logs2.append)
+    assert bs2 == bs and not logs2
