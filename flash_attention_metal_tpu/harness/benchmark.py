@@ -278,10 +278,22 @@ def main() -> int:
     rows = run_sweep(sweep)
     hi = run_high_occupancy(n=1024 if args.quick else 2048)
 
-    with open(args.csv, "w") as f:
-        f.write(CSV_HEADER + "\n")
-        for r in rows:
-            f.write(r.csv() + "\n")
+    # CSV emission through the native host extension when built (parity
+    # with the reference's native host writer, main.mm:867-878); Python
+    # fallback otherwise.
+    try:
+        from ..utils import _native_timer
+
+        _native_timer.write_csv(
+            args.csv,
+            CSV_HEADER,
+            [r.csv().split(",") for r in rows],
+        )
+    except ImportError:
+        with open(args.csv, "w") as f:
+            f.write(CSV_HEADER + "\n")
+            for r in rows:
+                f.write(r.csv() + "\n")
     print(f"wrote {args.csv}")
     if args.json:
         payload = {

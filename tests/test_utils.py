@@ -61,3 +61,18 @@ def test_native_extension_if_built():
         assert nt.write_csv(p, "a,b", [[1, 2.0], ["z", None]]) == 2
         lines = open(p).read().splitlines()
         assert lines == ["a,b", "1,2", "z,"]
+
+
+def test_native_csv_writer():
+    """Native host extension CSV writer (skipped if not built)."""
+    pytest.importorskip("flash_attention_metal_tpu.utils._native_timer")
+    import os
+    import tempfile
+
+    from flash_attention_metal_tpu.utils import _native_timer
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.csv")
+        n = _native_timer.write_csv(p, "a,b", [["1", "2"], [3, 4.5]])
+        assert n == 2
+        assert open(p).read() == "a,b\n1,2\n3,4.5\n"
