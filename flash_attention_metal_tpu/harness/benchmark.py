@@ -112,6 +112,9 @@ def run_sweep(
     """Single-head N-sweep matching the reference setup (B=H=1, D=64)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # Interpreter-mode smoke: minimal measurement effort.
+        iters = min(iters, 2)
     spec = detect_chip()
     rows = []
     for n in sweep:
@@ -124,6 +127,8 @@ def run_sweep(
 
         inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
         repeats = 3 if n <= 2048 else 1
+        if interpret:
+            inner_hi, repeats = 2, 1
         naive_ms = None
         if n <= NAIVE_MAX_N:
             naive_ms = _time_ms(
@@ -209,6 +214,8 @@ def run_high_occupancy(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret:
+        iters = min(iters, 2)
     spec = detect_chip()
     key = jax.random.PRNGKey(42)
     q, k, v = make_qkv(key, (batch, heads, n, head_dim), dtype=jnp.bfloat16)
@@ -273,10 +280,21 @@ def main() -> int:
 
     spec = detect_chip()
     print(f"== benchmark on {spec.name} ({jax.default_backend()}) ==")
-    sweep = (128, 512, 2048) if args.quick else DEFAULT_SWEEP
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # Interpreter mode: numbers are meaningless and big sizes take
+        # minutes per call -- run a pure functional smoke.
+        print("(non-TPU backend: functional smoke only, timings not meaningful)")
+        sweep = (128, 256)
+    else:
+        sweep = (128, 512, 2048) if args.quick else DEFAULT_SWEEP
     print(CSV_HEADER)
     rows = run_sweep(sweep)
-    hi = run_high_occupancy(n=1024 if args.quick else 2048)
+    hi = run_high_occupancy(
+        n=256 if not on_tpu else (1024 if args.quick else 2048),
+        batch=2 if not on_tpu else 16,
+        heads=2 if not on_tpu else 8,
+    )
 
     # CSV emission through the native host extension when built (parity
     # with the reference's native host writer, main.mm:867-878); Python
