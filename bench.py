@@ -68,10 +68,10 @@ def main():
         inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
 
         def timed(fn, args, inner):
-            # Median of three slope readings, dropping sub-floor noise
+            # Median of five slope readings, dropping sub-floor noise
             # (individual microsecond-scale readings bounce +-2x here).
             return measure_kernel_stable(
-                fn, args, iters=iters, inner_hi=inner
+                fn, args, iters=iters, inner_hi=inner, repeats=5
             )["median_s"]
 
         t_naive = timed(
