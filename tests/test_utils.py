@@ -76,3 +76,28 @@ def test_native_csv_writer():
         n = _native_timer.write_csv(p, "a,b", [["1", "2"], [3, 4.5]])
         assert n == 2
         assert open(p).read() == "a,b\n1,2\n3,4.5\n"
+
+
+def test_checked_catches_nan():
+    from flash_attention_metal_tpu.utils.debug import checked
+
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    safe = checked(bad)
+    safe(jnp.ones(4))  # fine
+    with pytest.raises(checkify.JaxRuntimeError):
+        safe(-jnp.ones(4))
+
+
+def test_assert_all_finite():
+    from flash_attention_metal_tpu.utils.debug import assert_all_finite
+
+    import jax.numpy as jnp
+
+    assert_all_finite({"a": jnp.ones(3)}, "tree")
+    with pytest.raises(FloatingPointError, match="a"):
+        assert_all_finite({"a": jnp.array([1.0, jnp.nan])}, "tree")
