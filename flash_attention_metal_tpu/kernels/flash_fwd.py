@@ -85,6 +85,7 @@ def _fwd_kernel(
     v_ref,
     qseg_ref,
     kvseg_ref,
+    kvpos_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -107,7 +108,7 @@ def _fwd_kernel(
     # a direct two-pass softmax saves every scratch read-modify-write.
     single_block = num_kv_major == 1 and block_k_major == block_k
 
-    if causal:
+    if causal or kvpos_ref is not None:
         q_offset = off_ref[pl.program_id(0)]
 
     def _mask(s, start):
@@ -117,7 +118,21 @@ def _fwd_kernel(
         # whole-block skip already prunes the above-diagonal majors
         # (``kernels.metal:682`` analog).
         visible = None
-        if causal:
+        if kvpos_ref is not None:
+            # Position-space masking (rolling/wrapped KV caches): each KV
+            # slot carries the global position it currently holds (-1 ==
+            # never written); causality and the window apply to those
+            # positions, not to slot indices.
+            rowpos = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            kvpos = kvpos_ref[0, :1, start : start + s.shape[1]]
+            visible = (kvpos <= rowpos) & (kvpos >= 0)
+            if window is not None:
+                visible &= kvpos > rowpos - window
+        elif causal:
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 + q_idx * block_q
@@ -166,7 +181,7 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mxu_precision(q.dtype),
             )
-            if causal or qseg_ref is not None:
+            if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, 0)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m)
@@ -203,9 +218,10 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    if causal:
+    if causal and kvpos_ref is None:
         # Whole-major-block skip: run only if the block's first column can
         # be visible to the Q tile's last row (``kernels.metal:682`` analog).
+        # (Positional mode runs every block: slot indices carry no order.)
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_major * block_k_major
         )
@@ -235,7 +251,7 @@ def _fwd_kernel(
                 precision=mxu_precision(q.dtype),
             )
 
-            if causal or qseg_ref is not None:
+            if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, start)
 
             def _pv(p):
@@ -470,6 +486,7 @@ def flash_attention_fwd(
     causal: bool = False,
     window: Optional[int] = None,
     segment_ids=None,
+    kv_positions: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
@@ -480,6 +497,12 @@ def flash_attention_fwd(
     ``segment_ids``: optional ``config.SegmentIds`` (``q: [B, N_q]``,
     ``kv: [B, N_kv]`` int32) for packed sequences — tokens attend only
     within equal ids; composes with causal/window masking.
+
+    ``kv_positions``: optional ``[B, N_kv]`` int32 — the global position
+    each KV slot currently holds (-1 == never written).  Switches
+    causal/window masking from slot-index space to position space, which
+    is what a rolling (wrapped) KV cache needs; requires ``causal`` and
+    disables index-space block skipping.  Forward-only (serving path).
 
     ``q_offset``: optional int32 scalar or per-batch ``[B]`` vector —
     query row ``r`` of batch ``b`` may attend to key columns
@@ -544,11 +567,15 @@ def flash_attention_fwd(
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
 
+    if kv_positions is not None and not causal:
+        raise ValueError("kv_positions requires causal=True")
+
     if (
         num_kv_major == 1
         and block_k_major == block_k
         and window is None
         and segment_ids is None
+        and kv_positions is None
         and (q_offset is None or isinstance(q_offset, int))
     ):
         # Whole KV fits one block and the causal offset is static: take the
@@ -586,16 +613,21 @@ def flash_attention_fwd(
         window=window,
     )
     has_seg = segment_ids is not None
+    has_pos = kv_positions is not None
 
     def kernel(off_ref, *rest):
-        # Optional-arg shim: segment-id inputs and the LSE output are only
-        # present in the pallas_call signature when requested.
+        # Optional-arg shim: segment-id / kv-position inputs and the LSE
+        # output are only present in the pallas_call signature when
+        # requested.
         q_ref, k_ref, v_ref = rest[:3]
         i = 3
-        qseg_ref = kvseg_ref = None
+        qseg_ref = kvseg_ref = kvpos_ref = None
         if has_seg:
             qseg_ref, kvseg_ref = rest[i : i + 2]
             i += 2
+        if has_pos:
+            kvpos_ref = rest[i]
+            i += 1
         o_ref = rest[i]
         i += 1
         lse_ref = None
@@ -610,6 +642,7 @@ def flash_attention_fwd(
             v_ref,
             qseg_ref,
             kvseg_ref,
+            kvpos_ref,
             o_ref,
             lse_ref,
             m_s,
@@ -639,7 +672,7 @@ def flash_attention_fwd(
         flops //= 2
         transcendentals //= 2
 
-    if causal:
+    if causal and not has_pos:
         # Steps whose whole KV block lies above the causal diagonal are
         # compute-skipped in the kernel (``pl.when(should_run)``); clamping
         # their block index to the diagonal makes consecutive index_map
@@ -701,6 +734,21 @@ def flash_attention_fwd(
             pl.BlockSpec((1, NUM_SUBLANES, block_k_major), kvseg_map)
         )
         inputs += [qseg, kvseg]
+    if has_pos:
+        kvpos = jax.lax.broadcast_in_dim(
+            kv_positions.astype(jnp.int32),
+            (batch, NUM_SUBLANES, n_kv),
+            (0, 2),
+        )
+
+        def kvpos_map(b, h, i, j, *args):
+            bb, hh, jj, _ = kv_block_map(b, h, i, j, *args)
+            return (bb, 0, jj)
+
+        in_specs.append(
+            pl.BlockSpec((1, NUM_SUBLANES, block_k_major), kvpos_map)
+        )
+        inputs.append(kvpos)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -144,6 +144,7 @@ def flash_attention(
     *,
     causal: bool = False,
     window: Optional[int] = None,
+    kv_positions: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
@@ -165,6 +166,9 @@ def flash_attention(
         skipped and their DMAs elided.
       segment_ids: optional ``config.SegmentIds`` for packed sequences
         (tokens attend only within equal ids).
+      kv_positions: optional ``[B, N_kv]`` int32 slot-position map for
+        rolling (wrapped) KV caches; switches causal/window masking to
+        position space.  Forward-only (serving path).
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
@@ -192,6 +196,22 @@ def flash_attention(
         impl = "pallas"
     if interpret is None:
         interpret = _use_interpret()
+
+    if kv_positions is not None:
+        # Rolling-cache serving path: forward-only, straight to the kernel.
+        return flash_attention_fwd(
+            q,
+            k,
+            v,
+            q_offset,
+            sm_scale=sm_scale,
+            causal=causal,
+            window=window,
+            kv_positions=kv_positions,
+            block_sizes=block_sizes,
+            save_lse=save_lse,
+            interpret=interpret,
+        )
 
     if impl == "xla":
         k, v = _broadcast_kv_heads(q, k, v)

@@ -29,9 +29,12 @@ from ..ops.attention import flash_attention
 from .kv_cache import (
     KVCache,
     QuantKVCache,
+    RollingKVCache,
     append_tokens,
     append_tokens_quant,
+    append_tokens_rolling,
     bump_lengths,
+    bump_rolling_positions,
 )
 
 
@@ -56,7 +59,30 @@ def _attn_with_cache(
     # Valid cache length for masking is the OLD length + t_new; query row r
     # (0-based within the new tokens) sits at global position length + r,
     # so the causal offset is exactly the old length.
-    if isinstance(cache, QuantKVCache):
+    if isinstance(cache, RollingKVCache):
+        # Rolling (wrapped) window cache: O(window) memory; masking runs
+        # in position space via the slots' position map.  The positions
+        # of the tokens being appended THIS step are made visible to the
+        # attention call; the cache's own map advances once per step.
+        if cfg.attn_window is None:
+            raise ValueError("RollingKVCache requires cfg.attn_window")
+        cache = append_tokens_rolling(cache, layer_idx, k, v)
+        cap = cache.capacity
+        idx = (cache.lengths[:, None] + jnp.arange(t_new)[None, :]) % cap
+        pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
+            st + jnp.arange(t_new)
+        ))(cache.positions, idx, cache.lengths)
+        o = flash_attention(
+            q,
+            cache.k[layer_idx],
+            cache.v[layer_idx],
+            q_offset=cache.lengths,
+            kv_positions=pos_eff,
+            causal=True,
+            window=cfg.attn_window,
+            block_sizes=cfg.block_sizes,
+        )
+    elif isinstance(cache, QuantKVCache):
         # 8-bit cache path: tokens were quantized at append; attention
         # reads 8-bit KV + per-token scales (``kernels/quant.py``).
         cache = append_tokens_quant(cache, layer_idx, k, v)
@@ -121,7 +147,10 @@ def decode_step(
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
-    cache = bump_lengths(cache, 1, active)
+    if isinstance(cache, RollingKVCache):
+        cache = bump_rolling_positions(cache, 1, active)
+    else:
+        cache = bump_lengths(cache, 1, active)
     return logits[:, 0], cache
 
 
@@ -150,8 +179,10 @@ def prefill_slot(
     # (dense KVCache and QuantKVCache): rank-1 leaves are the per-slot
     # lengths, everything else is [n_layers, B, ...].
     def view(leaf):
-        if leaf.ndim == 1:
+        if leaf.ndim == 1:  # lengths [B]
             return leaf[slot : slot + 1] * 0
+        if leaf.ndim == 2:  # rolling positions [B, C] (fresh slot: -1)
+            return jnp.full_like(leaf[slot : slot + 1], -1)
         return leaf[:, slot : slot + 1]
 
     slot_cache = jax.tree_util.tree_map(view, cache)
@@ -162,10 +193,26 @@ def prefill_slot(
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    if isinstance(slot_cache, RollingKVCache):
+        # Record only the true prompt tokens' positions (padded rows past
+        # prompt_len stay invisible: their positions are not set).
+        cap = slot_cache.capacity
+        idx = jnp.arange(n_pad) % cap
+        vals = jnp.where(
+            jnp.arange(n_pad) < prompt_len, jnp.arange(n_pad), -1
+        )
+        slot_cache = slot_cache.__class__(
+            k=slot_cache.k,
+            v=slot_cache.v,
+            positions=slot_cache.positions.at[0, idx].set(vals),
+            lengths=slot_cache.lengths,
+        )
 
     def write(buf, new):
         if buf.ndim == 1:
             return buf.at[slot].set(prompt_len.astype(jnp.int32))
+        if buf.ndim == 2:
+            return buf.at[slot : slot + 1].set(new)
         return buf.at[:, slot : slot + 1].set(new)
 
     new_cache = jax.tree_util.tree_map(write, cache, slot_cache)

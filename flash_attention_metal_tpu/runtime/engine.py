@@ -20,7 +20,13 @@ import numpy as np
 
 from ..models.transformer import ModelConfig, Params
 from .decode import decode_and_sample, prefill_slot, sample
-from .kv_cache import KVCache, init_cache, init_quant_cache, reset_slot
+from .kv_cache import (
+    KVCache,
+    init_cache,
+    init_quant_cache,
+    init_rolling_cache,
+    reset_slot,
+)
 
 
 @dataclasses.dataclass
@@ -63,12 +69,28 @@ class DecodeEngine:
         seed: int = 0,
         harvest_lag: int = 16,
         kv_quant: Optional[str] = None,
+        rolling: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.max_len = max_len
-        if kv_quant:
+        if rolling:
+            # O(window) rolling cache for sliding-window models.
+            if cfg.attn_window is None:
+                raise ValueError("rolling=True requires cfg.attn_window")
+            if kv_quant:
+                raise NotImplementedError("rolling + quantized cache")
+            cap = -(-cfg.attn_window // 128) * 128 + 128
+            self.cache = init_rolling_cache(
+                cfg.n_layers,
+                max_batch,
+                cfg.n_kv_heads,
+                cap,
+                cfg.head_dim,
+                dtype=cfg.dtype,
+            )
+        elif kv_quant:
             # 8-bit KV cache (BASELINE config 5): int8 is the production
             # format on v5e; "fp8" maps to e4m3 for chips with native fp8.
             qdt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_quant]

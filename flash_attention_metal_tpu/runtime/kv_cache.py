@@ -94,10 +94,13 @@ def bump_lengths(cache, n: int, mask: jax.Array):
 
 
 def reset_slot(cache, slot: int):
-    """Free a slot for reuse (stale KV is masked out by lengths=0)."""
-    return dataclasses.replace(
-        cache, lengths=cache.lengths.at[slot].set(0)
-    )
+    """Free a slot for reuse (stale KV is masked out by lengths=0; a
+    rolling cache also clears its position map so the next occupant
+    cannot see the previous one's entries)."""
+    updates = {"lengths": cache.lengths.at[slot].set(0)}
+    if hasattr(cache, "positions"):
+        updates["positions"] = cache.positions.at[slot].set(-1)
+    return dataclasses.replace(cache, **updates)
 
 
 
@@ -213,4 +216,114 @@ def append_tokens_quant(
         v_q=cache.v_q.at[layer].set(v_l),
         k_scale=cache.k_scale.at[layer].set(ks_l),
         v_scale=cache.v_scale.at[layer].set(vs_l),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (wrapped) KV cache for sliding-window models: O(window) memory
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RollingKVCache:
+    """Fixed-capacity wrapped cache for sliding-window attention.
+
+    ``k/v``: ``[n_layers, B, H_kv, capacity, head_dim]``; global position
+    ``p`` lives in slot ``p % capacity``.  ``positions``: ``[B, capacity]``
+    int32 — the global position each slot currently holds (-1 == never
+    written); the attention kernel masks in position space
+    (``flash_fwd.py kv_positions``), so eviction is just being
+    overwritten.  ``lengths``: ``[B]`` global token counts.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    positions: jax.Array
+    lengths: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.positions, self.lengths), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_rolling_cache(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    capacity: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> RollingKVCache:
+    if capacity % 128:
+        raise ValueError(f"capacity={capacity} must be a multiple of 128")
+    shape = (n_layers, batch, n_kv_heads, capacity, head_dim)
+    return RollingKVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        positions=jnp.full((batch, capacity), -1, jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def append_tokens_rolling(
+    cache: RollingKVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> RollingKVCache:
+    """Insert ``[B, H_kv, T, D]`` at each slot's write head, wrapping.
+
+    Requires T <= capacity (longer prefills must be chunked).  Does NOT
+    bump ``lengths``; the final layer's caller also refreshes
+    ``positions`` via ``bump_rolling_positions``.
+    """
+    t_new = k_new.shape[2]
+    cap = cache.capacity
+    if t_new > cap:
+        raise ValueError(
+            f"append of {t_new} tokens exceeds rolling capacity {cap}"
+        )
+
+    def put(buf, new, start):
+        # buf [H, C, D], new [H, T, D]: scatter rows at wrapped indices.
+        idx = (start + jnp.arange(t_new)) % cap
+        return buf.at[:, idx, :].set(new)
+
+    k_l = jax.vmap(put)(cache.k[layer], k_new, cache.lengths)
+    v_l = jax.vmap(put)(cache.v[layer], v_new, cache.lengths)
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[layer].set(k_l),
+        v=cache.v.at[layer].set(v_l),
+    )
+
+
+def bump_rolling_positions(
+    cache: RollingKVCache, t_new: int, mask: jax.Array
+) -> RollingKVCache:
+    """Record the positions just written and advance lengths (masked)."""
+    cap = cache.capacity
+
+    def put(posrow, start):
+        idx = (start + jnp.arange(t_new)) % cap
+        return posrow.at[idx].set(start + jnp.arange(t_new))
+
+    new_pos = jax.vmap(put)(cache.positions, cache.lengths)
+    positions = jnp.where(mask[:, None], new_pos, cache.positions)
+    return dataclasses.replace(
+        cache,
+        positions=positions,
+        lengths=cache.lengths + jnp.where(mask, t_new, 0).astype(jnp.int32),
     )

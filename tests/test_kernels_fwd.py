@@ -254,3 +254,38 @@ def test_segment_ids_vs_oracle(rng_key, causal):
     )
     want = attention_reference(q, k, v, causal=causal, segment_ids=sids)
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_kv_positions_rolling_cache_mask(rng_key):
+    """Position-space masking over a WRAPPED cache == linear oracle.
+
+    Simulates a rolling cache (capacity 256) holding the last 256 of 300
+    positions, queried by the final 128 rows with a 120-token window —
+    eviction, wrapping, and -1 slots all in play.
+    """
+    C, cur, W = 256, 300, 120
+    kq, kk, kv2 = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (1, 2, 128, 64), jnp.float32, -1, 1)
+    hist_k = jax.random.uniform(kk, (1, 2, cur, 64), jnp.float32, -1, 1)
+    hist_v = jax.random.uniform(kv2, (1, 2, cur, 64), jnp.float32, -1, 1)
+
+    slots = np.arange(cur) % C
+    kcache = np.zeros((1, 2, C, 64), np.float32)
+    vcache = np.zeros((1, 2, C, 64), np.float32)
+    pos = -np.ones((1, C), np.int32)
+    kcache[:, :, slots] = np.asarray(hist_k)
+    vcache[:, :, slots] = np.asarray(hist_v)
+    pos[:, slots] = np.arange(cur)
+
+    offs = jnp.asarray([cur - 128], jnp.int32)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, jnp.asarray(kcache), jnp.asarray(vcache), offs,
+        causal=True, window=W, kv_positions=jnp.asarray(pos),
+        block_sizes=bs, interpret=INTERPRET,
+    )
+    want = attention_reference(
+        q, hist_k, hist_v, causal=True, window=W,
+        q_offset=offs[:, None, None, None],
+    )
+    assert max_abs_diff(got, want) < TOL_FP32
