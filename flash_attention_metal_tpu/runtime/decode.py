@@ -157,32 +157,35 @@ def decode_step(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "slot"), donate_argnames=("cache",)
 )
-def prefill_slot(
+def prefill_chunk(
     params: Params,
     cfg: ModelConfig,
     cache: KVCache,
     tokens: jax.Array,
+    start_len: jax.Array,
     prompt_len: jax.Array,
     slot: int,
 ) -> Tuple[jax.Array, KVCache]:
-    """Prefill one slot with a (padded) prompt ``[N_pad]``.
+    """Prefill one chunk ``[n_chunk]`` of a slot's prompt.
 
-    ``prompt_len``: true prompt length (<= N_pad, N_pad % 128 == 0).
-    Returns the next-token logits for the prompt's last true token.
-    The slot's cache must be fresh (length 0).
+    ``start_len``: tokens already prefilled (0 for the first chunk; the
+    slot's cache length must equal it).  ``prompt_len``: the FULL true
+    prompt length; positions past it inside this chunk are padding.
+    Returns (logits of the prompt's last true token if it falls in this
+    chunk, else of the chunk's last row; updated cache).
     """
-    n_pad = tokens.shape[0]
-    positions = jnp.arange(n_pad)[None, :]
+    n_chunk = tokens.shape[0]
+    positions = (start_len + jnp.arange(n_chunk))[None, :]
     x = params["embed"][tokens[None, :]].astype(cfg.dtype)
 
-    # Slot view / write-back work generically over both cache classes
-    # (dense KVCache and QuantKVCache): rank-1 leaves are the per-slot
-    # lengths, everything else is [n_layers, B, ...].
+    # Slot view / write-back work generically over the cache classes:
+    # rank-1 leaves are the per-slot lengths, rank-2 the rolling position
+    # map, everything else is [n_layers, B, ...].
     def view(leaf):
         if leaf.ndim == 1:  # lengths [B]
-            return leaf[slot : slot + 1] * 0
-        if leaf.ndim == 2:  # rolling positions [B, C] (fresh slot: -1)
-            return jnp.full_like(leaf[slot : slot + 1], -1)
+            return leaf[slot : slot + 1] * 0 + start_len.astype(jnp.int32)
+        if leaf.ndim == 2:  # rolling positions [B, C]
+            return leaf[slot : slot + 1]
         return leaf[:, slot : slot + 1]
 
     slot_cache = jax.tree_util.tree_map(view, cache)
@@ -193,31 +196,70 @@ def prefill_slot(
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    new_len = jnp.minimum(prompt_len, start_len + n_chunk).astype(jnp.int32)
     if isinstance(slot_cache, RollingKVCache):
         # Record only the true prompt tokens' positions (padded rows past
-        # prompt_len stay invisible: their positions are not set).
+        # prompt_len stay invisible: their positions stay untouched/-1).
         cap = slot_cache.capacity
-        idx = jnp.arange(n_pad) % cap
-        vals = jnp.where(
-            jnp.arange(n_pad) < prompt_len, jnp.arange(n_pad), -1
-        )
+        pos_written = start_len + jnp.arange(n_chunk)
+        idx = pos_written % cap
+        vals = jnp.where(pos_written < prompt_len, pos_written, -1)
         slot_cache = slot_cache.__class__(
             k=slot_cache.k,
             v=slot_cache.v,
-            positions=slot_cache.positions.at[0, idx].set(vals),
+            positions=slot_cache.positions.at[0, idx].set(
+                vals.astype(jnp.int32)
+            ),
             lengths=slot_cache.lengths,
         )
 
     def write(buf, new):
         if buf.ndim == 1:
-            return buf.at[slot].set(prompt_len.astype(jnp.int32))
+            return buf.at[slot].set(new_len)
         if buf.ndim == 2:
             return buf.at[slot : slot + 1].set(new)
         return buf.at[:, slot : slot + 1].set(new)
 
     new_cache = jax.tree_util.tree_map(write, cache, slot_cache)
-    last = logits[0, prompt_len - 1]
+    last_idx = jnp.clip(prompt_len - start_len - 1, 0, n_chunk - 1)
+    last = logits[0, last_idx]
     return last, new_cache
+
+
+def prefill_slot(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,
+    prompt_len: jax.Array,
+    slot: int,
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill one slot with a (padded) prompt ``[N_pad]``.
+
+    ``prompt_len``: true prompt length (<= N_pad, N_pad % 128 == 0).
+    ``chunk``: process the prompt in chunks of this many tokens (bounds
+    per-dispatch latency and lets long prompts fit a rolling cache);
+    None = one chunk.  The slot's cache must be fresh (length 0).
+    Returns the next-token logits for the prompt's last true token.
+    """
+    n_pad = tokens.shape[0]
+    if chunk is None or chunk >= n_pad:
+        return prefill_chunk(
+            params, cfg, cache, tokens, jnp.int32(0), prompt_len, slot
+        )
+    if chunk % 128:
+        raise ValueError(f"chunk={chunk} must be a multiple of 128")
+    last = None
+    for start in range(0, n_pad, chunk):
+        piece = tokens[start : start + chunk]
+        logits, cache = prefill_chunk(
+            params, cfg, cache, piece, jnp.int32(start), prompt_len, slot
+        )
+        # Keep the chunk that contains the prompt's final true token.
+        if last is None or start < int(prompt_len):
+            last = logits
+    return last, cache
 
 
 def sample(

@@ -82,6 +82,9 @@ class DecodeEngine:
             if kv_quant:
                 raise NotImplementedError("rolling + quantized cache")
             cap = -(-cfg.attn_window // 128) * 128 + 128
+            # Rolling prefill must go in chunks of <= capacity - window
+            # so every chunk row's window is still resident when computed.
+            self._prefill_chunk = 128
             self.cache = init_rolling_cache(
                 cfg.n_layers,
                 max_batch,
@@ -111,6 +114,8 @@ class DecodeEngine:
                 cfg.head_dim,
                 dtype=cfg.dtype,
             )
+        if not rolling:
+            self._prefill_chunk = None
         self.slots: List[Optional[Request]] = [None] * max_batch
         # Device-resident per-slot state: the decode chain never
         # round-trips tokens through the host.
@@ -159,6 +164,7 @@ class DecodeEngine:
                 jnp.asarray(tokens),
                 jnp.int32(len(req.prompt)),
                 slot,
+                chunk=self._prefill_chunk,
             )
             self.key, sub = jax.random.split(self.key)
             tok = int(sample(logits, sub, req.temperature))

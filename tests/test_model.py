@@ -356,3 +356,45 @@ def test_rolling_cache_wraps_past_capacity(params_window):
     out = gen()
     assert len(out) == 40 and all(0 <= t < 256 for t in out)
     assert gen() == out
+
+
+def test_chunked_prefill_matches_single_shot(params):
+    """Chunked prefill produces the same logits and cache as one shot."""
+    prompt = jnp.asarray(list(range(3, 200, 2)), jnp.int32)  # 99 tokens
+    padded = jnp.pad(prompt, (0, 256 - prompt.shape[0]))
+
+    c1 = init_cache(CFG.n_layers, 1, CFG.n_kv_heads, 256, CFG.head_dim,
+                    dtype=CFG.dtype)
+    lg1, c1 = prefill_slot(
+        params, CFG, c1, padded, jnp.int32(prompt.shape[0]), 0
+    )
+    c2 = init_cache(CFG.n_layers, 1, CFG.n_kv_heads, 256, CFG.head_dim,
+                    dtype=CFG.dtype)
+    lg2, c2 = prefill_slot(
+        params, CFG, c2, padded, jnp.int32(prompt.shape[0]), 0, chunk=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg1), np.asarray(lg2), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1.k), np.asarray(c2.k), atol=1e-5
+    )
+    assert int(c1.lengths[0]) == int(c2.lengths[0]) == prompt.shape[0]
+
+
+def test_rolling_long_prompt_via_chunked_prefill(params_window):
+    """A prompt longer than the rolling capacity prefills in chunks."""
+    cfg = CFG_WINDOW  # window 32 -> capacity 256; prompt 300 > capacity
+    eng = DecodeEngine(
+        params_window, cfg, max_batch=1, max_len=512, rolling=True
+    )
+    rngp = np.random.default_rng(0)
+    prompt = rngp.integers(1, 256, 300).tolist()
+    eng.submit(Request(uid=0, prompt=prompt, max_new_tokens=8))
+    out = eng.run()[0]
+    assert len(out) == 8 and all(0 <= t < 256 for t in out)
+
+    # Cross-check against the dense windowed cache (ground truth).
+    eng2 = DecodeEngine(params_window, cfg, max_batch=1, max_len=512)
+    eng2.submit(Request(uid=0, prompt=prompt, max_new_tokens=8))
+    assert eng2.run()[0] == out
