@@ -289,3 +289,52 @@ def test_kv_positions_rolling_cache_mask(rng_key):
         q_offset=offs[:, None, None, None],
     )
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_feature_combination_fuzz(seed):
+    """Random combinations of GQA, window, segments, offsets vs oracle."""
+    import numpy as onp
+
+    from flash_attention_metal_tpu.config import SegmentIds
+    from flash_attention_metal_tpu.ops.attention import flash_attention
+
+    rng = onp.random.default_rng(seed)
+    n = int(rng.choice([256, 512]))
+    heads = int(rng.choice([2, 4]))
+    kv_heads = int(rng.choice([h for h in (1, 2, heads) if heads % h == 0]))
+    causal = True
+    window = int(rng.choice([0, n // 4, n]))
+    use_seg = bool(rng.choice([False, True]))
+
+    key = jax.random.PRNGKey(seed)
+    kq, kk, kv2 = jax.random.split(key, 3)
+    q = jax.random.uniform(kq, (2, heads, n, 64), jnp.float32, -1, 1)
+    k = jax.random.uniform(kk, (2, kv_heads, n, 64), jnp.float32, -1, 1)
+    v = jax.random.uniform(kv2, (2, kv_heads, n, 64), jnp.float32, -1, 1)
+
+    sids = None
+    if use_seg:
+        cut = n // 3
+        seg = jnp.concatenate(
+            [jnp.zeros(cut), jnp.ones(n - cut)]
+        ).astype(jnp.int32)
+        seg = jnp.stack([seg, seg + 5])
+        sids = SegmentIds(q=seg, kv=seg)
+
+    kwargs = dict(
+        causal=causal,
+        window=window or None,
+        segment_ids=sids,
+        interpret=INTERPRET,
+    )
+    got = flash_attention(q, k, v, **kwargs)
+    reps = heads // kv_heads
+    kr = jnp.repeat(k, reps, axis=1)
+    vr = jnp.repeat(v, reps, axis=1)
+    want = attention_reference(
+        q, kr, vr, causal=causal, window=window or None, segment_ids=sids
+    )
+    assert max_abs_diff(got, want) < TOL_FP32, (
+        n, heads, kv_heads, window, use_seg,
+    )
