@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..models.transformer import ModelConfig, Params
 from .decode import decode_and_sample, prefill_slot, sample
@@ -70,6 +71,8 @@ class DecodeEngine:
         harvest_lag: int = 16,
         kv_quant: Optional[str] = None,
         rolling: bool = False,
+        mesh: Optional[Mesh] = None,
+        batch_axis: str = "dp",
     ):
         self.params = params
         self.cfg = cfg
@@ -135,6 +138,39 @@ class DecodeEngine:
         self._inflight: deque = deque()  # (toks_dev, [uid or None per slot])
         self._active_dev = jnp.zeros((max_batch,), bool)
         self._occupancy_dirty = True
+        # Multi-device serving: shard the slot pool over the mesh's batch
+        # axis (params replicated); jit partitions decode_and_sample SPMD
+        # across devices -- each device serves max_batch/dp slots.  The
+        # host scheduler is unchanged.
+        self._mesh = mesh
+        if mesh is not None:
+            if max_batch % mesh.shape[batch_axis]:
+                raise ValueError(
+                    f"max_batch={max_batch} must divide over "
+                    f"{batch_axis}={mesh.shape[batch_axis]}"
+                )
+            repl = NamedSharding(mesh, PartitionSpec())
+
+            def shard_for(leaf):
+                # Batch is dim 0 for rank-1/2 leaves (lengths/positions/
+                # tokens), dim 1 for [n_layers, B, ...] cache leaves.
+                if leaf.ndim <= 2:
+                    return NamedSharding(mesh, PartitionSpec(batch_axis))
+                return NamedSharding(
+                    mesh, PartitionSpec(None, batch_axis)
+                )
+
+            self.params = jax.device_put(self.params, repl)
+            self.cache = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, shard_for(x)), self.cache
+            )
+            self.next_token = jax.device_put(
+                self.next_token, shard_for(self.next_token)
+            )
+            self.temps = jax.device_put(self.temps, shard_for(self.temps))
+            self._active_dev = jax.device_put(
+                self._active_dev, shard_for(self._active_dev)
+            )
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:

@@ -398,3 +398,23 @@ def test_rolling_long_prompt_via_chunked_prefill(params_window):
     eng2 = DecodeEngine(params_window, cfg, max_batch=1, max_len=512)
     eng2.submit(Request(uid=0, prompt=prompt, max_new_tokens=8))
     assert eng2.run()[0] == out
+
+
+def test_engine_sharded_over_mesh_matches_single_device(params):
+    """SPMD serving: slot pool sharded over a dp mesh == single-device."""
+    from flash_attention_metal_tpu.parallel import make_mesh
+
+    def run(mesh):
+        eng = DecodeEngine(
+            params, CFG, max_batch=4, max_len=256, mesh=mesh
+        )
+        for uid in range(6):  # queueing + slot reuse across devices
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=6)
+            )
+        return eng.run()
+
+    single = run(None)
+    mesh = make_mesh((4, 1, 1), devices=jax.devices()[:4])  # 4-way dp
+    sharded = run(mesh)
+    assert single == sharded
