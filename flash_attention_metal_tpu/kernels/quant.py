@@ -122,6 +122,7 @@ def _quant_fwd_kernel(
     vq_ref,
     ks_ref,
     vs_ref,
+    kvpos_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -130,6 +131,7 @@ def _quant_fwd_kernel(
     *,
     sm_scale: float,
     causal: bool,
+    window,
     block_q: int,
     block_k: int,
     num_kv: int,
@@ -148,9 +150,15 @@ def _quant_fwd_kernel(
 
     if causal:
         q_offset = off_ref[pl.program_id(0)]
+    if causal and kvpos_ref is None:
         should_run = (
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_k
         )
+        if window is not None:
+            should_run &= (
+                (kv_idx + 1) * block_k - 1
+                >= q_idx * block_q + q_offset - window + 1
+            )
     else:
         should_run = True
 
@@ -174,7 +182,19 @@ def _quant_fwd_kernel(
         # (column-wise, one pass): the softmax below is a raw exp2.
         s = s * (k_scale * (sm_scale * _LOG2E))
 
-        if causal:
+        if kvpos_ref is not None:
+            # Position-space masking for rolling quantized caches.
+            rowpos = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            kvpos = kvpos_ref[0, :1, :]
+            visible = (kvpos <= rowpos) & (kvpos >= 0)
+            if window is not None:
+                visible &= kvpos > rowpos - window
+            s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
+        elif causal:
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 + q_idx * block_q
@@ -184,7 +204,10 @@ def _quant_fwd_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 + kv_idx * block_k
             )
-            s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+            visible = col <= row
+            if window is not None:
+                visible &= col > row - window
+            s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
         # Lagged-base update (flash_fwd._lazy analog): exponentiate
         # against the previous block's base so the max reduce overlaps
@@ -225,15 +248,24 @@ def _quant_fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "block_sizes", "save_lse", "interpret"),
+    static_argnames=(
+        "sm_scale",
+        "causal",
+        "window",
+        "block_sizes",
+        "save_lse",
+        "interpret",
+    ),
 )
 def flash_attention_quant(
     q: jax.Array,
     qkv: QuantizedKV,
     q_offset=None,
+    kv_positions: Optional[jax.Array] = None,
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
+    window: Optional[int] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     interpret: bool = False,
@@ -273,22 +305,44 @@ def flash_attention_quant(
     q_offset = jnp.asarray(q_offset, jnp.int32)
     q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
-    kernel = functools.partial(
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+    if kv_positions is not None and not causal:
+        raise ValueError("kv_positions requires causal=True")
+    has_pos = kv_positions is not None
+
+    bound = functools.partial(
         _quant_fwd_kernel,
         sm_scale=sm_scale,
         causal=causal,
+        window=window,
         block_q=block_q,
         block_k=block_k,
         num_kv=num_kv,
         save_lse=save_lse,
     )
-    bound = kernel
-    if not save_lse:
 
-        def kernel(off_r, q_r, kq_r, vq_r, ks_r, vs_r, o_r, m_s, l_s, acc_s):
-            return bound(
-                off_r, q_r, kq_r, vq_r, ks_r, vs_r, o_r, None, m_s, l_s, acc_s
-            )
+    def kernel(off_ref, *rest):
+        # Optional-arg shim (kv positions input, LSE output).
+        q_r, kq_r, vq_r, ks_r, vs_r = rest[:5]
+        i = 5
+        kvpos_r = None
+        if has_pos:
+            kvpos_r = rest[i]
+            i += 1
+        o_r = rest[i]
+        i += 1
+        lse_r = None
+        if save_lse:
+            lse_r = rest[i]
+            i += 1
+        m_s, l_s, acc_s = rest[i : i + 3]
+        return bound(
+            off_ref, q_r, kq_r, vq_r, ks_r, vs_r, kvpos_r, o_r, lse_r,
+            m_s, l_s, acc_s,
+        )
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
@@ -306,17 +360,47 @@ def flash_attention_quant(
             )
         )
 
-    if causal:
+    if causal and not has_pos:
         # Above-diagonal steps re-reference the diagonal block so their
         # HBM->VMEM DMAs are elided (flash_fwd clamp analog).
         def kv_map(b, h, i, j, off_ref):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k
-            j_eff = jnp.clip(jnp.minimum(j, diag), 0, num_kv - 1)
+            j_eff = jnp.minimum(j, diag)
+            if window is not None:
+                j_min = (i * block_q + off_ref[b] - window + 1) // block_k
+                j_eff = jnp.maximum(j_eff, j_min)
+            j_eff = jnp.clip(j_eff, 0, num_kv - 1)
             return (b, h // kv_group, j_eff, 0)
 
     else:
         def kv_map(b, h, i, j, *_):
             return (b, h // kv_group, j, 0)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+        ),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
+        pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
+        pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
+    ]
+    inputs = [q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale]
+    if has_pos:
+        from ..config import NUM_SUBLANES
+
+        kvpos = jax.lax.broadcast_in_dim(
+            kv_positions.astype(jnp.int32),
+            (batch, NUM_SUBLANES, n_kv),
+            (0, 2),
+        )
+
+        def kvpos_map(b, h, i, j, *args):
+            bb, hh, jj, _ = kv_map(b, h, i, j, *args)
+            return (bb, 0, jj)
+
+        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, block_k), kvpos_map))
+        inputs.append(kvpos)
 
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     results = pl.pallas_call(
@@ -325,16 +409,7 @@ def flash_attention_quant(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, head_dim),
-                    lambda b, h, i, j, *_: (b, h, i, 0),
-                ),
-                pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
-                pl.BlockSpec((1, 1, block_k, head_dim), kv_map),
-                pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
-                pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_map),
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -358,7 +433,7 @@ def flash_attention_quant(
             transcendentals=batch * heads * n_q * n_kv // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(q_offset, q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale)
+    )(q_offset, *inputs)
 
     if save_lse:
         return results[0], results[1]

@@ -30,9 +30,11 @@ from .kv_cache import (
     KVCache,
     QuantKVCache,
     RollingKVCache,
+    RollingQuantKVCache,
     append_tokens,
     append_tokens_quant,
     append_tokens_rolling,
+    append_tokens_rolling_quant,
     bump_lengths,
     bump_rolling_positions,
 )
@@ -82,6 +84,36 @@ def _attn_with_cache(
             window=cfg.attn_window,
             block_sizes=cfg.block_sizes,
         )
+    elif isinstance(cache, RollingQuantKVCache):
+        # 8-bit rolling window cache: quantize at append, mask in
+        # position space.
+        if cfg.attn_window is None:
+            raise ValueError("RollingQuantKVCache requires cfg.attn_window")
+        cache = append_tokens_rolling_quant(cache, layer_idx, k, v)
+        cap = cache.capacity
+        idx = (cache.lengths[:, None] + jnp.arange(t_new)[None, :]) % cap
+        pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
+            st + jnp.arange(t_new)
+        ))(cache.positions, idx, cache.lengths)
+        qkv_q = QuantizedKV(
+            k_q=cache.k_q[layer_idx],
+            v_q=cache.v_q[layer_idx],
+            k_scale=cache.k_scale[layer_idx].reshape(
+                x.shape[0], cfg.n_kv_heads, cap // 128, 128
+            ),
+            v_scale=cache.v_scale[layer_idx].reshape(
+                x.shape[0], cfg.n_kv_heads, cap // 128, 128
+            ),
+        )
+        o = flash_attention_quant(
+            q,
+            qkv_q,
+            cache.lengths,
+            pos_eff,
+            causal=True,
+            window=cfg.attn_window,
+            interpret=jax.default_backend() != "tpu",
+        )
     elif isinstance(cache, QuantKVCache):
         # 8-bit cache path: tokens were quantized at append; attention
         # reads 8-bit KV + per-token scales (``kernels/quant.py``).
@@ -98,15 +130,12 @@ def _attn_with_cache(
                 x.shape[0], cfg.n_kv_heads, n_cache // 128, 128
             ),
         )
-        if cfg.attn_window is not None:
-            raise NotImplementedError(
-                "sliding window with a quantized cache is not wired yet"
-            )
         o = flash_attention_quant(
             q,
             qkv_q,
             cache.lengths,
             causal=True,
+            window=cfg.attn_window,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -147,7 +176,7 @@ def decode_step(
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
-    if isinstance(cache, RollingKVCache):
+    if isinstance(cache, (RollingKVCache, RollingQuantKVCache)):
         cache = bump_rolling_positions(cache, 1, active)
     else:
         cache = bump_lengths(cache, 1, active)
@@ -197,20 +226,20 @@ def prefill_chunk(
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
     new_len = jnp.minimum(prompt_len, start_len + n_chunk).astype(jnp.int32)
-    if isinstance(slot_cache, RollingKVCache):
+    if isinstance(slot_cache, (RollingKVCache, RollingQuantKVCache)):
         # Record only the true prompt tokens' positions (padded rows past
         # prompt_len stay invisible: their positions stay untouched/-1).
+        import dataclasses as _dc
+
         cap = slot_cache.capacity
         pos_written = start_len + jnp.arange(n_chunk)
         idx = pos_written % cap
         vals = jnp.where(pos_written < prompt_len, pos_written, -1)
-        slot_cache = slot_cache.__class__(
-            k=slot_cache.k,
-            v=slot_cache.v,
+        slot_cache = _dc.replace(
+            slot_cache,
             positions=slot_cache.positions.at[0, idx].set(
                 vals.astype(jnp.int32)
             ),
-            lengths=slot_cache.lengths,
         )
 
     def write(buf, new):

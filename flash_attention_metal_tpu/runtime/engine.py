@@ -26,6 +26,7 @@ from .kv_cache import (
     init_cache,
     init_quant_cache,
     init_rolling_cache,
+    init_rolling_quant_cache,
     reset_slot,
 )
 
@@ -82,20 +83,29 @@ class DecodeEngine:
             # O(window) rolling cache for sliding-window models.
             if cfg.attn_window is None:
                 raise ValueError("rolling=True requires cfg.attn_window")
-            if kv_quant:
-                raise NotImplementedError("rolling + quantized cache")
             cap = -(-cfg.attn_window // 128) * 128 + 128
             # Rolling prefill must go in chunks of <= capacity - window
             # so every chunk row's window is still resident when computed.
             self._prefill_chunk = 128
-            self.cache = init_rolling_cache(
-                cfg.n_layers,
-                max_batch,
-                cfg.n_kv_heads,
-                cap,
-                cfg.head_dim,
-                dtype=cfg.dtype,
-            )
+            if kv_quant:
+                qdt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_quant]
+                self.cache = init_rolling_quant_cache(
+                    cfg.n_layers,
+                    max_batch,
+                    cfg.n_kv_heads,
+                    cap,
+                    cfg.head_dim,
+                    dtype=qdt,
+                )
+            else:
+                self.cache = init_rolling_cache(
+                    cfg.n_layers,
+                    max_batch,
+                    cfg.n_kv_heads,
+                    cap,
+                    cfg.head_dim,
+                    dtype=cfg.dtype,
+                )
         elif kv_quant:
             # 8-bit KV cache (BASELINE config 5): int8 is the production
             # format on v5e; "fp8" maps to e4m3 for chips with native fp8.

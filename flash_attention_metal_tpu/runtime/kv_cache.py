@@ -327,3 +327,107 @@ def bump_rolling_positions(
         positions=positions,
         lengths=cache.lengths + jnp.where(mask, t_new, 0).astype(jnp.int32),
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RollingQuantKVCache:
+    """8-bit rolling window cache: quantized storage + position map."""
+
+    k_q: jax.Array
+    v_q: jax.Array
+    k_scale: jax.Array  # [n_layers, B, H_kv, capacity]
+    v_scale: jax.Array
+    positions: jax.Array  # [B, capacity]
+    lengths: jax.Array
+
+    def tree_flatten(self):
+        return (
+            self.k_q,
+            self.v_q,
+            self.k_scale,
+            self.v_scale,
+            self.positions,
+            self.lengths,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return self.k_q.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k_q.shape[1]
+
+
+def init_rolling_quant_cache(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    capacity: int,
+    head_dim: int,
+    dtype=jnp.int8,
+) -> RollingQuantKVCache:
+    if capacity % 128:
+        raise ValueError(f"capacity={capacity} must be a multiple of 128")
+    shape = (n_layers, batch, n_kv_heads, capacity, head_dim)
+    return RollingQuantKVCache(
+        k_q=jnp.zeros(shape, dtype),
+        v_q=jnp.zeros(shape, dtype),
+        k_scale=jnp.ones(shape[:-1], jnp.float32),
+        v_scale=jnp.ones(shape[:-1], jnp.float32),
+        positions=jnp.full((batch, capacity), -1, jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def append_tokens_rolling_quant(
+    cache: RollingQuantKVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> RollingQuantKVCache:
+    """Quantize + insert at the wrapped write head (T <= capacity)."""
+    from ..kernels.quant import _QMAX
+
+    t_new = k_new.shape[2]
+    cap = cache.capacity
+    if t_new > cap:
+        raise ValueError(
+            f"append of {t_new} tokens exceeds rolling capacity {cap}"
+        )
+    qdtype = cache.k_q.dtype
+    qmax = _QMAX[jnp.dtype(qdtype)]
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / qmax
+        xf = x.astype(jnp.float32) / scale
+        if jnp.dtype(qdtype) == jnp.int8.dtype:
+            xq = jnp.clip(jnp.round(xf), -qmax, qmax).astype(qdtype)
+        else:
+            xq = xf.astype(qdtype)
+        return xq, scale[..., 0]
+
+    kq_new, ks_new = quant(k_new)
+    vq_new, vs_new = quant(v_new)
+
+    def put(buf, new, start):
+        idx = (start + jnp.arange(t_new)) % cap
+        return buf.at[:, idx].set(new)
+
+    k_l = jax.vmap(put)(cache.k_q[layer], kq_new, cache.lengths)
+    v_l = jax.vmap(put)(cache.v_q[layer], vq_new, cache.lengths)
+    ks_l = jax.vmap(put)(cache.k_scale[layer], ks_new, cache.lengths)
+    vs_l = jax.vmap(put)(cache.v_scale[layer], vs_new, cache.lengths)
+    return dataclasses.replace(
+        cache,
+        k_q=cache.k_q.at[layer].set(k_l),
+        v_q=cache.v_q.at[layer].set(v_l),
+        k_scale=cache.k_scale.at[layer].set(ks_l),
+        v_scale=cache.v_scale.at[layer].set(vs_l),
+    )
