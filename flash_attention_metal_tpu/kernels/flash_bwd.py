@@ -58,6 +58,7 @@ def _dkv_kernel(
     block_kv: int,
     num_q_blocks: int,
     window,
+    sinks,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
@@ -75,11 +76,15 @@ def _dkv_kernel(
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
         )
         if window is not None:
-            # ...and the block's last column is inside some row's window.
-            should_run &= (
+            # ...and the block's last column is inside some row's window
+            # (or the block holds sink positions).
+            in_window = (
                 (kv_idx + 1) * block_kv - 1
                 >= q_idx * block_q + q_offset - window + 1
             )
+            if sinks:
+                in_window |= kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -115,7 +120,10 @@ def _dkv_kernel(
             )
             visible = col <= row
             if window is not None:
-                visible &= col > row - window
+                keep = col > row - window
+                if sinks:
+                    keep |= col < sinks
+                visible &= keep
             p = jnp.where(visible, p, 0.0)
         if qseg_ref is not None:
             qs = jnp.tile(qseg_ref[0], (1, p.shape[1] // NUM_LANES))
@@ -175,6 +183,7 @@ def _dq_kernel(
     block_kv: int,
     num_kv_blocks: int,
     window,
+    sinks,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -189,10 +198,13 @@ def _dq_kernel(
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
         )
         if window is not None:
-            should_run &= (
+            in_window = (
                 (kv_idx + 1) * block_kv - 1
                 >= q_idx * block_q + q_offset - window + 1
             )
+            if sinks:
+                in_window |= kv_idx * block_kv < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -226,7 +238,10 @@ def _dq_kernel(
             )
             visible = col <= row
             if window is not None:
-                visible &= col > row - window
+                keep = col > row - window
+                if sinks:
+                    keep |= col < sinks
+                visible &= keep
             p = jnp.where(visible, p, 0.0)
         if qseg_ref is not None:
             qs = jnp.tile(qseg_ref[0], (1, p.shape[1] // NUM_LANES))
@@ -256,7 +271,14 @@ def _dq_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "window", "block_sizes", "interpret"),
+    static_argnames=(
+        "sm_scale",
+        "causal",
+        "window",
+        "sinks",
+        "block_sizes",
+        "interpret",
+    ),
 )
 def flash_attention_bwd(
     q: jax.Array,
@@ -270,6 +292,7 @@ def flash_attention_bwd(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     window: Optional[int] = None,
+    sinks: int = 0,
     segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: bool = False,
@@ -330,9 +353,11 @@ def flash_attention_bwd(
         def q_block_map(b, h, j, i, off_ref):
             i_min = (j * bkv - off_ref[b]) // bq
             i_eff = jnp.maximum(i, i_min)
-            if window is not None:
+            if window is not None and not (sinks and True):
                 # Q blocks whose windows have slid past this KV block
                 # re-map to the last contributing Q block (DMA elided).
+                # (Sink KV blocks are visible to every later Q block, so
+                # no upper clamp applies when sinks are on.)
                 i_max = ((j + 1) * bkv + window - off_ref[b] - 2) // bq
                 i_eff = jnp.minimum(i_eff, i_max)
             i_eff = jnp.clip(i_eff, 0, num_q_blocks - 1)
@@ -354,6 +379,7 @@ def flash_attention_bwd(
         block_kv=bkv,
         num_q_blocks=num_q_blocks,
         window=window,
+        sinks=int(sinks),
     )
     if has_seg:
         dkv_kernel = dkv_bound
@@ -433,7 +459,7 @@ def flash_attention_bwd(
         def kv_block_map(b, h, i, j, off_ref):
             diag = ((i + 1) * bq - 1 + off_ref[b]) // bkv
             j_eff = jnp.minimum(j, diag)
-            if window is not None:
+            if window is not None and not sinks:
                 j_min = (i * bq + off_ref[b] - window + 1) // bkv
                 j_eff = jnp.maximum(j_eff, j_min)
             j_eff = jnp.clip(j_eff, 0, num_kv_blocks - 1)
@@ -451,6 +477,7 @@ def flash_attention_bwd(
         block_kv=bkv,
         num_kv_blocks=num_kv_blocks,
         window=window,
+        sinks=int(sinks),
     )
     if has_seg:
         dq_kernel = dq_bound

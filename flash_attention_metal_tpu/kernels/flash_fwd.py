@@ -101,6 +101,7 @@ def _fwd_kernel(
     save_lse: bool,
     lazy_softmax: bool,
     window,
+    sinks,
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
@@ -131,7 +132,11 @@ def _fwd_kernel(
             kvpos = kvpos_ref[0, :1, start : start + s.shape[1]]
             visible = (kvpos <= rowpos) & (kvpos >= 0)
             if window is not None:
-                visible &= kvpos > rowpos - window
+                keep = kvpos > rowpos - window
+                if sinks:
+                    # Attention sinks stay visible beyond the window.
+                    keep |= kvpos < sinks
+                visible &= keep
         elif causal:
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -146,7 +151,10 @@ def _fwd_kernel(
             visible = col <= row
             if window is not None:
                 # Sliding window: only the last ``window`` keys count.
-                visible &= col > row - window
+                keep = col > row - window
+                if sinks:
+                    keep |= col < sinks
+                visible &= keep
         if qseg_ref is not None:
             # Packed sequences: equal segment ids only.  Layouts follow
             # the lane-replicated convention: q ids [block_q, LANES],
@@ -226,11 +234,15 @@ def _fwd_kernel(
             (q_idx + 1) * block_q - 1 + q_offset >= kv_major * block_k_major
         )
         if window is not None:
-            # ...and its last column is inside the first row's window.
-            should_run &= (
+            # ...and its last column is inside the first row's window (or
+            # the block holds sink positions).
+            in_window = (
                 (kv_major + 1) * block_k_major - 1
                 >= q_idx * block_q + q_offset - window + 1
             )
+            if sinks:
+                in_window |= kv_major * block_k_major < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -469,6 +481,7 @@ def _fwd_lean(
         "sm_scale",
         "causal",
         "window",
+        "sinks",
         "block_sizes",
         "save_lse",
         "lazy_softmax",
@@ -485,6 +498,7 @@ def flash_attention_fwd(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     window: Optional[int] = None,
+    sinks: int = 0,
     segment_ids=None,
     kv_positions: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
@@ -611,6 +625,7 @@ def flash_attention_fwd(
         save_lse=save_lse,
         lazy_softmax=lazy_softmax,
         window=window,
+        sinks=int(sinks),
     )
     has_seg = segment_ids is not None
     has_pos = kv_positions is not None
@@ -684,9 +699,11 @@ def flash_attention_fwd(
         def kv_block_map(b, h, i, j, off_ref):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k_major
             j_eff = jnp.minimum(j, diag)
-            if window is not None:
+            if window is not None and not sinks:
                 # Blocks entirely below the sliding window re-map to the
-                # first in-window block (DMA elided like the diagonal clamp).
+                # first in-window block (DMA elided like the diagonal
+                # clamp).  With sinks the leading blocks stay live, so no
+                # lower clamp applies.
                 j_min = (
                     i * block_q + off_ref[b] - window + 1
                 ) // block_k_major

@@ -46,6 +46,8 @@ class ModelConfig:
     attn_impl: str = "auto"
     # Sliding-window (local) attention; None = full causal.
     attn_window: Optional[int] = None
+    # Attention sinks: first N positions stay visible beyond the window.
+    attn_sinks: int = 0
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -157,6 +159,7 @@ def attention_block(
         q_offset=q_offset,
         causal=True,
         window=cfg.attn_window,
+        sinks=cfg.attn_sinks,
         block_sizes=cfg.block_sizes,
         impl=cfg.attn_impl,
     )

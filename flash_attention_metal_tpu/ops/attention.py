@@ -38,10 +38,10 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash(
-    q, k, v, q_offset, segment_ids, causal, window, sm_scale, block_sizes,
-    interpret,
+    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
+    block_sizes, interpret,
 ):
     return flash_attention_fwd(
         q,
@@ -51,6 +51,7 @@ def _flash(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        sinks=sinks,
         segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=False,
@@ -59,8 +60,8 @@ def _flash(
 
 
 def _flash_fwd_rule(
-    q, k, v, q_offset, segment_ids, causal, window, sm_scale, block_sizes,
-    interpret,
+    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
+    block_sizes, interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -70,6 +71,7 @@ def _flash_fwd_rule(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        sinks=sinks,
         segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=True,
@@ -79,7 +81,7 @@ def _flash_fwd_rule(
 
 
 def _flash_bwd_rule(
-    causal, window, sm_scale, block_sizes, interpret, residuals, do
+    causal, window, sinks, sm_scale, block_sizes, interpret, residuals, do
 ):
     q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
     # The forward runs GQA natively (KV index maps fold the head group);
@@ -99,6 +101,7 @@ def _flash_bwd_rule(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        sinks=sinks,
         segment_ids=segment_ids,
         block_sizes=block_sizes,
         interpret=interpret,
@@ -144,6 +147,7 @@ def flash_attention(
     *,
     causal: bool = False,
     window: Optional[int] = None,
+    sinks: int = 0,
     kv_positions: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
@@ -166,6 +170,8 @@ def flash_attention(
         skipped and their DMAs elided.
       segment_ids: optional ``config.SegmentIds`` for packed sequences
         (tokens attend only within equal ids).
+      sinks: with window, keep the first ``sinks`` positions visible
+        beyond the window (attention sinks / streaming-LLM).
       kv_positions: optional ``[B, N_kv]`` int32 slot-position map for
         rolling (wrapped) KV caches; switches causal/window masking to
         position space.  Forward-only (serving path).
@@ -207,6 +213,7 @@ def flash_attention(
             sm_scale=sm_scale,
             causal=causal,
             window=window,
+            sinks=sinks,
             kv_positions=kv_positions,
             block_sizes=block_sizes,
             save_lse=save_lse,
@@ -224,6 +231,7 @@ def flash_attention(
                 sm_scale=sm_scale,
                 q_offset=q_offset,
                 window=window,
+                sinks=sinks,
             )
         return attention_reference(
             q,
@@ -233,6 +241,7 @@ def flash_attention(
             sm_scale=sm_scale,
             q_offset=q_offset,
             window=window,
+            sinks=sinks,
             segment_ids=segment_ids,
         )
     if impl != "pallas":
@@ -249,6 +258,7 @@ def flash_attention(
             sm_scale=sm_scale,
             causal=causal,
             window=window,
+            sinks=sinks,
             segment_ids=segment_ids,
             block_sizes=block_sizes,
             save_lse=True,
@@ -263,6 +273,7 @@ def flash_attention(
         segment_ids,
         causal,
         window,
+        sinks,
         sm_scale,
         block_sizes,
         interpret,

@@ -36,6 +36,7 @@ def attention_reference(
     q_offset: Optional[jax.Array] = None,
     window: Optional[int] = None,
     segment_ids=None,
+    sinks: int = 0,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
@@ -66,7 +67,12 @@ def attention_reference(
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
         if window is not None:
-            s = jnp.where(col > row - window, s, -jnp.inf)
+            keep = col > row - window
+            if sinks:
+                # Attention sinks (streaming-LLM): the first ``sinks``
+                # positions stay visible beyond the window.
+                keep |= col < sinks
+            s = jnp.where(keep, s, -jnp.inf)
     if segment_ids is not None:
         seg = segment_ids.q[..., :, None] == segment_ids.kv[..., None, :]
         # [B, nq, nkv] -> broadcast over heads.
@@ -92,6 +98,7 @@ def attention_reference_with_lse(
     sm_scale: Optional[float] = None,
     q_offset: Optional[jax.Array] = None,
     window: Optional[int] = None,
+    sinks: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward oracle that also returns the logsumexp L = m + log(l).
 
@@ -112,7 +119,10 @@ def attention_reference_with_lse(
         col = jnp.arange(n_kv)[None, :]
         s = jnp.where(col <= row, s, -jnp.inf)
         if window is not None:
-            s = jnp.where(col > row - window, s, -jnp.inf)
+            keep = col > row - window
+            if sinks:
+                keep |= col < sinks
+            s = jnp.where(keep, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)

@@ -70,7 +70,13 @@ def _attn_with_cache(
             raise ValueError("RollingKVCache requires cfg.attn_window")
         cache = append_tokens_rolling(cache, layer_idx, k, v)
         cap = cache.capacity
-        idx = (cache.lengths[:, None] + jnp.arange(t_new)[None, :]) % cap
+        from .kv_cache import rolling_slots
+
+        idx = rolling_slots(
+            cache.lengths[:, None] + jnp.arange(t_new)[None, :],
+            cap,
+            cache.sinks,
+        )
         pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
             st + jnp.arange(t_new)
         ))(cache.positions, idx, cache.lengths)
@@ -82,6 +88,7 @@ def _attn_with_cache(
             kv_positions=pos_eff,
             causal=True,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
             block_sizes=cfg.block_sizes,
         )
     elif isinstance(cache, RollingQuantKVCache):
@@ -89,9 +96,17 @@ def _attn_with_cache(
         # position space.
         if cfg.attn_window is None:
             raise ValueError("RollingQuantKVCache requires cfg.attn_window")
+        if cfg.attn_sinks:
+            raise NotImplementedError("sinks + quantized cache not wired")
         cache = append_tokens_rolling_quant(cache, layer_idx, k, v)
         cap = cache.capacity
-        idx = (cache.lengths[:, None] + jnp.arange(t_new)[None, :]) % cap
+        from .kv_cache import rolling_slots
+
+        idx = rolling_slots(
+            cache.lengths[:, None] + jnp.arange(t_new)[None, :],
+            cap,
+            cache.sinks,
+        )
         pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
             st + jnp.arange(t_new)
         ))(cache.positions, idx, cache.lengths)
@@ -147,6 +162,7 @@ def _attn_with_cache(
             q_offset=cache.lengths,
             causal=True,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
             block_sizes=cfg.block_sizes,
             impl=cfg.attn_impl,
         )
@@ -231,9 +247,11 @@ def prefill_chunk(
         # prompt_len stay invisible: their positions stay untouched/-1).
         import dataclasses as _dc
 
+        from .kv_cache import rolling_slots
+
         cap = slot_cache.capacity
         pos_written = start_len + jnp.arange(n_chunk)
-        idx = pos_written % cap
+        idx = rolling_slots(pos_written, cap, slot_cache.sinks)
         vals = jnp.where(pos_written < prompt_len, pos_written, -1)
         slot_cache = _dc.replace(
             slot_cache,

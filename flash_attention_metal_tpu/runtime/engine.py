@@ -83,7 +83,7 @@ class DecodeEngine:
             # O(window) rolling cache for sliding-window models.
             if cfg.attn_window is None:
                 raise ValueError("rolling=True requires cfg.attn_window")
-            cap = -(-cfg.attn_window // 128) * 128 + 128
+            cap = -(-(cfg.attn_window + cfg.attn_sinks) // 128) * 128 + 128
             # Rolling prefill must go in chunks of <= capacity - window
             # so every chunk row's window is still resident when computed.
             self._prefill_chunk = 128
@@ -96,6 +96,7 @@ class DecodeEngine:
                     cap,
                     cfg.head_dim,
                     dtype=qdt,
+                    sinks=cfg.attn_sinks,
                 )
             else:
                 self.cache = init_rolling_cache(
@@ -105,6 +106,7 @@ class DecodeEngine:
                     cap,
                     cfg.head_dim,
                     dtype=cfg.dtype,
+                    sinks=cfg.attn_sinks,
                 )
         elif kv_quant:
             # 8-bit KV cache (BASELINE config 5): int8 is the production

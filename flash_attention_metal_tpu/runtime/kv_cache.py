@@ -224,6 +224,19 @@ def append_tokens_quant(
 # ---------------------------------------------------------------------------
 
 
+def rolling_slots(pos, capacity: int, sinks: int = 0):
+    """Slot index for global position ``pos`` in a rolling cache.
+
+    The first ``sinks`` positions are pinned (attention sinks); the rest
+    of the capacity is a wrap-around region for the sliding window.
+    """
+    if sinks:
+        return jnp.where(
+            pos < sinks, pos, sinks + (pos - sinks) % (capacity - sinks)
+        )
+    return pos % capacity
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RollingKVCache:
@@ -241,13 +254,14 @@ class RollingKVCache:
     v: jax.Array
     positions: jax.Array
     lengths: jax.Array
+    sinks: int = 0  # static: pinned attention-sink positions
 
     def tree_flatten(self):
-        return (self.k, self.v, self.positions, self.lengths), None
+        return (self.k, self.v, self.positions, self.lengths), self.sinks
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, sinks=aux)
 
     @property
     def capacity(self) -> int:
@@ -265,6 +279,7 @@ def init_rolling_cache(
     capacity: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    sinks: int = 0,
 ) -> RollingKVCache:
     if capacity % 128:
         raise ValueError(f"capacity={capacity} must be a multiple of 128")
@@ -274,6 +289,7 @@ def init_rolling_cache(
         v=jnp.zeros(shape, dtype),
         positions=jnp.full((batch, capacity), -1, jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
+        sinks=sinks,
     )
 
 
@@ -298,7 +314,7 @@ def append_tokens_rolling(
 
     def put(buf, new, start):
         # buf [H, C, D], new [H, T, D]: scatter rows at wrapped indices.
-        idx = (start + jnp.arange(t_new)) % cap
+        idx = rolling_slots(start + jnp.arange(t_new), cap, cache.sinks)
         return buf.at[:, idx, :].set(new)
 
     k_l = jax.vmap(put)(cache.k[layer], k_new, cache.lengths)
@@ -316,8 +332,10 @@ def bump_rolling_positions(
     """Record the positions just written and advance lengths (masked)."""
     cap = cache.capacity
 
+    sinks = getattr(cache, "sinks", 0)
+
     def put(posrow, start):
-        idx = (start + jnp.arange(t_new)) % cap
+        idx = rolling_slots(start + jnp.arange(t_new), cap, sinks)
         return posrow.at[idx].set(start + jnp.arange(t_new))
 
     new_pos = jax.vmap(put)(cache.positions, cache.lengths)
@@ -340,6 +358,7 @@ class RollingQuantKVCache:
     v_scale: jax.Array
     positions: jax.Array  # [B, capacity]
     lengths: jax.Array
+    sinks: int = 0
 
     def tree_flatten(self):
         return (
@@ -349,11 +368,11 @@ class RollingQuantKVCache:
             self.v_scale,
             self.positions,
             self.lengths,
-        ), None
+        ), self.sinks
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, sinks=aux)
 
     @property
     def capacity(self) -> int:
@@ -371,6 +390,7 @@ def init_rolling_quant_cache(
     capacity: int,
     head_dim: int,
     dtype=jnp.int8,
+    sinks: int = 0,
 ) -> RollingQuantKVCache:
     if capacity % 128:
         raise ValueError(f"capacity={capacity} must be a multiple of 128")
@@ -382,6 +402,7 @@ def init_rolling_quant_cache(
         v_scale=jnp.ones(shape[:-1], jnp.float32),
         positions=jnp.full((batch, capacity), -1, jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
+        sinks=sinks,
     )
 
 
@@ -417,7 +438,7 @@ def append_tokens_rolling_quant(
     vq_new, vs_new = quant(v_new)
 
     def put(buf, new, start):
-        idx = (start + jnp.arange(t_new)) % cap
+        idx = rolling_slots(start + jnp.arange(t_new), cap, cache.sinks)
         return buf.at[:, idx].set(new)
 
     k_l = jax.vmap(put)(cache.k_q[layer], kq_new, cache.lengths)

@@ -338,3 +338,53 @@ def test_feature_combination_fuzz(seed):
     assert max_abs_diff(got, want) < TOL_FP32, (
         n, heads, kv_heads, window, use_seg,
     )
+
+
+def test_sinks_beyond_window(rng_key):
+    """Attention sinks stay visible past the sliding window (fwd)."""
+    n = 512
+    q, k, v = make_qkv(rng_key, (1, 2, n, 64))
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, causal=True, window=100, sinks=4, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(q, k, v, causal=True, window=100, sinks=4)
+    assert max_abs_diff(got, want) < TOL_FP32
+    # Sanity: differs from the no-sink result.
+    nosink = flash_attention_fwd(
+        q, k, v, causal=True, window=100, block_sizes=bs, interpret=INTERPRET
+    )
+    assert max_abs_diff(got, nosink) > 1e-3
+
+
+def test_sinks_rolling_cache_positions(rng_key):
+    """Sink-pinned slots + wrapped window slots vs the linear oracle."""
+    from flash_attention_metal_tpu.runtime.kv_cache import rolling_slots
+
+    C, cur, W, S = 256, 400, 120, 8
+    kq, kk, kv2 = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (1, 2, 128, 64), jnp.float32, -1, 1)
+    hist_k = jax.random.uniform(kk, (1, 2, cur, 64), jnp.float32, -1, 1)
+    hist_v = jax.random.uniform(kv2, (1, 2, cur, 64), jnp.float32, -1, 1)
+
+    slots = np.asarray(rolling_slots(jnp.arange(cur), C, S))
+    kcache = np.zeros((1, 2, C, 64), np.float32)
+    vcache = np.zeros((1, 2, C, 64), np.float32)
+    pos = -np.ones((1, C), np.int32)
+    kcache[:, :, slots] = np.asarray(hist_k)
+    vcache[:, :, slots] = np.asarray(hist_v)
+    pos[:, slots] = np.arange(cur)
+
+    offs = jnp.asarray([cur - 128], jnp.int32)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, jnp.asarray(kcache), jnp.asarray(vcache), offs,
+        causal=True, window=W, sinks=S, kv_positions=jnp.asarray(pos),
+        block_sizes=bs, interpret=INTERPRET,
+    )
+    want = attention_reference(
+        q, hist_k, hist_v, causal=True, window=W, sinks=S,
+        q_offset=offs[:, None, None, None],
+    )
+    assert max_abs_diff(got, want) < TOL_FP32

@@ -440,3 +440,30 @@ def test_rolling_quant_cache(params_window):
     # prefix with the dense-quant windowed run.
     common = sum(1 for a, b in zip(rolled, dense) if a == b)
     assert common >= 8, (rolled, dense)
+
+
+def test_sinks_model_rolling_matches_dense():
+    """Sliding-window+sinks model: rolling cache == dense cache decode."""
+    cfg = ModelConfig(
+        vocab_size=256,
+        d_model=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=64,
+        d_ff=256,
+        max_seq_len=256,
+        dtype=jnp.float32,
+        attn_window=32,
+        attn_sinks=4,
+    )
+    params_s = init_params(jax.random.PRNGKey(2), cfg)
+
+    def run(rolling):
+        eng = DecodeEngine(
+            params_s, cfg, max_batch=1, max_len=256, rolling=rolling
+        )
+        eng.submit(Request(uid=0, prompt=[3, 1, 4, 1, 5], max_new_tokens=20))
+        return eng.run()[0]
+
+    assert run(True) == run(False)
