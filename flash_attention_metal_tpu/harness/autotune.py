@@ -202,3 +202,22 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+_MEMO = None
+
+
+def lookup(kind: str, b, h, n_q, n_kv, d, causal, dtype,
+           cache_path: str = DEFAULT_CACHE):
+    """Cached lookup of a tuned BlockSizes; None if never tuned.
+
+    Loads the JSON once per process (re-load by resetting the module
+    global).  Safe to call at trace time.
+    """
+    global _MEMO
+    if _MEMO is None:
+        _MEMO = _load(cache_path)
+    entry = _MEMO.get(_key(kind, b, h, n_q, n_kv, d, causal, dtype))
+    if entry is None:
+        return None
+    return BlockSizes(**entry["blocks"])

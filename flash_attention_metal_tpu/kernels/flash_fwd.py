@@ -563,7 +563,18 @@ def flash_attention_fwd(
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
-        block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+        # Consult the autotuner's persisted per-chip decisions first
+        # (harness/autotune.py); heuristic defaults otherwise.
+        try:
+            from ..harness.autotune import lookup as _autotune_lookup
+
+            block_sizes = _autotune_lookup(
+                "fwd", batch, heads, n_q, n_kv, head_dim, causal, q.dtype
+            )
+        except Exception:
+            block_sizes = None
+        if block_sizes is None:
+            block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
     block_q = min(block_sizes.block_q, n_q)
     block_k_major = min(block_sizes.block_k_major, n_kv)
     block_k = min(block_sizes.block_k, block_k_major)

@@ -110,3 +110,15 @@ def test_autotune_fwd_smoke(tmp_path):
     logs2 = []
     bs2 = autotune_fwd((1, 1, 512, 64), cache_path=cache, log=logs2.append)
     assert bs2 == bs and not logs2
+
+
+def test_autotune_lookup(tmp_path, monkeypatch):
+    import flash_attention_metal_tpu.harness.autotune as at
+
+    cache = str(tmp_path / "cache.json")
+    bs = at.autotune_fwd((1, 1, 256, 64), cache_path=cache)
+    monkeypatch.setattr(at, "_MEMO", None)
+    got = at.lookup("fwd", 1, 1, 256, 256, 64, True, "bfloat16",
+                    cache_path=cache)
+    assert got == bs
+    assert at.lookup("fwd", 9, 9, 999, 999, 64, True, "bfloat16") is None
