@@ -132,6 +132,7 @@ def _quant_fwd_kernel(
     sm_scale: float,
     causal: bool,
     window,
+    sinks,
     block_q: int,
     block_k: int,
     num_kv: int,
@@ -155,10 +156,13 @@ def _quant_fwd_kernel(
             (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_k
         )
         if window is not None:
-            should_run &= (
+            in_window = (
                 (kv_idx + 1) * block_k - 1
                 >= q_idx * block_q + q_offset - window + 1
             )
+            if sinks:
+                in_window |= kv_idx * block_k < sinks
+            should_run &= in_window
     else:
         should_run = True
 
@@ -192,7 +196,10 @@ def _quant_fwd_kernel(
             kvpos = kvpos_ref[0, :1, :]
             visible = (kvpos <= rowpos) & (kvpos >= 0)
             if window is not None:
-                visible &= kvpos > rowpos - window
+                keep = kvpos > rowpos - window
+                if sinks:
+                    keep |= kvpos < sinks
+                visible &= keep
             s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
         elif causal:
             row = (
@@ -206,7 +213,10 @@ def _quant_fwd_kernel(
             )
             visible = col <= row
             if window is not None:
-                visible &= col > row - window
+                keep = col > row - window
+                if sinks:
+                    keep |= col < sinks
+                visible &= keep
             s = jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
         # Lagged-base update (flash_fwd._lazy analog): exponentiate
@@ -252,6 +262,7 @@ def _quant_fwd_kernel(
         "sm_scale",
         "causal",
         "window",
+        "sinks",
         "block_sizes",
         "save_lse",
         "interpret",
@@ -266,6 +277,7 @@ def flash_attention_quant(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     window: Optional[int] = None,
+    sinks: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     interpret: bool = False,
@@ -318,6 +330,7 @@ def flash_attention_quant(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
+        sinks=int(sinks),
         block_q=block_q,
         block_k=block_k,
         num_kv=num_kv,
@@ -366,7 +379,7 @@ def flash_attention_quant(
         def kv_map(b, h, i, j, off_ref):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k
             j_eff = jnp.minimum(j, diag)
-            if window is not None:
+            if window is not None and not sinks:
                 j_min = (i * block_q + off_ref[b] - window + 1) // block_k
                 j_eff = jnp.maximum(j_eff, j_min)
             j_eff = jnp.clip(j_eff, 0, num_kv - 1)

@@ -96,8 +96,6 @@ def _attn_with_cache(
         # position space.
         if cfg.attn_window is None:
             raise ValueError("RollingQuantKVCache requires cfg.attn_window")
-        if cfg.attn_sinks:
-            raise NotImplementedError("sinks + quantized cache not wired")
         cache = append_tokens_rolling_quant(cache, layer_idx, k, v)
         cap = cache.capacity
         from .kv_cache import rolling_slots
@@ -127,6 +125,7 @@ def _attn_with_cache(
             pos_eff,
             causal=True,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
             interpret=jax.default_backend() != "tpu",
         )
     elif isinstance(cache, QuantKVCache):
@@ -151,6 +150,7 @@ def _attn_with_cache(
             cache.lengths,
             causal=True,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
             interpret=jax.default_backend() != "tpu",
         )
     else:

@@ -467,3 +467,33 @@ def test_sinks_model_rolling_matches_dense():
         return eng.run()[0]
 
     assert run(True) == run(False)
+
+
+def test_sinks_rolling_quant_cache():
+    """Sinks + 8-bit rolling cache decode (valid, deterministic)."""
+    cfg = ModelConfig(
+        vocab_size=256,
+        d_model=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=64,
+        d_ff=256,
+        max_seq_len=256,
+        dtype=jnp.float32,
+        attn_window=32,
+        attn_sinks=4,
+    )
+    params_s = init_params(jax.random.PRNGKey(2), cfg)
+
+    def gen():
+        eng = DecodeEngine(
+            params_s, cfg, max_batch=1, max_len=256,
+            rolling=True, kv_quant="int8",
+        )
+        eng.submit(Request(uid=0, prompt=[3, 1, 4], max_new_tokens=12))
+        return eng.run()[0]
+
+    out = gen()
+    assert len(out) == 12 and all(0 <= t < 256 for t in out)
+    assert gen() == out
