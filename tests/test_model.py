@@ -497,3 +497,63 @@ def test_sinks_rolling_quant_cache():
     out = gen()
     assert len(out) == 12 and all(0 <= t < 256 for t in out)
     assert gen() == out
+
+
+def test_encoder_padding_invariance():
+    """FlashEncoder: pad tokens must not influence real-token outputs."""
+    from flash_attention_metal_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_params as enc_init,
+        mean_pool,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=256, d_model=128, n_layers=2, n_heads=4, n_kv_heads=4,
+        head_dim=64, d_ff=256, max_seq_len=256, dtype=jnp.float32,
+    )
+    params = enc_init(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 128), 1, 256)
+    # Same real content, different pad garbage beyond length 100.
+    mask = (jnp.arange(128) < 100).astype(jnp.int32)[None]
+    t1 = jnp.where(mask == 1, toks, 7)
+    t2 = jnp.where(mask == 1, toks, 201)
+    h1 = encode(params, t1, mask, cfg=cfg)
+    h2 = encode(params, t2, mask, cfg=cfg)
+    d = float(jnp.max(jnp.abs((h1 - h2)[:, :100])))
+    assert d < 1e-5, d
+    e1, e2 = mean_pool(h1, mask[0:1]), mean_pool(h2, mask[0:1])
+    assert float(jnp.max(jnp.abs(e1 - e2))) < 1e-5
+
+
+def test_encoder_mlm_trains():
+    """MLM loss decreases under SGD on a tiny corpus."""
+    from flash_attention_metal_tpu.models.encoder import (
+        EncoderConfig,
+        init_params as enc_init,
+        mlm_loss,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=256, d_model=128, n_layers=2, n_heads=4, n_kv_heads=4,
+        head_dim=64, d_ff=256, max_seq_len=256, dtype=jnp.float32,
+    )
+    params = enc_init(jax.random.PRNGKey(0), cfg)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 1, 250)
+    lm = (jax.random.uniform(jax.random.PRNGKey(2), (2, 128)) < 0.15).astype(
+        jnp.int32
+    )
+    tokens = jnp.where(lm == 1, 255, labels)  # 255 = [MASK]
+
+    @jax.jit
+    def step(p):
+        loss, g = jax.value_and_grad(
+            lambda pp: mlm_loss(pp, tokens, labels, lm, cfg=cfg)
+        )(p)
+        return jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, p, g), loss
+
+    losses = []
+    for _ in range(6):
+        params, loss = step(params)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
