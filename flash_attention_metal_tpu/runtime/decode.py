@@ -37,7 +37,24 @@ from .kv_cache import (
     append_tokens_rolling_quant,
     bump_lengths,
     bump_rolling_positions,
+    rolling_slots,
 )
+
+
+def _effective_positions(cache, t_new: int) -> jax.Array:
+    """Position map including the tokens being appended this step.
+
+    The cache's own map advances once per step (after all layers); the
+    attention calls inside the step need the in-flight tokens visible.
+    """
+    idx = rolling_slots(
+        cache.lengths[:, None] + jnp.arange(t_new)[None, :],
+        cache.capacity,
+        cache.sinks,
+    )
+    return jax.vmap(lambda row, i, st: row.at[i].set(
+        st + jnp.arange(t_new)
+    ))(cache.positions, idx, cache.lengths)
 
 
 def _attn_with_cache(
@@ -69,17 +86,7 @@ def _attn_with_cache(
         if cfg.attn_window is None:
             raise ValueError("RollingKVCache requires cfg.attn_window")
         cache = append_tokens_rolling(cache, layer_idx, k, v)
-        cap = cache.capacity
-        from .kv_cache import rolling_slots
-
-        idx = rolling_slots(
-            cache.lengths[:, None] + jnp.arange(t_new)[None, :],
-            cap,
-            cache.sinks,
-        )
-        pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
-            st + jnp.arange(t_new)
-        ))(cache.positions, idx, cache.lengths)
+        pos_eff = _effective_positions(cache, t_new)
         o = flash_attention(
             q,
             cache.k[layer_idx],
@@ -98,16 +105,7 @@ def _attn_with_cache(
             raise ValueError("RollingQuantKVCache requires cfg.attn_window")
         cache = append_tokens_rolling_quant(cache, layer_idx, k, v)
         cap = cache.capacity
-        from .kv_cache import rolling_slots
-
-        idx = rolling_slots(
-            cache.lengths[:, None] + jnp.arange(t_new)[None, :],
-            cap,
-            cache.sinks,
-        )
-        pos_eff = jax.vmap(lambda row, i, st: row.at[i].set(
-            st + jnp.arange(t_new)
-        ))(cache.positions, idx, cache.lengths)
+        pos_eff = _effective_positions(cache, t_new)
         qkv_q = QuantizedKV(
             k_q=cache.k_q[layer_idx],
             v_q=cache.v_q[layer_idx],
@@ -246,8 +244,6 @@ def prefill_chunk(
         # Record only the true prompt tokens' positions (padded rows past
         # prompt_len stay invisible: their positions stay untouched/-1).
         import dataclasses as _dc
-
-        from .kv_cache import rolling_slots
 
         cap = slot_cache.capacity
         pos_written = start_len + jnp.arange(n_chunk)
