@@ -18,7 +18,7 @@ import functools
 import itertools
 import json
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

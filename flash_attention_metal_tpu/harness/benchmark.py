@@ -37,7 +37,7 @@ from ..utils import (
     detect_chip,
     roofline_fraction,
 )
-from ..utils.timing import measure_compiled, measure_kernel_stable
+from ..utils.timing import measure_kernel_stable
 
 # Reference sweep (main.mm:608); naive skipped above 8192 (main.mm:673).
 DEFAULT_SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)

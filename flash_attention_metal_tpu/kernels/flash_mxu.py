@@ -29,7 +29,6 @@ import functools
 from typing import Optional, Tuple, Union
 
 import jax
-import jax.numpy as jnp
 
 from ..config import BlockSizes
 from .flash_fwd import flash_attention_fwd

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import DEFAULT_MASK_VALUE, NUM_LANES, default_scale
+from ..config import DEFAULT_MASK_VALUE, default_scale
 from ._common import mxu_precision
 
 

@@ -26,8 +26,7 @@ code lays onto a real pod slice unchanged.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ kernel ladder.  Design choices are TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

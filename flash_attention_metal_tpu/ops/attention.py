@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import AttentionConfig, BlockSizes, default_scale
+from ..config import BlockSizes, default_scale
 from ..kernels.flash_bwd import flash_attention_bwd
 from ..kernels.flash_fwd import flash_attention_fwd
 from ..reference.oracle import attention_reference, attention_reference_with_lse

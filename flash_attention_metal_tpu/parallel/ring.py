@@ -34,7 +34,7 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from ..config import NUM_LANES, BlockSizes
 from ..kernels.flash_bwd import flash_attention_bwd

@@ -22,7 +22,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from ..models.transformer import ModelConfig, Params
 from .decode import decode_and_sample, prefill_slot, sample
 from .kv_cache import (
-    KVCache,
     init_cache,
     init_quant_cache,
     init_rolling_cache,

@@ -12,8 +12,6 @@ serves every batch composition (continuous batching stays jit-friendly).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
