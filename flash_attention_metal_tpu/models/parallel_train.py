@@ -39,6 +39,7 @@ from .transformer import (
     Params,
     _merge_heads,
     _split_heads,
+    init_params,
     rms_norm,
     rope,
 )
@@ -177,7 +178,7 @@ def _sharded_loss(
 def make_train_step(
     mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2, sp_attn: str = "allgather"
 ):
-    """jit(shard_map(...)) training step over a (dp, tp, sp) mesh.
+    """jit(shard_map(...)) SGD training step over a (dp, tp, sp) mesh.
 
     Returns ``step(params, tokens) -> (params, loss)`` where ``tokens`` is
     a global ``[B, N]`` int array (B % dp == 0, N % sp == 0) and params
@@ -189,21 +190,8 @@ def make_train_step(
     data_spec = P("dp", "sp")
 
     def step(params, tokens):
-        loss, grads = jax.value_and_grad(
-            lambda p: _sharded_loss(p, tokens, cfg, tp_size, sp_size, sp_attn)
-        )(params)
-        # Gradients for replicated params must be summed over the axes the
-        # param does not use; sharded params already received their full
-        # gradient through the loss's dp/sp psum (value_and_grad of a
-        # psum-reduced scalar yields per-shard grads that still need the
-        # dp/sp replica sum for replicated leaves).
-        grads = jax.tree_util.tree_map(
-            lambda g, s: jax.lax.psum(g, _replicated_axes(s))
-            if _replicated_axes(s)
-            else g,
-            grads,
-            p_specs,
-            is_leaf=lambda x: isinstance(x, P),
+        grads, loss = _sharded_grads(
+            params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs
         )
         params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return params, loss
@@ -216,3 +204,92 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def _sharded_grads(params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs):
+    """Per-shard grads with the replica sums applied; runs IN shard_map."""
+    loss, grads = jax.value_and_grad(
+        lambda p: _sharded_loss(p, tokens, cfg, tp_size, sp_size, sp_attn)
+    )(params)
+    # Gradients for replicated params must be summed over the axes the
+    # param does not use; sharded params already received their full
+    # gradient through the loss's dp/sp psum (value_and_grad of a
+    # psum-reduced scalar yields per-shard grads that still need the
+    # dp/sp replica sum for replicated leaves).
+    grads = jax.tree_util.tree_map(
+        lambda g, s: jax.lax.psum(g, _replicated_axes(s))
+        if _replicated_axes(s)
+        else g,
+        grads,
+        p_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return grads, loss
+
+
+def make_optax_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    sp_attn: str = "allgather",
+):
+    """Sharded optax training step (e.g. AdamW) over a (dp, tp, sp) mesh.
+
+    The optimizer state is sharded exactly like the params it mirrors
+    (optax state trees are param-shaped per leaf, plus replicated
+    scalars like the step count).  Returns
+    ``step(params, opt_state, tokens) -> (params, opt_state, loss)``;
+    build the initial state with ``optimizer.init(params)`` and place it
+    with ``opt_state_specs(optimizer, params, cfg)``.
+    """
+    tp_size = mesh.shape["tp"]
+    sp_size = mesh.shape["sp"]
+    p_specs = param_specs(cfg)
+    data_spec = P("dp", "sp")
+    example = jax.eval_shape(
+        lambda: init_params(jax.random.PRNGKey(0), cfg)
+    )
+    o_specs = _opt_state_specs_from(optimizer, example, p_specs)
+
+    def step(params, opt_state, tokens):
+        grads, loss = _sharded_grads(
+            params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(p_specs, o_specs, data_spec),
+        out_specs=(p_specs, o_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _opt_state_specs_from(optimizer, example_params, p_specs):
+    """PartitionSpecs for an optax state: param-shaped leaves inherit the
+    param's spec; everything else (counts, scalars) is replicated."""
+    state_shape = jax.eval_shape(optimizer.init, example_params)
+    params_treedef = jax.tree_util.tree_structure(example_params)
+
+    def spec_for(subtree):
+        # A state leaf-tree that matches the params' structure gets the
+        # params' specs; anything else is replicated.
+        if jax.tree_util.tree_structure(subtree) == params_treedef:
+            return p_specs
+        return jax.tree_util.tree_map(lambda _: P(), subtree)
+
+    return jax.tree_util.tree_map(
+        spec_for,
+        state_shape,
+        is_leaf=lambda t: t is not state_shape
+        and jax.tree_util.tree_structure(t) == params_treedef,
+    )
+
+
+def opt_state_specs(optimizer, params, cfg: ModelConfig):
+    """Public helper: PartitionSpecs for ``optimizer.init(params)``."""
+    return _opt_state_specs_from(optimizer, params, param_specs(cfg))

@@ -254,3 +254,44 @@ def test_train_step_ring_sp_attention(rng_key):
     params, loss2 = step(params, tokens)
     assert jnp.isfinite(loss1) and jnp.isfinite(loss2)
     assert float(loss2) < float(loss1)
+
+
+def test_optax_sharded_train_step(rng_key):
+    """Sharded AdamW over dp x tp x sp: converges, state stays sharded."""
+    import optax
+
+    from flash_attention_metal_tpu.models import ModelConfig, init_params
+    from flash_attention_metal_tpu.models.parallel_train import (
+        make_optax_train_step,
+        opt_state_specs,
+        param_specs,
+    )
+    from flash_attention_metal_tpu.parallel import make_mesh
+
+    mesh = make_mesh((2, 2, 2))
+    cfg = ModelConfig(
+        vocab_size=512,
+        d_model=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=64,
+        d_ff=256,
+        max_seq_len=512,
+        dtype=jnp.float32,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(1e-2)
+    )
+    opt_state = opt.init(params)
+    # Spec tree must be buildable and structurally compatible.
+    specs = opt_state_specs(opt, params, cfg)
+    jax.tree_util.tree_structure(specs)
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 256), 0, 512)
+    step = make_optax_train_step(mesh, cfg, opt)
+    params, opt_state, l1 = step(params, opt_state, tokens)
+    params, opt_state, l2 = step(params, opt_state, tokens)
+    params, opt_state, l3 = step(params, opt_state, tokens)
+    assert jnp.isfinite(l1) and float(l3) < float(l1)
