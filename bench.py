@@ -18,9 +18,14 @@ import functools
 import json
 import math
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
+
+from flash_attention_metal_tpu.utils.comp_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 from flash_attention_metal_tpu.kernels import (
     flash_attention_bwd,
@@ -55,6 +60,18 @@ def main():
     interpret = jax.default_backend() != "tpu"
     spec = detect_chip()
     log(f"bench on {spec.name} backend={jax.default_backend()}")
+    t_start = time.perf_counter()
+
+    def budget_repeats(full: int) -> int:
+        # The driver runs this under a ~10-minute timeout and tunnel
+        # latency varies run to run; degrade measurement repeats
+        # gracefully instead of risking a timeout.
+        elapsed = time.perf_counter() - t_start
+        if elapsed > 420:
+            return 1
+        if elapsed > 300:
+            return max(full // 3, 1)
+        return full
 
     detail = {"chip": spec.name, "sweep": []}
     speedups = []
@@ -66,12 +83,17 @@ def main():
         # signal is (inner_hi - 1) * t_kernel per scan step, and must rise
         # above the per-step noise of the tunneled dispatch floor.
         inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
+        repeats = 7 if n <= 2048 else 5
 
         def timed(fn, args, inner):
-            # Median of five slope readings, dropping sub-floor noise
+            # Median of several slope readings, dropping sub-floor noise
             # (individual microsecond-scale readings bounce +-2x here).
             return measure_kernel_stable(
-                fn, args, iters=iters, inner_hi=inner, repeats=5
+                fn,
+                args,
+                iters=iters,
+                inner_hi=inner,
+                repeats=budget_repeats(repeats),
             )["median_s"]
 
         t_naive = timed(

@@ -184,6 +184,10 @@ def autotune_bwd(
 
 
 def main() -> int:
+    from ..utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache", default=DEFAULT_CACHE)
     ap.add_argument("--force", action="store_true")

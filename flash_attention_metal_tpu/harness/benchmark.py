@@ -272,6 +272,10 @@ def run_high_occupancy(
 
 
 def main() -> int:
+    from ..utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="short sweep")
     ap.add_argument("--csv", default="benchmark_results.csv")

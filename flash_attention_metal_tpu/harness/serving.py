@@ -112,6 +112,10 @@ def run_serving_bench(
 
 
 def main() -> int:
+    from ..utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--requests", type=int, default=16)

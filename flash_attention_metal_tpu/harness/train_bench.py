@@ -104,6 +104,10 @@ def run_train_bench(
 
 
 def main() -> int:
+    from ..utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--d-model", type=int, default=1024)

@@ -183,6 +183,10 @@ def run_ladder(
 
 
 def main() -> int:
+    from ..utils.comp_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     print("== flash_attention_metal_tpu verification ladder ==")
     print(f"backend: {jax.default_backend()}")
     results = run_ladder()
