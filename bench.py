@@ -42,7 +42,7 @@ from flash_attention_metal_tpu.utils import (
 )
 from flash_attention_metal_tpu.utils.timing import (
     measure_compiled,
-    measure_kernel_stable,
+    measure_kernel_pair,
 )
 
 # Reference V2 speedups over its N sweep (BASELINE.md): geomean = 3.56.
@@ -85,32 +85,23 @@ def main():
         inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
         repeats = 7 if n <= 2048 else 5
 
-        def timed(fn, args, inner):
-            # Median of several slope readings, dropping sub-floor noise
-            # (individual microsecond-scale readings bounce +-2x here).
-            return measure_kernel_stable(
-                fn,
-                args,
-                iters=iters,
-                inner_hi=inner,
-                repeats=budget_repeats(repeats),
-            )["median_s"]
-
-        t_naive = timed(
+        # Paired, interleaved measurement: each repeat reads naive and
+        # flash back to back, so tunnel/clock drift cancels out of the
+        # per-repeat ratio; the speedup is the median of those ratios.
+        pair = measure_kernel_pair(
             functools.partial(
                 naive_attention, causal=True, interpret=interpret
             ),
             (q, k, v),
-            inner_hi,
-        )
-        t_flash = timed(
             functools.partial(
                 flash_attention_mxu, causal=True, interpret=interpret
             ),
             (qh, kh, vh),
-            inner_hi,
+            iters=iters,
+            inner_hi=inner_hi,
+            repeats=budget_repeats(repeats),
         )
-        sp = t_naive / t_flash
+        t_naive, t_flash, sp = pair["a_s"], pair["b_s"], pair["ratio"]
         speedups.append(sp)
         flops = attention_flops(1, 1, n, n, 64, causal=True)
         detail["sweep"].append(

@@ -238,3 +238,51 @@ def measure_kernel(
         "iters": iters,
         "chunk": inner_hi,
     }
+
+
+def measure_kernel_pair(
+    fn_a: Callable[..., object],
+    args_a: tuple,
+    fn_b: Callable[..., object],
+    args_b: tuple,
+    *,
+    iters: int = 24,
+    inner_hi: int = 5,
+    repeats: int = 3,
+    floor_s: float = 2e-7,
+) -> dict:
+    """Paired slope measurement of two kernels with interleaved repeats.
+
+    Speedup benchmarks divide two microsecond-scale readings; measuring
+    all of A then all of B lets tunnel/clock drift between the twoblocks
+    masquerade as a speed difference.  Interleaving the repeats (A, B,
+    A, B, ...) makes each ratio sample drift-matched; the reported ratio
+    is the median of per-repeat ratios, alongside median absolute times.
+    """
+    a1 = _make_scan_runner(fn_a, args_a, 1)
+    ah = _make_scan_runner(fn_a, args_a, inner_hi)
+    b1 = _make_scan_runner(fn_b, args_b, 1)
+    bh = _make_scan_runner(fn_b, args_b, inner_hi)
+    n1, n2 = iters, 3 * iters
+
+    def one(tt1, tth):
+        s1 = max((tt1(n2) - tt1(n1)) / (n2 - n1), 1e-9)
+        s2 = max((tth(n2) - tth(n1)) / (n2 - n1), 1e-9)
+        return max((s2 - s1) / (inner_hi - 1), 1e-9)
+
+    ta, tb, ratios = [], [], []
+    for _ in range(max(repeats, 1)):
+        ra = one(a1, ah)
+        rb = one(b1, bh)
+        if ra > floor_s and rb > floor_s:
+            ta.append(ra)
+            tb.append(rb)
+            ratios.append(ra / rb)
+    if not ratios:
+        return {"a_s": floor_s, "b_s": floor_s, "ratio": 1.0}
+    ta.sort(), tb.sort(), ratios.sort()
+    return {
+        "a_s": ta[len(ta) // 2],
+        "b_s": tb[len(tb) // 2],
+        "ratio": ratios[len(ratios) // 2],
+    }
