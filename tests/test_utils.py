@@ -101,3 +101,26 @@ def test_assert_all_finite():
     assert_all_finite({"a": jnp.ones(3)}, "tree")
     with pytest.raises(FloatingPointError, match="a"):
         assert_all_finite({"a": jnp.array([1.0, jnp.nan])}, "tree")
+
+
+def test_measure_kernel_pair_ratio():
+    """Paired measurement returns sane times and drift-matched ratio."""
+    import jax.numpy as jnp
+
+    from flash_attention_metal_tpu.utils.timing import measure_kernel_pair
+
+    x = jnp.ones((256, 256), jnp.float32)
+
+    def slow(a):
+        for _ in range(8):
+            a = a @ a * 1e-3
+        return a
+
+    def fast(a):
+        return a @ a
+
+    out = measure_kernel_pair(
+        slow, (x,), fast, (x,), iters=4, inner_hi=3, repeats=2
+    )
+    assert out["a_s"] > 0 and out["b_s"] > 0
+    assert out["ratio"] > 1.0  # slow/fast
