@@ -121,6 +121,25 @@ def main():
     geomean = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
 
     # High-occupancy phase (reference main.mm:881-1204 analog): B=16 H=8.
+    # Skipped if the sweep ate the time budget (the driver metric needs
+    # only the geomean; this block is bench_detail.json enrichment).
+    if time.perf_counter() - t_start > 450:
+        log("skipping high-occupancy phase (time budget)")
+        detail["geomean_speedup"] = geomean
+        with open("bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=2)
+        print(
+            json.dumps(
+                {
+                    "metric": "causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64",
+                    "value": round(geomean, 3),
+                    "unit": "x",
+                    "vs_baseline": round(geomean / REFERENCE_GEOMEAN_SPEEDUP, 3),
+                }
+            )
+        )
+        return
+
     B, H, N, D = 16, 8, 2048, 64
     q, k, v = make_qkv(jax.random.PRNGKey(7), (B, H, N, D), dtype=jnp.bfloat16)
     do = q * 0.01
