@@ -116,6 +116,13 @@ def autotune_fwd(
         log(f"  fwd {key} {bs.block_q}x{bs.block_k_major}: {t*1e6:.1f} us")
         if t < best_t:
             best, best_t = bs, t
+    if best is None:
+        # Every candidate failed to compile (e.g. VMEM limit on a novel
+        # shape): fall back to the heuristic default and do NOT persist —
+        # best_t=inf would serialize as invalid JSON and the fallback is
+        # not a measured decision.
+        log(f"  fwd {key}: all candidates failed; using heuristic default")
+        return BlockSizes.for_seq_len(n, n)
     cache[key] = {
         "blocks": {
             "block_q": best.block_q,
@@ -170,6 +177,9 @@ def autotune_bwd(
         )
         if t < best_t:
             best, best_t = bs, t
+    if best is None:
+        log(f"  bwd {key}: all candidates failed; using heuristic default")
+        return BlockSizes.for_seq_len(n, n)
     cache[key] = {
         "blocks": {
             "block_q_dkv": best.block_q_dkv,

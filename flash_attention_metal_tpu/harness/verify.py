@@ -104,7 +104,15 @@ def run_ladder(
     v2 = flash_attention_v2(q, k, v, interpret=interpret)
     rung("flash_v2 vs naive (fp32)", v2, nv, TOL_FP32)
 
-    # Rung 4: MXU bf16 vs naive (V3/V4 analog, main.mm:351-378,443-455).
+    # Rung 4: V3 parity — fp16 inputs, fp32 softmax stats, at the
+    # reference's distinct half-precision tolerance 5e-3 (main.mm:375,
+    # kernel at kernels.metal:173-455).  fp16's 10 mantissa bits clear
+    # 5e-3; bf16's 7 bits need the looser 1e-2 rung below.
+    q16, k16, v16 = (x.astype(jnp.float16) for x in (q, k, v))
+    v3 = flash_attention_mxu(q16, k16, v16, interpret=interpret)
+    rung("flash_mxu fp16 vs naive (V3 parity)", v3, nv, TOL_V3)
+
+    # Rung 5: MXU bf16 vs naive (V4 analog, main.mm:443-455).
     qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
     mx = flash_attention_mxu(qh, kh, vh, interpret=interpret)
     rung("flash_mxu bf16 vs naive", mx, nv, TOL_HALF)

@@ -95,6 +95,10 @@ def _dkv_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]  # (block_q, 1), lane-replicated input
+        # Fully-masked (or lazy-softmax-flushed) rows carry lse = -inf;
+        # exp(s - (-inf)) would be +inf, poisoning every gradient.  A large
+        # finite sentinel makes p underflow to exactly 0 for such rows.
+        lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
         # Recompute S and reconstruct P from the saved logsumexp
@@ -215,6 +219,8 @@ def _dq_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]
+        # -inf sentinel guard (see _dkv_kernel): flushed rows get p == 0.
+        lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
@@ -288,6 +294,7 @@ def flash_attention_bwd(
     do: jax.Array,
     lse_lanes: jax.Array,
     q_offset: Optional[jax.Array] = None,
+    dlse: Optional[jax.Array] = None,
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
@@ -301,9 +308,49 @@ def flash_attention_bwd(
 
     ``lse_lanes`` is the ``[B, H, N_q, 128]`` residual produced by
     ``flash_attention_fwd(..., save_lse=True)``.
+
+    ``dlse``: optional ``[B, H, N_q]`` cotangent on the logsumexp output.
+    Because d(lse_i)/d(s_ij) = p_ij, the lse cotangent folds into the
+    existing dS = P*(dP - delta)*scale bracket as ``delta_i - dlse_i`` —
+    it costs nothing beyond the delta precompute (dV has no lse term).
     """
+    if q.dtype == jnp.float16:
+        # fp16 is a storage dtype on TPU (no Mosaic f16 datapath): run
+        # the backward in fp32 and round the gradients back.
+        dq, dk, dv = flash_attention_bwd(
+            q.astype(jnp.float32),
+            k.astype(jnp.float32),
+            v.astype(jnp.float32),
+            o.astype(jnp.float32),
+            do.astype(jnp.float32),
+            lse_lanes,
+            q_offset,
+            dlse,
+            sm_scale=sm_scale,
+            causal=causal,
+            window=window,
+            sinks=sinks,
+            segment_ids=segment_ids,
+            block_sizes=block_sizes,
+            interpret=interpret,
+        )
+        return (
+            dq.astype(jnp.float16),
+            dk.astype(jnp.float16),
+            dv.astype(jnp.float16),
+        )
+
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
+    if k.shape[1] != heads:
+        # The grid/index maps below assume equal Q and KV head counts; a
+        # smaller KV head axis would silently clamp block indices and
+        # produce wrong gradients.  GQA callers must broadcast KV heads
+        # first and group-reduce dk/dv after (see ops.attention).
+        raise ValueError(
+            f"flash_attention_bwd requires equal head counts, got q heads "
+            f"{heads} vs kv heads {k.shape[1]}; broadcast KV heads first"
+        )
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
@@ -335,6 +382,8 @@ def flash_attention_bwd(
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)[..., None]
     delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
 
     # ---------------- dK/dV kernel ----------------
@@ -353,7 +402,7 @@ def flash_attention_bwd(
         def q_block_map(b, h, j, i, off_ref):
             i_min = (j * bkv - off_ref[b]) // bq
             i_eff = jnp.maximum(i, i_min)
-            if window is not None and not (sinks and True):
+            if window is not None and not sinks:
                 # Q blocks whose windows have slid past this KV block
                 # re-map to the last contributing Q block (DMA elided).
                 # (Sink KV blocks are visible to every later Q block, so

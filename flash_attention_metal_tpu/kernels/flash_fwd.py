@@ -77,6 +77,9 @@ _LN2 = math.log(2.0)
 # inf; the clamp costs nothing measurable.
 _EXP2_CLAMP = 96.0
 
+# One-time warning flag for autotune-cache lookup failures.
+_AUTOTUNE_WARNED = False
+
 
 def _fwd_kernel(
     off_ref,
@@ -548,6 +551,32 @@ def flash_attention_fwd(
     directly (the same layout jax's own TPU flash attention uses for its
     l/m residuals).  Slice ``lse[..., 0]`` for the row-indexed view.
     """
+    if q.dtype == jnp.float16:
+        # Mosaic has no f16 datapath on TPU: fp16 is a *storage* dtype
+        # here (like the int8/fp8 KV formats) and compute is fp32.  The
+        # V3-parity contract (5e-3, ``main.mm:375``) is carried by the
+        # fp16 input rounding; softmax stats were fp32 in the reference's
+        # fp16 kernels anyway (``kernels.metal:633-638``).
+        out = flash_attention_fwd(
+            q.astype(jnp.float32),
+            k.astype(jnp.float32),
+            v.astype(jnp.float32),
+            q_offset,
+            sm_scale=sm_scale,
+            causal=causal,
+            window=window,
+            sinks=sinks,
+            segment_ids=segment_ids,
+            kv_positions=kv_positions,
+            block_sizes=block_sizes,
+            save_lse=save_lse,
+            lazy_softmax=lazy_softmax,
+            interpret=interpret,
+        )
+        if save_lse:
+            return out[0].astype(jnp.float16), out[1]
+        return out.astype(jnp.float16)
+
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
     kv_heads = k.shape[1]
@@ -571,7 +600,18 @@ def flash_attention_fwd(
             block_sizes = _autotune_lookup(
                 "fwd", batch, heads, n_q, n_kv, head_dim, causal, q.dtype
             )
-        except Exception:
+        except (OSError, KeyError, ValueError, TypeError) as e:
+            # A corrupt/stale autotune_cache.json must not silently change
+            # kernel behavior: warn once, then use the heuristic default.
+            global _AUTOTUNE_WARNED
+            if not _AUTOTUNE_WARNED:
+                _AUTOTUNE_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    f"autotune cache lookup failed ({type(e).__name__}: {e}); "
+                    "falling back to heuristic block sizes"
+                )
             block_sizes = None
         if block_sizes is None:
             block_sizes = BlockSizes.for_seq_len(n_q, n_kv)

@@ -38,10 +38,10 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash(
     q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, interpret,
+    block_sizes, lazy_softmax, interpret,
 ):
     return flash_attention_fwd(
         q,
@@ -55,13 +55,14 @@ def _flash(
         segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=False,
+        lazy_softmax=lazy_softmax,
         interpret=interpret,
     )
 
 
 def _flash_fwd_rule(
     q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, interpret,
+    block_sizes, lazy_softmax, interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -75,14 +76,17 @@ def _flash_fwd_rule(
         segment_ids=segment_ids,
         block_sizes=block_sizes,
         save_lse=True,
+        lazy_softmax=lazy_softmax,
         interpret=interpret,
     )
     return o, (q, k, v, q_offset, segment_ids, o, lse_lanes)
 
 
-def _flash_bwd_rule(
-    causal, window, sinks, sm_scale, block_sizes, interpret, residuals, do
+def _grads_from_residuals(
+    residuals, do, dlse, *, causal, window, sinks, sm_scale, block_sizes,
+    interpret,
 ):
+    """Shared FA-2 backward: GQA broadcast, kernel call, group-reduce."""
     q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
     # The forward runs GQA natively (KV index maps fold the head group);
     # the FA-2 backward kernels want equal head counts, so broadcast here
@@ -98,6 +102,7 @@ def _flash_bwd_rule(
         do,
         lse_lanes,
         q_offset,
+        dlse,
         sm_scale=sm_scale,
         causal=causal,
         window=window,
@@ -122,7 +127,98 @@ def _flash_bwd_rule(
     return dq, dk, dv, d_off, d_seg
 
 
+def _flash_bwd_rule(
+    causal, window, sinks, sm_scale, block_sizes, lazy_softmax, interpret,
+    residuals, do,
+):
+    return _grads_from_residuals(
+        residuals,
+        do,
+        None,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        sm_scale=sm_scale,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+
+
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_lse(
+    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
+    block_sizes, lazy_softmax, interpret,
+):
+    """(o, lse) with BOTH outputs differentiable.
+
+    The lse cotangent rides the backward kernels for free: since
+    d(lse_i)/d(s_ij) = p_ij, it folds into the delta precompute
+    (``flash_bwd.flash_attention_bwd`` ``dlse`` argument) — no extra
+    kernel, no extra matmul.
+    """
+    o, lse_lanes = flash_attention_fwd(
+        q,
+        k,
+        v,
+        q_offset,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        segment_ids=segment_ids,
+        block_sizes=block_sizes,
+        save_lse=True,
+        lazy_softmax=lazy_softmax,
+        interpret=interpret,
+    )
+    return o, lse_lanes[..., 0]
+
+
+def _flash_lse_fwd_rule(
+    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
+    block_sizes, lazy_softmax, interpret,
+):
+    o, lse_lanes = flash_attention_fwd(
+        q,
+        k,
+        v,
+        q_offset,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        segment_ids=segment_ids,
+        block_sizes=block_sizes,
+        save_lse=True,
+        lazy_softmax=lazy_softmax,
+        interpret=interpret,
+    )
+    res = (q, k, v, q_offset, segment_ids, o, lse_lanes)
+    return (o, lse_lanes[..., 0]), res
+
+
+def _flash_lse_bwd_rule(
+    causal, window, sinks, sm_scale, block_sizes, lazy_softmax, interpret,
+    residuals, cts,
+):
+    do, dlse = cts
+    return _grads_from_residuals(
+        residuals,
+        do,
+        dlse,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        sm_scale=sm_scale,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+
+
+_flash_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
 
 
 def _broadcast_kv_heads(q: jax.Array, k: jax.Array, v: jax.Array):
@@ -152,6 +248,7 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
+    lazy_softmax: bool = True,
     impl: str = "auto",
     interpret: Optional[bool] = None,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
@@ -178,6 +275,11 @@ def flash_attention(
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
+        Both outputs are differentiable (the lse cotangent folds into the
+        backward's delta precompute).
+      lazy_softmax: use the lagged-base online softmax (faster; see
+        ``flash_fwd.flash_attention_fwd``).  Set False for the classic
+        eager variant, exact at any score magnitude.
       impl: "pallas" | "xla" | "auto".
       interpret: force Pallas interpreter mode (default: auto-detect
         non-TPU backends).
@@ -232,6 +334,7 @@ def flash_attention(
                 q_offset=q_offset,
                 window=window,
                 sinks=sinks,
+                segment_ids=segment_ids,
             )
         return attention_reference(
             q,
@@ -248,23 +351,22 @@ def flash_attention(
         raise ValueError(f"unknown impl {impl!r}")
 
     if save_lse:
-        # LSE consumers (ring attention, decode) need the forward value; the
-        # op stays differentiable through the o output only.
-        o, lse_lanes = flash_attention_fwd(
+        # LSE consumers (ring attention, decode) get a fully differentiable
+        # (o, lse) pair — the lse cotangent folds into the backward's delta.
+        return _flash_lse(
             q,
             k,
             v,
             q_offset,
-            sm_scale=sm_scale,
-            causal=causal,
-            window=window,
-            sinks=sinks,
-            segment_ids=segment_ids,
-            block_sizes=block_sizes,
-            save_lse=True,
-            interpret=interpret,
+            segment_ids,
+            causal,
+            window,
+            sinks,
+            sm_scale,
+            block_sizes,
+            lazy_softmax,
+            interpret,
         )
-        return o, lse_lanes[..., 0]
     return _flash(
         q,
         k,
@@ -276,6 +378,7 @@ def flash_attention(
         sinks,
         sm_scale,
         block_sizes,
+        lazy_softmax,
         interpret,
     )
 

@@ -215,6 +215,18 @@ def _ring_diff_bwd(
         lse[..., None].astype(jnp.float32), (*lse.shape, NUM_LANES)
     )
 
+    # GQA: the FA-2 backward kernels require equal head counts (they raise
+    # otherwise — out-of-range KV head block indices would silently clamp),
+    # so broadcast each visiting KV shard to the Q head count and
+    # group-reduce its dk/dv partial back, exactly like
+    # ops.attention._flash_bwd_rule.
+    h_q, h_kv = q.shape[1], k.shape[1]
+    if h_q % h_kv:
+        raise ValueError(
+            f"q heads ({h_q}) must be a multiple of kv heads ({h_kv})"
+        )
+    reps = h_q // h_kv
+
     dq_acc = jnp.zeros(q.shape, jnp.float32)
     kb, vb = k, v
     dkb = jnp.zeros(k.shape, jnp.float32)
@@ -222,10 +234,12 @@ def _ring_diff_bwd(
     for step in range(axis_size):
         src = (my - step) % axis_size
         offset = (my - src) * n_loc
+        kb_full = jnp.repeat(kb.astype(q.dtype), reps, axis=1) if reps > 1 else kb.astype(q.dtype)
+        vb_full = jnp.repeat(vb.astype(q.dtype), reps, axis=1) if reps > 1 else vb.astype(q.dtype)
         dq_i, dk_i, dv_i = flash_attention_bwd(
             q,
-            kb.astype(q.dtype),
-            vb.astype(q.dtype),
+            kb_full,
+            vb_full,
             o,
             do.astype(q.dtype),
             lse_lanes,
@@ -235,6 +249,10 @@ def _ring_diff_bwd(
             block_sizes=block_sizes,
             interpret=interpret,
         )
+        if reps > 1:
+            b, _, n_s, d = dk_i.shape
+            dk_i = dk_i.reshape(b, h_kv, reps, n_s, d).sum(axis=2)
+            dv_i = dv_i.reshape(b, h_kv, reps, n_s, d).sum(axis=2)
         dq_acc = dq_acc + dq_i.astype(jnp.float32)
         dkb = dkb + dk_i.astype(jnp.float32)
         dvb = dvb + dv_i.astype(jnp.float32)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..config import BlockSizes
 from ..ops.attention import flash_attention
@@ -40,9 +41,18 @@ def ulysses_attention(
 
     Differentiable: built from two ``all_to_all`` (self-transposing) and
     the custom-vjp flash op.
+
+    Head-divisibility: the all_to_all head split requires
+    ``n_q_heads % axis_size == 0``.  GQA KV heads additionally need
+    ``n_kv_heads % axis_size == 0`` — when instead ``axis_size %
+    n_kv_heads == 0`` (fewer KV heads than devices), each KV head is
+    replicated ``axis_size // n_kv_heads`` times before the split so
+    every device lands exactly one KV head group (extra ICI volume:
+    the replication factor on K/V only); other ratios raise.
     """
-    heads = q.shape[1]
-    axis_size = jax.lax.psum(1, axis_name)
+    h_q, h_kv = q.shape[1], k.shape[1]
+    # psum of a Python literal folds to the static axis size.
+    axis_size = int(jax.lax.psum(1, axis_name))
 
     def seq_to_heads(x):
         # [B, H, n_loc, D] -> [B, H/n_dev, N_full, D]
@@ -54,6 +64,26 @@ def ulysses_attention(
         return jax.lax.all_to_all(
             x, axis_name, split_axis=2, concat_axis=1, tiled=True
         )
+
+    if h_q % axis_size:
+        raise ValueError(
+            f"Ulysses requires q heads ({h_q}) divisible by the sp axis "
+            f"size ({axis_size}); use ring attention otherwise"
+        )
+    if h_kv % axis_size:
+        if axis_size % h_kv == 0:
+            # Replicate KV heads up to one per device; the post-split
+            # local problem is then MQA (1 KV head under h_q/axis
+            # Q heads), which the kernel folds natively.
+            reps = axis_size // h_kv
+            k = jnp.repeat(k, reps, axis=1)
+            v = jnp.repeat(v, reps, axis=1)
+        else:
+            raise ValueError(
+                f"Ulysses GQA requires kv heads ({h_kv}) divisible by "
+                f"the sp axis size ({axis_size}) or vice versa; got "
+                f"neither — use ring attention for this config"
+            )
 
     q_h = seq_to_heads(q)
     k_h = seq_to_heads(k)
@@ -67,5 +97,4 @@ def ulysses_attention(
         block_sizes=block_sizes,
         impl=impl,
     )
-    del heads, axis_size  # shapes already validated by all_to_all
     return heads_to_seq(o_h)

@@ -99,11 +99,13 @@ def attention_reference_with_lse(
     q_offset: Optional[jax.Array] = None,
     window: Optional[int] = None,
     sinks: int = 0,
+    segment_ids=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward oracle that also returns the logsumexp L = m + log(l).
 
     The reference's V4 kernel persists L for the backward pass
     (``kernels.metal:861-864``); this oracle defines the ground truth for it.
+    Fully-masked rows yield (o=0, lse=-inf).
     """
     if sm_scale is None:
         sm_scale = default_scale(q.shape[-1])
@@ -123,12 +125,19 @@ def attention_reference_with_lse(
             if sinks:
                 keep |= col < sinks
             s = jnp.where(keep, s, -jnp.inf)
+    if segment_ids is not None:
+        # Same packed-sequence masking as attention_reference, so the XLA
+        # save_lse path stays a consistent oracle for segmented inputs.
+        seg = segment_ids.q[..., :, None] == segment_ids.kv[..., None, :]
+        s = jnp.where(seg[:, None] if seg.ndim == 3 else seg, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    p = jnp.exp(s - m_safe)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("...qk,...kd->...qd", p / l, vf,
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = jnp.einsum("...qk,...kd->...qd", p / l_safe, vf,
                    precision=jax.lax.Precision.HIGHEST)
-    lse = (m + jnp.log(l))[..., 0]
+    lse = jnp.where(l == 0.0, -jnp.inf, m_safe + jnp.log(l_safe))[..., 0]
     return o.astype(q.dtype), lse
 
 

@@ -287,6 +287,20 @@ def prefill_slot(
     Returns the next-token logits for the prompt's last true token.
     """
     n_pad = tokens.shape[0]
+    if isinstance(cache, (RollingKVCache, RollingQuantKVCache)):
+        # Rolling-cache correctness bound: every chunk row's window (and
+        # the sink region) must still be resident when that chunk's
+        # attention runs, i.e. capacity >= window + sinks + chunk.  A
+        # too-large chunk would evict in-window KV *before* the chunk's
+        # earlier rows attend to it — silently, so validate here.
+        safe = cache.capacity - (cfg.attn_window or 0) - cache.sinks
+        eff_chunk = n_pad if (chunk is None or chunk >= n_pad) else chunk
+        if eff_chunk > safe:
+            raise ValueError(
+                f"rolling prefill chunk {eff_chunk} exceeds capacity "
+                f"{cache.capacity} - window {cfg.attn_window} - sinks "
+                f"{cache.sinks} = {safe}; pass a smaller chunk="
+            )
     if chunk is None or chunk >= n_pad:
         return prefill_chunk(
             params, cfg, cache, tokens, jnp.int32(0), prompt_len, slot

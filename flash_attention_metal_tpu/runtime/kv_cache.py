@@ -299,15 +299,21 @@ def append_tokens_rolling(
 ) -> RollingKVCache:
     """Insert ``[B, H_kv, T, D]`` at each slot's write head, wrapping.
 
-    Requires T <= capacity (longer prefills must be chunked).  Does NOT
+    Requires T <= capacity - sinks: a larger chunk would wrap onto itself
+    (duplicate scatter indices with unspecified write order).  Correctness
+    of a *rolling* prefill additionally needs
+    ``capacity >= window + sinks + chunk``: every chunk row's window must
+    still be resident when the chunk's attention runs (longer prefills
+    must be chunked — see ``runtime.decode.prefill_slot``).  Does NOT
     bump ``lengths``; the final layer's caller also refreshes
     ``positions`` via ``bump_rolling_positions``.
     """
     t_new = k_new.shape[2]
     cap = cache.capacity
-    if t_new > cap:
+    if t_new > cap - cache.sinks:
         raise ValueError(
-            f"append of {t_new} tokens exceeds rolling capacity {cap}"
+            f"append of {t_new} tokens exceeds rolling wrap region "
+            f"{cap} - {cache.sinks} sinks (chunk the prefill)"
         )
 
     def put(buf, new, start):
@@ -410,14 +416,19 @@ def append_tokens_rolling_quant(
     k_new: jax.Array,
     v_new: jax.Array,
 ) -> RollingQuantKVCache:
-    """Quantize + insert at the wrapped write head (T <= capacity)."""
+    """Quantize + insert at the wrapped write head.
+
+    Same ``T <= capacity - sinks`` / chunking contract as
+    ``append_tokens_rolling``.
+    """
     from ..kernels.quant import _QMAX
 
     t_new = k_new.shape[2]
     cap = cache.capacity
-    if t_new > cap:
+    if t_new > cap - cache.sinks:
         raise ValueError(
-            f"append of {t_new} tokens exceeds rolling capacity {cap}"
+            f"append of {t_new} tokens exceeds rolling wrap region "
+            f"{cap} - {cache.sinks} sinks (chunk the prefill)"
         )
     qdtype = cache.k_q.dtype
     qmax = _QMAX[jnp.dtype(qdtype)]

@@ -184,3 +184,64 @@ def test_segment_ids_grads(rng_key):
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip("qkv", got, want):
         assert max_abs_diff(a, b) < 5e-3, name
+
+
+def test_save_lse_grads_match_oracle(rng_key):
+    """(o, lse) are BOTH differentiable; lse cotangent folds into delta.
+
+    Regression for round-1 VERDICT item 5: save_lse=True used to bypass
+    the custom VJP entirely.
+    """
+    from flash_attention_metal_tpu.reference.oracle import (
+        attention_reference_with_lse,
+    )
+
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    co = jax.random.normal(jax.random.PRNGKey(2), q.shape) * 0.1
+    cl = jax.random.normal(jax.random.PRNGKey(3), q.shape[:3]) * 0.1
+
+    def loss_flash(q_, k_, v_):
+        o, lse = flash_attention(
+            q_, k_, v_, causal=True, save_lse=True, interpret=INTERPRET
+        )
+        return jnp.sum(o * co) + jnp.sum(lse * cl)
+
+    def loss_oracle(q_, k_, v_):
+        o, lse = attention_reference_with_lse(q_, k_, v_, causal=True)
+        return jnp.sum(o * co) + jnp.sum(lse * cl)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        assert max_abs_diff(a, b) < 1e-3, name
+
+
+def test_bwd_neg_inf_lse_rows_give_zero_grads(rng_key):
+    """-inf lse rows (fully-masked / lazy-softmax flush sentinel) must
+    produce p == 0 in the backward, not inf (round-1 ADVICE medium)."""
+    q, k, v = make_qkv(rng_key, (1, 1, 512, 64))
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    lse = lse.at[0, 0, 7, :].set(-jnp.inf)
+    do = q * 0.1
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, do, lse, causal=True, interpret=INTERPRET
+    )
+    for g in (dq, dk, dv):
+        assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(dq[0, 0, 7]))) == 0.0
+
+
+def test_bwd_rejects_head_mismatch(rng_key):
+    """GQA inputs must be broadcast before the backward kernels; silently
+    clamped KV head indices used to corrupt gradients (ADVICE high)."""
+    q, _, _ = make_qkv(rng_key, (1, 4, 128, 64))
+    _, k, v = make_qkv(jax.random.PRNGKey(9), (1, 2, 128, 64))
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    with pytest.raises(ValueError, match="equal head counts"):
+        flash_attention_bwd(
+            q, k, v, o, q * 0.1, lse, causal=True, interpret=INTERPRET
+        )

@@ -295,3 +295,78 @@ def test_optax_sharded_train_step(rng_key):
     params, opt_state, l2 = step(params, opt_state, tokens)
     params, opt_state, l3 = step(params, opt_state, tokens)
     assert jnp.isfinite(l1) and float(l3) < float(l1)
+
+
+def test_ring_gqa_grads_match_oracle(rng_key):
+    """Differentiable ring attention with GQA (fewer KV heads) — the
+    round-1 ADVICE high finding: the reverse ring used to feed unequal
+    head counts straight into flash_attention_bwd and silently corrupt
+    dq/dk/dv (~4e-2 error)."""
+    mesh = sp_mesh()
+    B, Hq, Hkv, N, D = 1, 4, 2, 512, 64
+    q, _, _ = make_qkv(rng_key, (B, Hq, N, D))
+    _, k, v = make_qkv(jax.random.PRNGKey(11), (B, Hkv, N, D))
+    ring = make_ring_attention(mesh, causal=True, differentiable=True)
+    co = jax.random.normal(jax.random.PRNGKey(12), q.shape) * 0.1
+
+    def loss_ring(q_, k_, v_):
+        return jnp.sum(ring(q_, k_, v_) * co)
+
+    def loss_oracle(q_, k_, v_):
+        kb = jnp.repeat(k_, Hq // Hkv, axis=1)
+        vb = jnp.repeat(v_, Hq // Hkv, axis=1)
+        return jnp.sum(attention_reference(q_, kb, vb, causal=True) * co)
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        assert max_abs_diff(a, b) < 1e-3, name
+
+
+def test_ulysses_gqa_replicated_kv(rng_key):
+    """Ulysses with fewer KV heads than devices: KV heads are replicated
+    up to one per device (axis_size % kv_heads == 0 case)."""
+    mesh = sp_mesh()
+    B, Hq, Hkv, N, D = 1, 8, 2, 512, 64
+    q, _, _ = make_qkv(rng_key, (B, Hq, N, D))
+    _, k, v = make_qkv(jax.random.PRNGKey(13), (B, Hkv, N, D))
+
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                ulysses_attention, axis_name="sp", causal=True, impl="xla"
+            ),
+            mesh=mesh,
+            in_specs=(SP, SP, SP),
+            out_specs=SP,
+            check_vma=False,
+        )
+    )
+    got = fn(q, k, v)
+    want = attention_reference(
+        q,
+        jnp.repeat(k, Hq // Hkv, axis=1),
+        jnp.repeat(v, Hq // Hkv, axis=1),
+        causal=True,
+    )
+    assert max_abs_diff(got, want) < 1e-3
+
+
+def test_ulysses_rejects_bad_head_ratio(rng_key):
+    """Neither kv_heads % axis nor axis % kv_heads: a clear error."""
+    mesh = sp_mesh()
+    q, _, _ = make_qkv(rng_key, (1, 8, 512, 64))
+    _, k, v = make_qkv(jax.random.PRNGKey(14), (1, 3, 512, 64))
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                ulysses_attention, axis_name="sp", causal=True, impl="xla"
+            ),
+            mesh=mesh,
+            in_specs=(SP, SP, SP),
+            out_specs=SP,
+            check_vma=False,
+        )
+    )
+    with pytest.raises(ValueError, match="Ulysses"):
+        fn(q, k, v)
