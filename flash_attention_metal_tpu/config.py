@@ -66,6 +66,11 @@ class BlockSizes:
     block_q_dq: int = 1024
     block_kv_dq: int = 1024
 
+    # Fused 5-matmul backward (one kernel, dQ partials in HBM): large KV
+    # blocks amortize the partial-sum traffic (num_kv_blocks copies of dQ).
+    block_q_fused: int = 512
+    block_kv_fused: int = 2048
+
     def __post_init__(self):
         for name in (
             "block_q",
@@ -75,6 +80,8 @@ class BlockSizes:
             "block_q_dkv",
             "block_q_dq",
             "block_kv_dq",
+            "block_q_fused",
+            "block_kv_fused",
         ):
             v = getattr(self, name)
             if v % NUM_LANES != 0:

@@ -32,8 +32,8 @@ from ..utils.timing import measure_kernel_stable
 DEFAULT_CACHE = "autotune_cache.json"
 
 # Candidate tile sizes (multiples of the 128-lane minimum).
-_FWD_TILES = (256, 512, 1024, 2048)
-_BWD_TILES = (256, 512, 1024)
+_FWD_TILES = (128, 256, 512, 1024, 2048)
+_BWD_TILES = (128, 256, 512, 1024)
 
 
 def _key(kind: str, b, h, n_q, n_kv, d, causal, dtype) -> str:
@@ -57,11 +57,38 @@ def _store(path: str, cache: dict) -> None:
 
 
 def fwd_candidates(n_q: int, n_kv: int) -> List[BlockSizes]:
+    """Forward tile candidates: block_q x block_k_major combos plus
+    whole-KV (lean-path) variants, VMEM-guarded.
+
+    Round 1's grid was square-only (bq == bk, 4 sizes); the winning
+    configs on v5e are frequently rectangular (small block_q against a
+    large KV major for DMA depth), so the grid now covers the full
+    product, the 128-row minimum tile, and — for shapes whose whole KV
+    fits one major block — the two-pass lean variants.
+    """
     out = []
     for bq, bk in itertools.product(_FWD_TILES, _FWD_TILES):
         if bq > n_q or bk > n_kv or n_q % bq or n_kv % bk:
             continue
+        # Live fp32 score tile must fit scoped VMEM alongside staging.
+        if bq * bk * 4 > 20 * 1024 * 1024:
+            continue
+        # Prune the never-wins corners at large N (sub-256 rows starve
+        # the MXU; sub-512 KV majors make DMAs too shallow) — each
+        # candidate costs two remote scan-harness compiles, so the grid
+        # must stay ~a dozen per shape.
+        if n_q >= 2048 and bq < 256:
+            continue
+        if n_kv >= 2048 and bk < 512:
+            continue
         out.append(BlockSizes(block_q=bq, block_k_major=bk, block_k=bk))
+    if n_kv <= 4096:
+        # Whole-KV major: single_block / lean path when bq covers n_q too.
+        for bq in _FWD_TILES:
+            if bq <= n_q and n_q % bq == 0 and bq * n_kv * 4 <= 20 * 1024 * 1024:
+                bs = BlockSizes(block_q=bq, block_k_major=n_kv, block_k=n_kv)
+                if bs not in out:
+                    out.append(bs)
     return out or [BlockSizes.for_seq_len(n_q, n_kv)]
 
 
@@ -79,6 +106,20 @@ def bwd_candidates(n_q: int, n_kv: int) -> List[BlockSizes]:
             )
         )
     return out or [BlockSizes.for_seq_len(n_q, n_kv)]
+
+
+def _measure_cfg(b, h, n_q, n_kv, d) -> dict:
+    """Size-scaled measurement effort: microsecond-scale kernels need a
+    high inner-repeat count for the dual-slope difference to rise above
+    tunnel noise (same policy as harness.benchmark)."""
+    est_s = 4 * b * h * n_q * n_kv * d / 50e12
+    if jax.default_backend() != "tpu":
+        return dict(iters=2, inner_hi=2, repeats=1)
+    if est_s < 5e-6:
+        return dict(iters=20, inner_hi=65, repeats=3)
+    if est_s < 5e-5:
+        return dict(iters=20, inner_hi=17, repeats=3)
+    return dict(iters=10, inner_hi=5, repeats=2)
 
 
 def autotune_fwd(
@@ -99,6 +140,7 @@ def autotune_fwd(
 
     q, k, v = make_qkv(jax.random.PRNGKey(0), shape, dtype=dtype)
     interpret = jax.default_backend() != "tpu"
+    mcfg = _measure_cfg(b, h, n, n, d)
     best, best_t = None, float("inf")
     for bs in fwd_candidates(n, n):
         fn = functools.partial(
@@ -108,12 +150,12 @@ def autotune_fwd(
             interpret=interpret,
         )
         try:
-            t = measure_kernel_stable(fn, (q, k, v), iters=10, inner_hi=5,
-                                      repeats=3)["median_s"]
+            t = measure_kernel_stable(fn, (q, k, v), **mcfg)["median_s"]
         except Exception as e:  # compile failure (e.g. VMEM) -> skip
             log(f"  {bs.block_q}x{bs.block_k_major}: FAIL {type(e).__name__}")
             continue
-        log(f"  fwd {key} {bs.block_q}x{bs.block_k_major}: {t*1e6:.1f} us")
+        log(f"  fwd {key} {bs.block_q}x{bs.block_k_major}x{bs.block_k}: "
+            f"{t*1e6:.1f} us")
         if t < best_t:
             best, best_t = bs, t
     if best is None:
@@ -157,6 +199,7 @@ def autotune_bwd(
         q, k, v, causal=causal, save_lse=True, interpret=interpret
     )
     do = q * 0.01
+    mcfg = _measure_cfg(b, h, n, n, d)
     best, best_t = None, float("inf")
     for bs in bwd_candidates(n, n):
         fn = functools.partial(
@@ -167,7 +210,7 @@ def autotune_bwd(
         )
         try:
             t = measure_kernel_stable(
-                fn, (q, k, v, o, do, lse), iters=8, inner_hi=3, repeats=3
+                fn, (q, k, v, o, do, lse), **mcfg
             )["median_s"]
         except Exception as e:
             log(f"  {bs.block_q_dkv}x{bs.block_kv_dkv}: FAIL {type(e).__name__}")
@@ -201,16 +244,39 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache", default=DEFAULT_CACHE)
     ap.add_argument("--force", action="store_true")
-    args = ap.parse_args()
-    # Flagship shapes: the high-occupancy benchmark and long single-head.
-    for shape in ((16, 8, 2048, 64), (1, 1, 8192, 64), (1, 1, 16384, 64)):
-        bs = autotune_fwd(shape, cache_path=args.cache, force=args.force)
-        print(f"fwd {shape}: block_q={bs.block_q} block_k={bs.block_k_major}")
-    bs = autotune_bwd((16, 8, 2048, 64), cache_path=args.cache, force=args.force)
-    print(
-        f"bwd (16,8,2048,64): dkv {bs.block_q_dkv}x{bs.block_kv_dkv}, "
-        f"dq {bs.block_q_dq}x{bs.block_kv_dq}"
+    ap.add_argument(
+        "--phase",
+        default="all",
+        choices=("sweep", "sweep-causal", "train", "all"),
+        help="which shape family to tune (split phases to bound runtime)",
     )
+    args = ap.parse_args()
+    # The reference-parity N-sweep shapes (B=H=1) in both mask modes plus
+    # the high-occupancy training shape.  Each phase is resumable: tuned
+    # keys are cached, so re-running skips completed shapes.
+    if args.phase in ("sweep", "all"):
+        for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
+            bs = autotune_fwd((1, 1, n, 64), causal=False,
+                              cache_path=args.cache, force=args.force)
+            print(f"fwd n={n} non-causal: {bs.block_q}x{bs.block_k_major}"
+                  f"x{bs.block_k}")
+    if args.phase in ("sweep-causal", "all"):
+        for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
+            bs = autotune_fwd((1, 1, n, 64), causal=True,
+                              cache_path=args.cache, force=args.force)
+            print(f"fwd n={n} causal: {bs.block_q}x{bs.block_k_major}"
+                  f"x{bs.block_k}")
+    if args.phase in ("train", "all"):
+        bs = autotune_fwd((16, 8, 2048, 64), cache_path=args.cache,
+                          force=args.force)
+        print(f"fwd (16,8,2048,64): block_q={bs.block_q} "
+              f"block_k={bs.block_k_major}")
+        bs = autotune_bwd((16, 8, 2048, 64), cache_path=args.cache,
+                          force=args.force)
+        print(
+            f"bwd (16,8,2048,64): dkv {bs.block_q_dkv}x{bs.block_kv_dkv}, "
+            f"dq {bs.block_q_dq}x{bs.block_kv_dq}"
+        )
     return 0
 
 

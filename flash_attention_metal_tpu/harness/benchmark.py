@@ -121,7 +121,11 @@ def run_sweep(
         key = jax.random.PRNGKey(42)
         q, k, v = make_qkv(key, (1, 1, n, head_dim))
         qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
-        bs = BlockSizes.for_seq_len(n, n)
+        # block_sizes=None -> the kernels consult the autotuner's persisted
+        # per-chip decisions (harness.autotune.lookup) with the heuristic
+        # for_seq_len defaults as fallback — the benchmark measures the
+        # framework's actual shipped block policy.
+        bs = None
 
         import functools as _ft
 

@@ -78,8 +78,26 @@ def run_scaling(
 def main() -> int:
     print(f"devices: {len(jax.devices())} x {jax.devices()[0].device_kind}")
     rows = run_scaling()
+    backend = jax.default_backend()
+    meaningful = backend == "tpu" and len(jax.devices()) > 1
+    payload = {
+        "backend": backend,
+        "devices": len(jax.devices()),
+        # Scaling efficiency is only meaningful over real ICI.  A virtual
+        # CPU mesh shares one socket's memory bandwidth across all
+        # "devices", so its efficiency numbers measure host contention,
+        # not the framework — mark them so nobody reads them as results.
+        "meaningful": meaningful,
+        "note": (
+            "functional smoke on a virtual single-host mesh; "
+            "efficiency numbers are NOT meaningful"
+            if not meaningful
+            else "measured over ICI"
+        ),
+        "rows": rows,
+    }
     with open("scaling_results.json", "w") as f:
-        json.dump(rows, f, indent=2)
+        json.dump(payload, f, indent=2)
     print("wrote scaling_results.json")
     return 0
 

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
-from ._common import mxu_precision
+from ._common import mxu_precision_fast as mxu_precision
 
 
 def _dkv_kernel(
@@ -273,6 +273,333 @@ def _dq_kernel(
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
         dq_ref[0, 0, :, :] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _fused_bwd_kernel(
+    off_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    qseg_ref,
+    kvseg_ref,
+    dk_ref,
+    dv_ref,
+    dqp_ref,
+    dk_acc,
+    dv_acc,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    num_q_blocks: int,
+    window,
+    sinks,
+):
+    """5-matmul fused backward: dK/dV accumulate in VMEM scratch (grid
+    over KV blocks like ``_dkv_kernel``) while the dQ contribution of
+    each (kv, q) pair is emitted as an HBM partial ``dqp[b,h,j,i]`` and
+    reduced outside the kernel.  Saves the dQ kernel's recompute of S
+    and dP — 5 matmuls per block pair instead of the two-kernel path's 7
+    (the trade the reference could not make: its single fused kernel
+    needed global atomics for exactly this, ``kernels.metal:1216-1247``).
+    """
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        q_offset = off_ref[pl.program_id(0)]
+        should_run = (
+            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
+        )
+        if window is not None:
+            in_window = (
+                (kv_idx + 1) * block_kv - 1
+                >= q_idx * block_q + q_offset - window + 1
+            )
+            if sinks:
+                in_window |= kv_idx * block_kv < sinks
+            should_run &= in_window
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
+        delta = delta_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        p = jnp.exp(s * sm_scale - lse)
+
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                + kv_idx * block_kv
+            )
+            visible = col <= row
+            if window is not None:
+                keep = col > row - window
+                if sinks:
+                    keep |= col < sinks
+                visible &= keep
+            p = jnp.where(visible, p, 0.0)
+        if qseg_ref is not None:
+            qs = jnp.tile(qseg_ref[0], (1, p.shape[1] // NUM_LANES))
+            ks = kvseg_ref[0, :1, :]
+            p = jnp.where(qs == ks, p, 0.0)
+
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        ds = p * (dp - delta) * sm_scale
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype),
+            q,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+        # The 5th matmul the two-kernel path pays 3 recomputes for:
+        # this pair's dQ contribution, emitted as an HBM partial.
+        dqp_ref[0, 0, 0, :, :] = jax.lax.dot_general(
+            ds.astype(k.dtype),
+            k,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(q.dtype),
+        )
+
+    @pl.when(jnp.logical_not(should_run))
+    def _zero():
+        # Skipped pairs must still define their partial block.
+        dqp_ref[0, 0, 0, :, :] = jnp.zeros_like(dqp_ref[0, 0, 0])
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "causal",
+        "window",
+        "sinks",
+        "block_sizes",
+        "interpret",
+    ),
+)
+def flash_attention_bwd_fused(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    do: jax.Array,
+    lse_lanes: jax.Array,
+    q_offset: Optional[jax.Array] = None,
+    dlse: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    window: Optional[int] = None,
+    sinks: int = 0,
+    segment_ids=None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(dQ, dK, dV) via the fused 5-matmul kernel.
+
+    Semantically identical to ``flash_attention_bwd``; trades
+    ``n_kv/block_kv_fused`` fp32 copies of dQ in HBM traffic for 28%
+    fewer matmul FLOPs.  Wins when the KV block is large (the default
+    2048 makes the partial count 1 for N <= 2048 — zero extra traffic).
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = k.shape[2]
+    if k.shape[1] != heads:
+        raise ValueError(
+            f"flash_attention_bwd_fused requires equal head counts, got "
+            f"{heads} vs {k.shape[1]}; broadcast KV heads first"
+        )
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+
+    has_seg = segment_ids is not None
+    if has_seg:
+        qseg = jax.lax.broadcast_in_dim(
+            segment_ids.q.astype(jnp.int32), (batch, n_q, NUM_LANES), (0, 1)
+        )
+        kvseg = jax.lax.broadcast_in_dim(
+            segment_ids.kv.astype(jnp.int32),
+            (batch, NUM_SUBLANES, n_kv),
+            (0, 2),
+        )
+
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)[..., None]
+    delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
+
+    bq = min(block_sizes.block_q_fused, n_q)
+    bkv = min(block_sizes.block_kv_fused, n_kv)
+    if n_q % bq or n_kv % bkv:
+        raise ValueError(
+            f"({n_q},{n_kv}) not divisible by fused blocks ({bq},{bkv})"
+        )
+    num_q_blocks = n_q // bq
+    num_kv_blocks = n_kv // bkv
+    grid = (batch, heads, num_kv_blocks, num_q_blocks)
+
+    if causal:
+        # Q blocks entirely above the diagonal are compute-skipped; clamp
+        # their index so the pipeline elides the Q/dO/LSE/delta DMAs
+        # (same as _dkv_kernel's map).
+        def q_block_map(b, h, j, i, off_ref):
+            i_min = (j * bkv - off_ref[b]) // bq
+            i_eff = jnp.maximum(i, i_min)
+            if window is not None and not sinks:
+                i_max = ((j + 1) * bkv + window - off_ref[b] - 2) // bq
+                i_eff = jnp.minimum(i_eff, i_max)
+            i_eff = jnp.clip(i_eff, 0, num_q_blocks - 1)
+            return (b, h, i_eff, 0)
+
+    else:
+        def q_block_map(b, h, j, i, *_):
+            return (b, h, i, 0)
+
+    bound = functools.partial(
+        _fused_bwd_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=bq,
+        block_kv=bkv,
+        num_q_blocks=num_q_blocks,
+        window=window,
+        sinks=int(sinks),
+    )
+    if has_seg:
+        kernel = bound
+    else:
+        def kernel(off_r, q_r, k_r, v_r, do_r, lse_r, d_r, *rest):
+            return bound(
+                off_r, q_r, k_r, v_r, do_r, lse_r, d_r, None, None, *rest
+            )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), q_block_map),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), q_block_map),
+    ]
+    inputs = [q, k, v, do, lse_lanes, delta_lanes]
+    if has_seg:
+        def qseg_map(b, h, j, i, *args):
+            bb, hh, ii, _ = q_block_map(b, h, j, i, *args)
+            return (bb, ii, 0)
+
+        in_specs.append(pl.BlockSpec((1, bq, NUM_LANES), qseg_map))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, NUM_SUBLANES, bkv), lambda b, h, j, i, *_: (b, 0, j)
+            )
+        )
+        inputs += [qseg, kvseg]
+
+    dk, dv, dqp = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(
+                (batch, heads, num_kv_blocks, n_q, head_dim), jnp.float32
+            ),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1, bq, head_dim),
+                    lambda b, h, j, i, *_: (b, h, j, i, 0),
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bkv, head_dim), jnp.float32),
+                pltpu.VMEM((bkv, head_dim), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * batch * heads * n_q * n_kv * head_dim,
+            bytes_accessed=2
+            * (q.size + k.size + v.size + do.size)
+            * q.dtype.itemsize
+            + 2 * batch * heads * num_kv_blocks * n_q * head_dim * 4,
+            transcendentals=batch * heads * n_q * n_kv,
+        ),
+        interpret=interpret,
+    )(q_offset, *inputs)
+
+    dq = dqp.sum(axis=2).astype(q.dtype) if num_kv_blocks > 1 else (
+        dqp[:, :, 0].astype(q.dtype)
+    )
+    return dq, dk, dv
 
 
 @functools.partial(

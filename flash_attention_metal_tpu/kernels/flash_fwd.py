@@ -56,7 +56,7 @@ from ..config import (
     BlockSizes,
     default_scale,
 )
-from ._common import mxu_precision
+from ._common import mxu_precision_fast as mxu_precision
 
 # Softmax in base-2: exp(x) = 2^(x*log2(e)).  log2(e) is folded into the
 # one-off Q scaling, so every per-score transcendental is a raw ``exp2`` —

@@ -135,11 +135,19 @@ def flash_attention_v1(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Tiled fp32 flash attention over ``[B, H, N, D]`` inputs."""
+    """Tiled fp32 flash attention over ``[B, H, N, D]`` inputs.
+
+    Default tiles are 512x512: the TPU analog of the reference's 16x16-vs-
+    32x32 occupancy study (``README.md:25-28``) lands much larger here —
+    128x128 tiles leave the kernel per-grid-step-overhead bound (measured
+    0.33x vs naive at N>=2048 on v5e; 512x512 reaches 0.92-0.99x, the
+    fp32-HIGHEST matmul wall both kernels share — see
+    ``docs/optimization_narrative.md``).
+    """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
     if sm_scale is None:

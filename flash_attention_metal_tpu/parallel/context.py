@@ -112,7 +112,21 @@ def lse_combine_attention(
         )
         lse_l = lse_lanes[..., 0]
 
-    # Cross-chip online-softmax combine (boom guide §15 approach 2).
+    return lse_psum_combine(o_l, lse_l, axis_name).astype(q.dtype)
+
+
+def lse_psum_combine(
+    o_l: jax.Array, lse_l: jax.Array, axis_name: str
+) -> jax.Array:
+    """Cross-chip online-softmax combine of per-shard attention partials.
+
+    ``o_l``: local normalized partial ``[..., N, D]``; ``lse_l``: local
+    logsumexp ``[..., N]`` (``-inf`` == this shard saw no visible keys).
+    Returns the fp32 combined output, replicated over ``axis_name`` — the
+    reference's online-softmax merge (``kernels.metal:148-159``) as a
+    pmax/psum pair (boom guide §15 approach 2).  The sequence-sharded
+    decode engine (``runtime.sp_decode``) rides this per layer.
+    """
     lse_l = lse_l[..., None].astype(jnp.float32)
     m_g = jax.lax.pmax(lse_l, axis_name)
     m_safe = jnp.where(jnp.isneginf(m_g), 0.0, m_g)
@@ -120,4 +134,4 @@ def lse_combine_attention(
     o_w = jax.lax.psum(o_l.astype(jnp.float32) * w, axis_name)
     w_sum = jax.lax.psum(w, axis_name)
     w_safe = jnp.where(w_sum == 0.0, 1.0, w_sum)
-    return (o_w / w_safe).astype(q.dtype)
+    return o_w / w_safe

@@ -73,11 +73,34 @@ class DecodeEngine:
         rolling: bool = False,
         mesh: Optional[Mesh] = None,
         batch_axis: str = "dp",
+        seq_axis: Optional[str] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.max_len = max_len
+        # Sequence-sharded serving (BASELINE config 5): the KV cache's
+        # length dim splits over ``seq_axis`` and decode runs the
+        # lse-combine path (runtime.sp_decode).  Composes with dp slot
+        # sharding on the same mesh.
+        self._sp_size = (
+            mesh.shape[seq_axis]
+            if (mesh is not None and seq_axis is not None)
+            else 1
+        )
+        self._seq_axis = seq_axis if self._sp_size > 1 else None
+        if self._seq_axis is not None:
+            if rolling:
+                raise ValueError(
+                    "rolling caches are dp-only (no contiguous shard "
+                    "ownership under a wrapped position map)"
+                )
+            maxloc = max_len // self._sp_size
+            if max_len % self._sp_size or maxloc % 128:
+                raise ValueError(
+                    f"max_len={max_len} must split into 128-aligned "
+                    f"shards over {seq_axis}={self._sp_size}"
+                )
         if rolling:
             # O(window) rolling cache for sliding-window models.
             if cfg.attn_window is None:
@@ -154,6 +177,7 @@ class DecodeEngine:
         # across devices -- each device serves max_batch/dp slots.  The
         # host scheduler is unchanged.
         self._mesh = mesh
+        self._sp = None
         if mesh is not None:
             if max_batch % mesh.shape[batch_axis]:
                 raise ValueError(
@@ -161,12 +185,20 @@ class DecodeEngine:
                     f"{batch_axis}={mesh.shape[batch_axis]}"
                 )
             repl = NamedSharding(mesh, PartitionSpec())
+            seq = self._seq_axis
 
             def shard_for(leaf):
                 # Batch is dim 0 for rank-1/2 leaves (lengths/positions/
-                # tokens), dim 1 for [n_layers, B, ...] cache leaves.
+                # tokens), dim 1 for [n_layers, B, ...] cache leaves; the
+                # length dim additionally splits over sp when enabled.
                 if leaf.ndim <= 2:
                     return NamedSharding(mesh, PartitionSpec(batch_axis))
+                if seq is not None:
+                    from .sp_decode import cache_pspec
+
+                    return NamedSharding(
+                        mesh, cache_pspec(leaf, batch_axis, seq)
+                    )
                 return NamedSharding(
                     mesh, PartitionSpec(None, batch_axis)
                 )
@@ -182,6 +214,14 @@ class DecodeEngine:
             self._active_dev = jax.device_put(
                 self._active_dev, shard_for(self._active_dev)
             )
+            if self._seq_axis is not None:
+                from .sp_decode import SpStepFns
+
+                self._sp = SpStepFns(
+                    mesh, cfg, batch_axis=batch_axis, seq_axis=self._seq_axis
+                )
+                # sp prefill goes in chunks that each land in ONE shard.
+                self._prefill_chunk = min(128, max_len // self._sp_size)
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> None:
@@ -204,15 +244,25 @@ class DecodeEngine:
                 continue
             req = self.queue.popleft()
             tokens = _pad_to(req.prompt, 128)
-            logits, self.cache = prefill_slot(
-                self.params,
-                self.cfg,
-                self.cache,
-                jnp.asarray(tokens),
-                jnp.int32(len(req.prompt)),
-                slot,
-                chunk=self._prefill_chunk,
-            )
+            if self._sp is not None:
+                logits, self.cache = self._sp.prefill_slot(
+                    self.params,
+                    self.cache,
+                    jnp.asarray(tokens),
+                    jnp.int32(len(req.prompt)),
+                    slot,
+                    chunk=self._prefill_chunk,
+                )
+            else:
+                logits, self.cache = prefill_slot(
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    jnp.asarray(tokens),
+                    jnp.int32(len(req.prompt)),
+                    slot,
+                    chunk=self._prefill_chunk,
+                )
             self.key, sub = jax.random.split(self.key)
             tok = int(sample(logits, sub, req.temperature))
             req.slot = slot
@@ -270,15 +320,25 @@ class DecodeEngine:
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.
             self.key, sub = jax.random.split(self.key)
-            toks_dev, self.cache = decode_and_sample(
-                self.params,
-                self.cfg,
-                self.cache,
-                self.next_token,
-                active,
-                sub,
-                self.temps,
-            )
+            if self._sp is not None:
+                toks_dev, self.cache = self._sp.decode_and_sample(
+                    self.params,
+                    self.cache,
+                    self.next_token,
+                    active,
+                    sub,
+                    self.temps,
+                )
+            else:
+                toks_dev, self.cache = decode_and_sample(
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    self.next_token,
+                    active,
+                    sub,
+                    self.temps,
+                )
             self.next_token = toks_dev
             try:
                 toks_dev.copy_to_host_async()

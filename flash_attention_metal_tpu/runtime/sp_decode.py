@@ -1,0 +1,421 @@
+"""Sequence-sharded (sp) serving decode — the BASELINE config-5 composite.
+
+The KV cache's *length* dimension is sharded over the mesh's ``sp`` axis
+(slots stay sharded over ``dp``); every decode step computes a partial
+attention against the local KV shard and merges partials with the
+cross-chip logsumexp combine (``parallel.context.lse_psum_combine``) —
+the reference's online-softmax merge (``kernels.metal:148-159``) lifted
+to the serving cache, seeded by its LSE persistence design
+(``kernels.metal:861-864``).
+
+Mechanics:
+
+* **Masked shard appends.** A token at global position ``p`` lives in sp
+  shard ``p // maxloc``; every shard computes the new K/V (activations
+  are replicated over sp) but only the owner's dynamic-update sticks —
+  no gather, no host logic, one compiled program for every occupancy.
+* **Local causal offset.** The kernel's per-batch ``q_offset`` becomes
+  ``lengths - my_sp * maxloc``: shards wholly before the write head see
+  everything (offset >= maxloc), the owner shard gets the usual ragged
+  decode mask, shards after it are fully masked and their partials carry
+  ``lse = -inf`` so the combine weights them to zero.
+* **Quantized shards.** The int8/fp8 cache (``kernels/quant.py``)
+  shards identically — values and per-token scales split on the same
+  axis, so each chip holds ``1/sp`` of an already-8-bit cache.
+
+Supported cache types: dense ``KVCache`` and ``QuantKVCache``.  Rolling
+(window) caches stay dp-only — a wrapped position map has no contiguous
+shard ownership.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec
+
+from ..kernels.flash_fwd import flash_attention_fwd
+from ..kernels.quant import QuantizedKV, flash_attention_quant
+from ..models.transformer import (
+    ModelConfig,
+    Params,
+    _merge_heads,
+    _split_heads,
+    mlp_block,
+    rms_norm,
+    rope,
+)
+from ..parallel.context import lse_psum_combine
+from .decode import sample_batch
+from .kv_cache import KVCache, QuantKVCache, bump_lengths
+
+
+def cache_pspec(leaf, batch_axis: str, seq_axis: str) -> PartitionSpec:
+    """PartitionSpec for a KV-cache leaf: slots on ``batch_axis``, the
+    length dim on ``seq_axis``.
+
+    Leaf ranks: 5 = k/v values ``[L, B, H, len, D]``; 4 = quant scales
+    ``[L, B, H, len]``; 1 = lengths ``[B]``.
+    """
+    if leaf.ndim == 5:
+        return PartitionSpec(None, batch_axis, None, seq_axis, None)
+    if leaf.ndim == 4:
+        return PartitionSpec(None, batch_axis, None, seq_axis)
+    if leaf.ndim == 1:
+        return PartitionSpec(batch_axis)
+    raise ValueError(
+        f"unsupported cache leaf rank {leaf.ndim} for sequence sharding "
+        "(rolling caches are dp-only)"
+    )
+
+
+def _quantize_like(cache: QuantKVCache, x: jax.Array):
+    """Symmetric per-token absmax quantization matching append_tokens_quant."""
+    from ..kernels.quant import _QMAX
+
+    qdtype = cache.k_q.dtype
+    qmax = _QMAX[jnp.dtype(qdtype)]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / qmax
+    xf = x.astype(jnp.float32) / scale
+    if jnp.dtype(qdtype) == jnp.int8.dtype:
+        xq = jnp.clip(jnp.round(xf), -qmax, qmax).astype(qdtype)
+    else:
+        xq = xf.astype(qdtype)
+    return xq, scale[..., 0]
+
+
+def _masked_append(buf, new, start, owned):
+    """Write ``new [B, H, T, D]`` at per-slot offsets where ``owned``.
+
+    ``buf``: the local shard ``[B, H, maxloc, D]``; non-owned slots keep
+    their previous contents (read-modify-write through a clipped index).
+    """
+    t_new = new.shape[2]
+    maxloc = buf.shape[2]
+
+    def put(b, nw, st, ow):
+        idx = jnp.clip(st, 0, maxloc - t_new)
+        old = jax.lax.dynamic_slice(
+            b, (0, idx, 0), (b.shape[0], t_new, b.shape[2])
+        )
+        return jax.lax.dynamic_update_slice(
+            b, jnp.where(ow, nw, old), (0, idx, 0)
+        )
+
+    return jax.vmap(put)(buf, new, start, owned)
+
+
+def _masked_append_scale(buf, new, start, owned):
+    """Scale variant: ``buf [B, H, maxloc]``, ``new [B, H, T]``."""
+    t_new = new.shape[2]
+    maxloc = buf.shape[2]
+
+    def put(b, nw, st, ow):
+        idx = jnp.clip(st, 0, maxloc - t_new)
+        old = jax.lax.dynamic_slice(b, (0, idx), (b.shape[0], t_new))
+        return jax.lax.dynamic_update_slice(
+            b, jnp.where(ow, nw, old), (0, idx)
+        )
+
+    return jax.vmap(put)(buf, new, start, owned)
+
+
+def _sp_attn_with_cache(
+    layer: Params,
+    x: jax.Array,
+    cfg: ModelConfig,
+    cache,
+    layer_idx: int,
+    positions: jax.Array,
+    *,
+    seq_axis: str,
+) -> Tuple[jax.Array, object]:
+    """One attention block against the LOCAL KV shard + sp lse-combine.
+
+    Call inside ``shard_map``; ``x``/``positions`` replicated over sp,
+    ``cache`` the local shard.  Mirrors ``decode._attn_with_cache``.
+    """
+    if cfg.attn_window is not None:
+        raise ValueError(
+            "sequence-sharded decode does not compose with sliding-window "
+            "caches (window masking is slot-local); use dp sharding"
+        )
+    dt = cfg.dtype
+    t_new = x.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    my_sp = jax.lax.axis_index(seq_axis)
+
+    h = rms_norm(x, layer["attn_norm"])
+    q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
+    k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    is_quant = isinstance(cache, QuantKVCache)
+    maxloc = (cache.k_q if is_quant else cache.k).shape[3]
+    local_start = cache.lengths - my_sp * maxloc  # [B], may be negative
+    owned = (local_start >= 0) & (local_start + t_new <= maxloc)
+    # The kernel's causal convention: query row r attends local columns
+    # c <= r + offset with offset = lengths - my_sp*maxloc (fully visible
+    # shards get offset >= maxloc; fully future shards go to lse=-inf).
+    offset = local_start
+
+    if is_quant:
+        kq, ks = _quantize_like(cache, k)
+        vq, vs = _quantize_like(cache, v)
+        k_l = _masked_append(cache.k_q[layer_idx], kq, local_start, owned)
+        v_l = _masked_append(cache.v_q[layer_idx], vq, local_start, owned)
+        ks_l = _masked_append_scale(
+            cache.k_scale[layer_idx], ks, local_start, owned
+        )
+        vs_l = _masked_append_scale(
+            cache.v_scale[layer_idx], vs, local_start, owned
+        )
+        import dataclasses as _dc
+
+        cache = _dc.replace(
+            cache,
+            k_q=cache.k_q.at[layer_idx].set(k_l),
+            v_q=cache.v_q.at[layer_idx].set(v_l),
+            k_scale=cache.k_scale.at[layer_idx].set(ks_l),
+            v_scale=cache.v_scale.at[layer_idx].set(vs_l),
+        )
+        qkv_q = QuantizedKV(
+            k_q=k_l,
+            v_q=v_l,
+            k_scale=ks_l.reshape(
+                k_l.shape[0], cfg.n_kv_heads, maxloc // 128, 128
+            ),
+            v_scale=vs_l.reshape(
+                k_l.shape[0], cfg.n_kv_heads, maxloc // 128, 128
+            ),
+        )
+        o_l, lse_lanes = flash_attention_quant(
+            q,
+            qkv_q,
+            offset,
+            causal=True,
+            save_lse=True,
+            interpret=interpret,
+        )
+    else:
+        k_l = _masked_append(cache.k[layer_idx], k, local_start, owned)
+        v_l = _masked_append(cache.v[layer_idx], v, local_start, owned)
+        cache = KVCache(
+            k=cache.k.at[layer_idx].set(k_l),
+            v=cache.v.at[layer_idx].set(v_l),
+            lengths=cache.lengths,
+        )
+        o_l, lse_lanes = flash_attention_fwd(
+            q,
+            k_l,
+            v_l,
+            offset,
+            causal=True,
+            block_sizes=cfg.block_sizes,
+            save_lse=True,
+            interpret=interpret,
+        )
+
+    o = lse_psum_combine(o_l, lse_lanes[..., 0], seq_axis).astype(dt)
+    out = _merge_heads(o) @ layer["wo"].astype(dt)
+    return x + out, cache
+
+
+class SpStepFns:
+    """jit+shard_map'd prefill/decode steps for a (dp x sp)-sharded engine.
+
+    ``decode_and_sample(params, cache, tokens, active, key, temps)`` and
+    ``prefill_chunk(params, cache, tokens, start_len, prompt_len, slot)``
+    take/return GLOBAL arrays laid out per ``cache_pspec``.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        cfg: ModelConfig,
+        *,
+        batch_axis: str = "dp",
+        seq_axis: str = "sp",
+    ):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.batch_axis = batch_axis
+        self.seq_axis = seq_axis
+        self._prefill_jits = {}
+
+        cspec = functools.partial(
+            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis
+        )
+        rep = PartitionSpec()
+        dp = PartitionSpec(batch_axis)
+
+        def decode_body(params, cache, tokens, active, key, temps):
+            my_dp = jax.lax.axis_index(batch_axis)
+            positions = cache.lengths[:, None]
+            x = params["embed"][tokens[:, None]].astype(cfg.dtype)
+            for i, layer in enumerate(params["layers"]):
+                x, cache = _sp_attn_with_cache(
+                    layer, x, cfg, cache, i, positions, seq_axis=seq_axis
+                )
+                x = mlp_block(layer, x, cfg)
+            x = rms_norm(x, params["final_norm"])
+            logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
+                jnp.float32
+            )[:, 0]
+            cache = bump_lengths(cache, 1, active)
+            toks = sample_batch.__wrapped__(
+                logits, jax.random.fold_in(key, my_dp), temps
+            )
+            toks = jnp.where(active, toks, 0)
+            return toks, cache
+
+        def _wrap_decode(params, cache, tokens, active, key, temps):
+            spec = jax.tree_util.tree_map(cspec, cache)
+            fn = jax.shard_map(
+                decode_body,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree_util.tree_map(lambda _: rep, params),
+                    spec,
+                    dp,
+                    dp,
+                    rep,
+                    dp,
+                ),
+                out_specs=(dp, spec),
+                check_vma=False,
+            )
+            return fn(params, cache, tokens, active, key, temps)
+
+        self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def _build_prefill(self, slot: int):
+        cfg = self.cfg
+        mesh = self.mesh
+        batch_axis, seq_axis = self.batch_axis, self.seq_axis
+        cspec = functools.partial(
+            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis
+        )
+        rep = PartitionSpec()
+
+        def prefill_body(params, cache, tokens, start_len, prompt_len):
+            my_dp = jax.lax.axis_index(batch_axis)
+            b_loc = cache.lengths.shape[0]
+            slot_local = slot - my_dp * b_loc
+            owned_dp = (slot_local >= 0) & (slot_local < b_loc)
+            sl = jnp.clip(slot_local, 0, b_loc - 1)
+
+            def view(leaf):
+                if leaf.ndim == 1:
+                    return jnp.full((1,), start_len, jnp.int32)
+                if leaf.ndim == 4:
+                    return jax.lax.dynamic_slice(
+                        leaf,
+                        (0, sl, 0, 0),
+                        (leaf.shape[0], 1, leaf.shape[2], leaf.shape[3]),
+                    )
+                return jax.lax.dynamic_slice(
+                    leaf,
+                    (0, sl, 0, 0, 0),
+                    (leaf.shape[0], 1, *leaf.shape[2:]),
+                )
+
+            slot_cache = jax.tree_util.tree_map(view, cache)
+            n_chunk = tokens.shape[0]
+            positions = (start_len + jnp.arange(n_chunk))[None, :]
+            x = params["embed"][tokens[None, :]].astype(cfg.dtype)
+            for i, layer in enumerate(params["layers"]):
+                x, slot_cache = _sp_attn_with_cache(
+                    layer, x, cfg, slot_cache, i, positions,
+                    seq_axis=seq_axis,
+                )
+                x = mlp_block(layer, x, cfg)
+            x = rms_norm(x, params["final_norm"])
+            logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
+                jnp.float32
+            )
+            new_len = jnp.minimum(
+                prompt_len, start_len + n_chunk
+            ).astype(jnp.int32)
+
+            def write(buf, new):
+                if buf.ndim == 1:
+                    old = jax.lax.dynamic_slice(buf, (sl,), (1,))
+                    val = jnp.where(owned_dp, new_len, old)
+                    return jax.lax.dynamic_update_slice(buf, val, (sl,))
+                if buf.ndim == 4:
+                    old = jax.lax.dynamic_slice(
+                        buf,
+                        (0, sl, 0, 0),
+                        (buf.shape[0], 1, buf.shape[2], buf.shape[3]),
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        buf, jnp.where(owned_dp, new, old), (0, sl, 0, 0)
+                    )
+                old = jax.lax.dynamic_slice(
+                    buf, (0, sl, 0, 0, 0), (buf.shape[0], 1, *buf.shape[2:])
+                )
+                return jax.lax.dynamic_update_slice(
+                    buf, jnp.where(owned_dp, new, old), (0, sl, 0, 0, 0)
+                )
+
+            new_cache = jax.tree_util.tree_map(write, cache, slot_cache)
+            last_idx = jnp.clip(prompt_len - start_len - 1, 0, n_chunk - 1)
+            last = logits[0, last_idx]
+            # Non-owner dp shards computed a different slot's view; keep
+            # only the owner's logits (replicated by the psum).
+            last = jax.lax.psum(
+                jnp.where(owned_dp, last, 0.0), batch_axis
+            )
+            return last, new_cache
+
+        def _wrap(params, cache, tokens, start_len, prompt_len):
+            spec = jax.tree_util.tree_map(cspec, cache)
+            fn = jax.shard_map(
+                prefill_body,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree_util.tree_map(lambda _: rep, params),
+                    spec,
+                    rep,
+                    rep,
+                    rep,
+                ),
+                out_specs=(rep, spec),
+                check_vma=False,
+            )
+            return fn(params, cache, tokens, start_len, prompt_len)
+
+        return jax.jit(_wrap, donate_argnums=(1,))
+
+    def prefill_chunk(
+        self, params, cache, tokens, start_len, prompt_len, slot: int
+    ):
+        if slot not in self._prefill_jits:
+            self._prefill_jits[slot] = self._build_prefill(slot)
+        return self._prefill_jits[slot](
+            params, cache, tokens, jnp.int32(start_len), jnp.int32(prompt_len)
+        )
+
+    def prefill_slot(
+        self, params, cache, tokens, prompt_len, slot: int, chunk: int
+    ):
+        """Chunked prefill (every chunk must land in one sp shard —
+        guaranteed by chunk | maxloc and 128-padded prompts)."""
+        n_pad = tokens.shape[0]
+        last = None
+        for start in range(0, n_pad, chunk):
+            piece = tokens[start : start + chunk]
+            logits, cache = self.prefill_chunk(
+                params, cache, piece, start, prompt_len, slot
+            )
+            if last is None or start < int(prompt_len):
+                last = logits
+        return last, cache

@@ -245,3 +245,52 @@ def test_bwd_rejects_head_mismatch(rng_key):
         flash_attention_bwd(
             q, k, v, o, q * 0.1, lse, causal=True, interpret=INTERPRET
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_bwd_matches_oracle(rng_key, causal):
+    """5-matmul fused backward (dQ partials in HBM) == closed-form
+    gradients, both in the single-partial (bkv == n) and multi-partial
+    (bkv < n, summed outside the kernel) regimes."""
+    from flash_attention_metal_tpu.kernels import flash_attention_bwd_fused
+
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=causal, save_lse=True, interpret=INTERPRET
+    )
+    dq_r, dk_r, dv_r = attention_reference_bwd(q, k, v, do, causal=causal)
+    for bkv in (512, 256):
+        bs = BlockSizes(block_q_fused=256, block_kv_fused=bkv)
+        dq, dk, dv = flash_attention_bwd_fused(
+            q, k, v, o, do, lse, causal=causal, block_sizes=bs,
+            interpret=INTERPRET,
+        )
+        assert max_abs_diff(dq, dq_r) < 1e-3, bkv
+        assert max_abs_diff(dk, dk_r) < 1e-3, bkv
+        assert max_abs_diff(dv, dv_r) < 1e-3, bkv
+
+
+def test_fused_bwd_window_matches_two_kernel(rng_key):
+    """Windowed causal: fused and two-kernel backwards agree."""
+    from flash_attention_metal_tpu.kernels import flash_attention_bwd_fused
+
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, window=160, save_lse=True, interpret=INTERPRET
+    )
+    bs = BlockSizes(
+        block_q_dkv=128, block_kv_dkv=128, block_q_dq=128, block_kv_dq=128,
+        block_q_fused=128, block_kv_fused=128,
+    )
+    ref = flash_attention_bwd(
+        q, k, v, o, do, lse, causal=True, window=160, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    got = flash_attention_bwd_fused(
+        q, k, v, o, do, lse, causal=True, window=160, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    for name, a, b in zip("qkv", got, ref):
+        assert max_abs_diff(a, b) < 1e-5, name

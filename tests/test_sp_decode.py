@@ -1,0 +1,84 @@
+"""Sequence-sharded serving decode (BASELINE config 5 composite).
+
+The KV cache's length dim shards over sp; decode merges per-shard
+partials with the lse combine (runtime/sp_decode.py).  Greedy
+generations must be identical to the single-device engine — the
+cross-shard merge is exactly the kernel's intra-chip online-softmax
+merge, so there is no tolerance to hide behind.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from flash_attention_metal_tpu.models import ModelConfig, init_params
+from flash_attention_metal_tpu.runtime.engine import DecodeEngine, Request
+
+CFG = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    head_dim=64,
+    d_ff=256,
+    max_seq_len=512,
+    dtype=jnp.float32,
+    attn_impl="auto",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+def _generate(params, mesh=None, seq_axis=None, kv_quant=None):
+    eng = DecodeEngine(
+        params,
+        CFG,
+        max_batch=4,
+        max_len=512,
+        eos_id=-1,
+        harvest_lag=2,
+        mesh=mesh,
+        seq_axis=seq_axis,
+        kv_quant=kv_quant,
+    )
+    prompts = [[5, 6, 7, 8], list(range(10, 40)), list(range(100, 180))]
+    for i, p in enumerate(prompts):
+        eng.submit(Request(uid=i, prompt=p, max_new_tokens=6, temperature=0.0))
+    return eng.run()
+
+
+def _sp_mesh():
+    return Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_sp_sharded_decode_matches_single_device(params, kv_quant):
+    ref = _generate(params, kv_quant=kv_quant)
+    got = _generate(
+        params, mesh=_sp_mesh(), seq_axis="sp", kv_quant=kv_quant
+    )
+    assert ref.keys() == got.keys()
+    for uid in ref:
+        assert ref[uid] == got[uid], (uid, ref[uid], got[uid])
+
+
+def test_sp_rejects_rolling_cache(params):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, attn_window=64)
+    with pytest.raises(ValueError, match="dp-only"):
+        DecodeEngine(
+            params,
+            cfg,
+            max_batch=4,
+            max_len=512,
+            mesh=_sp_mesh(),
+            seq_axis="sp",
+            rolling=True,
+        )
