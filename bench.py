@@ -32,7 +32,7 @@ from flash_attention_metal_tpu.utils.comp_cache import enable_compilation_cache
 enable_compilation_cache()
 
 from flash_attention_metal_tpu.kernels import (
-    flash_attention_bwd,
+    flash_attention_bwd_auto,
     flash_attention_fwd,
     flash_attention_mxu,
     naive_attention,
@@ -77,17 +77,23 @@ def main():
             return max(full // 3, 1)
         return full
 
+    from flash_attention_metal_tpu.harness.benchmark import amortizing_batch
+
     detail = {"chip": spec.name, "sweep": [], "sweep_causal": []}
     speedups = {False: [], True: []}
     for n in SWEEP:
-        q, k, v = make_qkv(jax.random.PRNGKey(42), (1, 1, n, 64))
+        # Dispatch-floor amortization: small N runs batched (B*N^2 ~ 2^21,
+        # disclosed per point) so the ratio measures the kernels, not two
+        # ~1.3us launch floors; both sides get the identical shape.
+        b = amortizing_batch(n)
+        q, k, v = make_qkv(jax.random.PRNGKey(42), (b, 1, n, 64))
         qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
-        iters = max(16, min(30, (1 << 21) // n))
+        iters = max(12, min(24, (1 << 21) // n))
         # Small kernels need more inner repeats for timing resolution: the
         # signal is (inner_hi - 1) * t_kernel per scan step, and must rise
         # above the per-step noise of the tunneled dispatch floor.
-        inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
-        repeats = 7 if n <= 2048 else 5
+        inner_hi = 17 if n <= 2048 else 5
+        repeats = 5 if n <= 2048 else 3
 
         for causal in (False, True):
             # Paired, interleaved measurement: each repeat reads naive and
@@ -108,10 +114,11 @@ def main():
             )
             t_naive, t_flash, sp = pair["a_s"], pair["b_s"], pair["ratio"]
             speedups[causal].append(sp)
-            flops = attention_flops(1, 1, n, n, 64, causal=causal)
+            flops = attention_flops(b, 1, n, n, 64, causal=causal)
             detail["sweep_causal" if causal else "sweep"].append(
                 {
                     "n": n,
+                    "batch": b,
                     "naive_ms": t_naive * 1e3,
                     "flash_ms": t_flash * 1e3,
                     "speedup": sp,
@@ -119,7 +126,7 @@ def main():
                 }
             )
             log(
-                f"N={n}{' causal' if causal else ''}: "
+                f"N={n} B={b}{' causal' if causal else ''}: "
                 f"naive {t_naive*1e3:.3f} ms, flash {t_flash*1e3:.3f} ms,"
                 f" speedup {sp:.2f}x"
             )
@@ -143,7 +150,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "non-causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64",
+                    "metric": "non-causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64, dispatch-amortized batches",
                     "value": round(geomean, 3),
                     "unit": "x",
                     "vs_baseline": round(geomean / REFERENCE_GEOMEAN_SPEEDUP, 3),
@@ -167,7 +174,7 @@ def main():
     )
     t_bwd = measure_compiled(
         functools.partial(
-            flash_attention_bwd,
+            flash_attention_bwd_auto,
             causal=True,
             interpret=interpret,
         ),
@@ -198,7 +205,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "non-causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64",
+                "metric": "non-causal flash-attn (bf16 MXU) geomean speedup vs naive, N=128-8192, D=64, dispatch-amortized batches",
                 "value": round(geomean, 3),
                 "unit": "x",
                 "vs_baseline": round(geomean / REFERENCE_GEOMEAN_SPEEDUP, 3),

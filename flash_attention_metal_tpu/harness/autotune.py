@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BlockSizes
-from ..kernels import flash_attention_bwd, flash_attention_fwd
+from ..kernels import (
+    flash_attention_bwd,
+    flash_attention_bwd_fused,
+    flash_attention_fwd,
+)
 from ..reference import make_qkv
 from ..utils import detect_chip
 from ..utils.timing import measure_kernel_stable
@@ -92,20 +96,35 @@ def fwd_candidates(n_q: int, n_kv: int) -> List[BlockSizes]:
     return out or [BlockSizes.for_seq_len(n_q, n_kv)]
 
 
-def bwd_candidates(n_q: int, n_kv: int) -> List[BlockSizes]:
+def bwd_candidates(n_q: int, n_kv: int) -> List[Tuple[str, BlockSizes]]:
+    """(impl, blocks) candidates over BOTH backward implementations:
+    the FA-2 two-kernel split and the fused 5-matmul variant."""
     out = []
     for bq, bk in itertools.product(_BWD_TILES, _BWD_TILES):
         if bq > n_q or bk > n_kv or n_q % bq or n_kv % bk:
             continue
-        out.append(
+        if n_q >= 2048 and (bq < 256 or bk < 256):
+            continue
+        out.append((
+            "split",
             BlockSizes(
                 block_q_dkv=bq,
                 block_kv_dkv=bk,
                 block_q_dq=bq,
                 block_kv_dq=bk,
-            )
-        )
-    return out or [BlockSizes.for_seq_len(n_q, n_kv)]
+            ),
+        ))
+    for bq in _BWD_TILES:
+        if bq > n_q or n_q % bq or (n_q >= 2048 and bq < 256):
+            continue
+        for bkv in (1024, 2048):
+            if bkv > n_kv or n_kv % bkv:
+                continue
+            out.append((
+                "fused",
+                BlockSizes(block_q_fused=bq, block_kv_fused=bkv),
+            ))
+    return out or [("split", BlockSizes.for_seq_len(n_q, n_kv))]
 
 
 def _measure_cfg(b, h, n_q, n_kv, d) -> dict:
@@ -200,40 +219,107 @@ def autotune_bwd(
     )
     do = q * 0.01
     mcfg = _measure_cfg(b, h, n, n, d)
-    best, best_t = None, float("inf")
-    for bs in bwd_candidates(n, n):
+    best, best_impl, best_t = None, "split", float("inf")
+    for impl, bs in bwd_candidates(n, n):
+        kern = (
+            flash_attention_bwd_fused if impl == "fused"
+            else flash_attention_bwd
+        )
         fn = functools.partial(
-            flash_attention_bwd,
-            causal=causal,
-            block_sizes=bs,
-            interpret=interpret,
+            kern, causal=causal, block_sizes=bs, interpret=interpret
+        )
+        tag = (
+            f"fused {bs.block_q_fused}x{bs.block_kv_fused}"
+            if impl == "fused"
+            else f"split {bs.block_q_dkv}x{bs.block_kv_dkv}"
         )
         try:
             t = measure_kernel_stable(
                 fn, (q, k, v, o, do, lse), **mcfg
             )["median_s"]
         except Exception as e:
-            log(f"  {bs.block_q_dkv}x{bs.block_kv_dkv}: FAIL {type(e).__name__}")
+            log(f"  {tag}: FAIL {type(e).__name__}")
             continue
-        log(
-            f"  bwd {key} {bs.block_q_dkv}x{bs.block_kv_dkv}: {t*1e6:.1f} us"
-        )
+        log(f"  bwd {key} {tag}: {t*1e6:.1f} us")
         if t < best_t:
-            best, best_t = bs, t
+            best, best_impl, best_t = bs, impl, t
     if best is None:
         log(f"  bwd {key}: all candidates failed; using heuristic default")
         return BlockSizes.for_seq_len(n, n)
     cache[key] = {
+        "impl": best_impl,
         "blocks": {
             "block_q_dkv": best.block_q_dkv,
             "block_kv_dkv": best.block_kv_dkv,
             "block_q_dq": best.block_q_dq,
             "block_kv_dq": best.block_kv_dq,
+            "block_q_fused": best.block_q_fused,
+            "block_kv_fused": best.block_kv_fused,
         },
         "us": best_t * 1e6,
     }
     _store(cache_path, cache)
     return best
+
+
+def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
+    """Paired re-check of every fwd cache entry against the heuristic
+    default; entries that do not beat the default are dropped.
+
+    Single-shot tuner readings on a tunneled chip can bounce +-50% and
+    crown a bad candidate; the drift-matched paired ratio is the
+    authoritative comparison (same policy as bench.py).
+    """
+    from ..utils.timing import measure_kernel_pair
+
+    cache = _load(cache_path)
+    interpret = jax.default_backend() != "tpu"
+    chip = detect_chip().name
+    drop = []
+    for key, entry in sorted(cache.items()):
+        parts = key.split("/")
+        if len(parts) != 5 or parts[0] != chip or parts[1] != "fwd":
+            continue
+        import re
+
+        m = re.match(r"b(\d+)h(\d+)q(\d+)kv(\d+)d(\d+)", parts[2])
+        if not m:
+            continue
+        b, h, n_q, n_kv, d = map(int, m.groups())
+        causal = parts[3].startswith("causal1")
+        dtype = jnp.bfloat16 if "bfloat16" in key else jnp.float32
+        tuned = BlockSizes(**entry["blocks"])
+        default = BlockSizes.for_seq_len(n_q, n_kv)
+        if tuned == default:
+            continue
+        q, k, v = make_qkv(jax.random.PRNGKey(0), (b, h, n_q, d), dtype=dtype)
+        mcfg = _measure_cfg(b, h, n_q, n_kv, d)
+        r = measure_kernel_pair(
+            functools.partial(
+                flash_attention_fwd, causal=causal, block_sizes=default,
+                interpret=interpret,
+            ),
+            (q, k, v),
+            functools.partial(
+                flash_attention_fwd, causal=causal, block_sizes=tuned,
+                interpret=interpret,
+            ),
+            (q, k, v),
+            iters=mcfg["iters"],
+            inner_hi=mcfg["inner_hi"],
+            repeats=5,
+        )
+        verdict = "keep" if r["ratio"] > 1.0 else "DROP"
+        log(
+            f"  {key}: default {r['a_s']*1e6:.1f} us vs tuned "
+            f"{r['b_s']*1e6:.1f} us (ratio {r['ratio']:.2f}) -> {verdict}"
+        )
+        if r["ratio"] <= 1.0:
+            drop.append(key)
+    for key in drop:
+        del cache[key]
+    _store(cache_path, cache)
+    log(f"validate: dropped {len(drop)} entries")
 
 
 def main() -> int:
@@ -247,7 +333,7 @@ def main() -> int:
     ap.add_argument(
         "--phase",
         default="all",
-        choices=("sweep", "sweep-causal", "train", "all"),
+        choices=("sweep", "sweep-causal", "train", "validate", "all"),
         help="which shape family to tune (split phases to bound runtime)",
     )
     args = ap.parse_args()
@@ -266,6 +352,9 @@ def main() -> int:
                               cache_path=args.cache, force=args.force)
             print(f"fwd n={n} causal: {bs.block_q}x{bs.block_k_major}"
                   f"x{bs.block_k}")
+    if args.phase == "validate":
+        validate(cache_path=args.cache)
+        return 0
     if args.phase in ("train", "all"):
         bs = autotune_fwd((16, 8, 2048, 64), cache_path=args.cache,
                           force=args.force)
@@ -301,3 +390,20 @@ def lookup(kind: str, b, h, n_q, n_kv, d, causal, dtype,
     if entry is None:
         return None
     return BlockSizes(**entry["blocks"])
+
+
+def lookup_bwd(b, h, n_q, n_kv, d, causal, dtype,
+               cache_path: str = DEFAULT_CACHE):
+    """(impl, BlockSizes) for the backward, or None if never tuned.
+
+    ``impl`` is "split" (FA-2 two-kernel) or "fused" (5-matmul single
+    kernel); entries tuned before the fused variant existed default to
+    "split".
+    """
+    global _MEMO
+    if _MEMO is None:
+        _MEMO = _load(cache_path)
+    entry = _MEMO.get(_key("bwd", b, h, n_q, n_kv, d, causal, dtype))
+    if entry is None:
+        return None
+    return entry.get("impl", "split"), BlockSizes(**entry["blocks"])

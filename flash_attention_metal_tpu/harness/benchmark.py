@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..config import BlockSizes
 from ..kernels import (
-    flash_attention_bwd,
+    flash_attention_bwd_auto,
     flash_attention_fwd,
     flash_attention_mxu,
     flash_attention_v1,
@@ -44,41 +44,58 @@ DEFAULT_SWEEP = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 NAIVE_MAX_N = 8192
 
 CSV_HEADER = (
-    "N,Naive(ms),FlashV1(ms),FlashV2(ms),FlashMXU(ms),FlashMXU-causal(ms),"
+    "N,B,Naive(ms),FlashV1(ms),FlashV2(ms),FlashMXU(ms),FlashMXU-causal(ms),"
     "SpeedupV1,SpeedupV2,SpeedupMXU,TFLOPs_MXU,TFLOPs_MXU_causal,"
     "Roofline_MXU,Roofline_MXU_causal"
 )
 
 
+def amortizing_batch(n: int) -> int:
+    """Batch that lifts a sweep point above the ~1.3us kernel-dispatch
+    floor (B*N^2 ~ 2^21, i.e. B=128 at N=128 down to B=1 from N=2048).
+
+    The reference's B=H=1 sweep on its GPU ran its *naive* kernel for
+    milliseconds even at N=128 (``resume_defense.md``: 8.58 ms at 512),
+    so its ratios were never dispatch-bound; at TPU speeds a lone
+    128x128 attention IS the dispatch floor for both kernels and a
+    ratio of two floors measures nothing.  Batching both sides
+    identically keeps the speedup like-for-like per shape while
+    measuring kernels, not launch latency.
+    """
+    return max(1, (1 << 21) // (n * n))
+
+
 @dataclasses.dataclass
 class SweepRow:
     n: int
+    b: int
     naive_ms: Optional[float]
     v1_ms: float
     v2_ms: float
     mxu_ms: float
     mxu_causal_ms: float
+    speedup_v1: Optional[float]
+    speedup_v2: Optional[float]
+    speedup_mxu: Optional[float]
     tflops_mxu: float
     tflops_mxu_causal: float
     roofline_mxu: float
     roofline_mxu_causal: float
-
-    def speedup(self, t_ms: float) -> Optional[float]:
-        return (self.naive_ms / t_ms) if self.naive_ms else None
 
     def csv(self) -> str:
         f = lambda x: f"{x:.4f}" if x is not None else ""
         return ",".join(
             [
                 str(self.n),
+                str(self.b),
                 f(self.naive_ms),
                 f(self.v1_ms),
                 f(self.v2_ms),
                 f(self.mxu_ms),
                 f(self.mxu_causal_ms),
-                f(self.speedup(self.v1_ms)),
-                f(self.speedup(self.v2_ms)),
-                f(self.speedup(self.mxu_ms)),
+                f(self.speedup_v1),
+                f(self.speedup_v2),
+                f(self.speedup_mxu),
                 f"{self.tflops_mxu:.2f}",
                 f"{self.tflops_mxu_causal:.2f}",
                 f"{self.roofline_mxu:.3f}",
@@ -119,7 +136,8 @@ def run_sweep(
     rows = []
     for n in sweep:
         key = jax.random.PRNGKey(42)
-        q, k, v = make_qkv(key, (1, 1, n, head_dim))
+        b = 1 if interpret else amortizing_batch(n)
+        q, k, v = make_qkv(key, (b, 1, n, head_dim))
         qh, kh, vh = (x.astype(jnp.bfloat16) for x in (q, k, v))
         # block_sizes=None -> the kernels consult the autotuner's persisted
         # per-chip decisions (harness.autotune.lookup) with the heuristic
@@ -129,40 +147,65 @@ def run_sweep(
 
         import functools as _ft
 
-        inner_hi = 65 if n <= 512 else (17 if n <= 2048 else 5)
-        repeats = 3 if n <= 2048 else 1
+        from ..utils.timing import measure_kernel_pair
+
+        inner_hi = 17 if n <= 2048 else 5
+        repeats = 5 if n <= 4096 else 3
         if interpret:
             inner_hi, repeats = 2, 1
-        naive_ms = None
-        if n <= NAIVE_MAX_N:
-            naive_ms = _time_ms(
-                _ft.partial(naive_attention, interpret=interpret),
+        naive_fn = _ft.partial(naive_attention, interpret=interpret)
+
+        def paired(fn, args):
+            # Drift-matched speedups: each repeat reads naive and the
+            # variant back to back (same policy as bench.py).
+            return measure_kernel_pair(
+                naive_fn,
                 (q, k, v),
-                iters,
-                inner_hi,
-                repeats,
+                fn,
+                args,
+                iters=iters,
+                inner_hi=inner_hi,
+                repeats=repeats,
             )
-        v1_ms = _time_ms(
-            _ft.partial(flash_attention_v1, interpret=interpret),
-            (q, k, v),
-            iters,
-            inner_hi,
-            repeats,
-        )
-        v2_ms = _time_ms(
-            _ft.partial(flash_attention_v2, block_sizes=bs, interpret=interpret),
-            (q, k, v),
-            iters,
-            inner_hi,
-            repeats,
-        )
-        mxu_ms = _time_ms(
-            _ft.partial(flash_attention_mxu, block_sizes=bs, interpret=interpret),
-            (qh, kh, vh),
-            iters,
-            inner_hi,
-            repeats,
-        )
+
+        if n <= NAIVE_MAX_N:
+            p1 = paired(
+                _ft.partial(flash_attention_v1, interpret=interpret), (q, k, v)
+            )
+            p2 = paired(
+                _ft.partial(
+                    flash_attention_v2, block_sizes=bs, interpret=interpret
+                ),
+                (q, k, v),
+            )
+            pm = paired(
+                _ft.partial(
+                    flash_attention_mxu, block_sizes=bs, interpret=interpret
+                ),
+                (qh, kh, vh),
+            )
+            naive_ms = pm["a_s"] * 1e3
+            v1_ms, sp1 = p1["b_s"] * 1e3, p1["ratio"]
+            v2_ms, sp2 = p2["b_s"] * 1e3, p2["ratio"]
+            mxu_ms, spm = pm["b_s"] * 1e3, pm["ratio"]
+        else:
+            naive_ms = sp1 = sp2 = spm = None
+            v1_ms = _time_ms(
+                _ft.partial(flash_attention_v1, interpret=interpret),
+                (q, k, v), iters, inner_hi, repeats,
+            )
+            v2_ms = _time_ms(
+                _ft.partial(
+                    flash_attention_v2, block_sizes=bs, interpret=interpret
+                ),
+                (q, k, v), iters, inner_hi, repeats,
+            )
+            mxu_ms = _time_ms(
+                _ft.partial(
+                    flash_attention_mxu, block_sizes=bs, interpret=interpret
+                ),
+                (qh, kh, vh), iters, inner_hi, repeats,
+            )
         mxuc_ms = _time_ms(
             _ft.partial(
                 flash_attention_mxu,
@@ -176,16 +219,20 @@ def run_sweep(
             repeats,
         )
 
-        flops = attention_flops(1, 1, n, n, head_dim)
-        flops_c = attention_flops(1, 1, n, n, head_dim, causal=True)
-        bts = attention_bytes(1, 1, n, n, head_dim, 2)
+        flops = attention_flops(b, 1, n, n, head_dim)
+        flops_c = attention_flops(b, 1, n, n, head_dim, causal=True)
+        bts = attention_bytes(b, 1, n, n, head_dim, 2)
         row = SweepRow(
             n=n,
+            b=b,
             naive_ms=naive_ms,
             v1_ms=v1_ms,
             v2_ms=v2_ms,
             mxu_ms=mxu_ms,
             mxu_causal_ms=mxuc_ms,
+            speedup_v1=sp1,
+            speedup_v2=sp2,
+            speedup_mxu=spm,
             tflops_mxu=flops / (mxu_ms * 1e-3) / 1e12,
             tflops_mxu_causal=flops_c / (mxuc_ms * 1e-3) / 1e12,
             roofline_mxu=roofline_fraction(
@@ -241,9 +288,36 @@ def run_high_occupancy(
         q, k, v, causal=True, save_lse=True, interpret=interpret
     )
     bwd_ms = _time_ms(
-        _ft.partial(flash_attention_bwd, causal=True, interpret=interpret),
+        _ft.partial(flash_attention_bwd_auto, causal=True, interpret=interpret),
         (q, k, v, o, do, lse_lanes),
         iters,
+    )
+
+    # In-benchmark backward spot-verification (reference parity: the
+    # high-occupancy phase re-verifies its backward against the CPU
+    # oracle, main.mm:1087-1195, N<=128 there for CPU-time reasons; the
+    # XLA oracle lets us verify a 2-batch slice at the FULL benchmark
+    # sequence length).  Guards against the bench and the ladder drifting
+    # onto different code paths.
+    from ..reference import attention_reference_bwd
+
+    sl = slice(0, min(2, batch))
+    dq, dk, dv = flash_attention_bwd_auto(
+        q[sl], k[sl], v[sl], o[sl], do[sl], lse_lanes[sl],
+        causal=True, interpret=interpret,
+    )
+    dq_r, dk_r, dv_r = attention_reference_bwd(
+        q[sl], k[sl], v[sl], do[sl], causal=True
+    )
+    bwd_diff = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in ((dq, dq_r), (dk, dk_r), (dv, dv_r))
+    )
+    bwd_tol = 1e-1  # the reference's backward rung tolerance, main.mm:1191
+    log(
+        f"[{'PASS' if bwd_diff < bwd_tol else 'FAIL'}] high-occupancy "
+        f"backward vs oracle (B=2 slice): max diff {bwd_diff:.3e} "
+        f"(tol {bwd_tol:.0e})"
     )
 
     flops_f = attention_flops(batch, heads, n, n, head_dim, causal=True)
@@ -257,6 +331,8 @@ def run_high_occupancy(
         "n": n,
         "fwd_ms": fwd_ms,
         "bwd_ms": bwd_ms,
+        "bwd_verify_max_diff": bwd_diff,
+        "bwd_verify_pass": bwd_diff < bwd_tol,
         "fwd_tflops": flops_f / (fwd_ms * 1e-3) / 1e12,
         "bwd_tflops": flops_b / (bwd_ms * 1e-3) / 1e12,
         "fwd_roofline": roofline_fraction(
@@ -297,7 +373,19 @@ def main() -> int:
     else:
         sweep = (128, 512, 2048) if args.quick else DEFAULT_SWEEP
     print(CSV_HEADER)
-    rows = run_sweep(sweep)
+
+    # Incremental CSV: each completed row lands on disk immediately, so
+    # a driver-timeout kill still leaves a complete-so-far artifact.
+    with open(args.csv, "w") as f:
+        f.write(CSV_HEADER + "\n")
+    rows = []
+
+    def _log_row(line: str) -> None:
+        print(line)
+        with open(args.csv, "a") as f:
+            f.write(line + "\n")
+
+    rows = run_sweep(sweep, log=_log_row)
     hi = run_high_occupancy(
         n=256 if not on_tpu else (1024 if args.quick else 2048),
         batch=2 if not on_tpu else 16,

@@ -5,7 +5,16 @@ from .flash_v1 import flash_attention_v1
 from .flash_v2 import flash_attention_v2
 from .flash_mxu import flash_attention_mxu
 from .flash_fwd import flash_attention_fwd
-from .flash_bwd import flash_attention_bwd, flash_attention_bwd_fused
+from .flash_bwd import (
+    flash_attention_bwd,
+    flash_attention_bwd_auto,
+    flash_attention_bwd_fused,
+)
+from .flash_mask import (
+    BlockMask,
+    flash_attention_block_sparse,
+    flash_attention_block_sparse_fwd,
+)
 from .quant import (
     QuantizedKV,
     dequantize_kv,
@@ -20,7 +29,11 @@ __all__ = [
     "flash_attention_mxu",
     "flash_attention_fwd",
     "flash_attention_bwd",
+    "flash_attention_bwd_auto",
     "flash_attention_bwd_fused",
+    "BlockMask",
+    "flash_attention_block_sparse",
+    "flash_attention_block_sparse_fwd",
     "QuantizedKV",
     "quantize_kv",
     "dequantize_kv",

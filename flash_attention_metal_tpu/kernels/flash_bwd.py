@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
-from ._common import mxu_precision_fast as mxu_precision
+from ._common import mxu_dot_general
 
 
 def _dkv_kernel(
@@ -103,23 +103,19 @@ def _dkv_kernel(
 
         # Recompute S and reconstruct P from the saved logsumexp
         # (``kernels.metal:1081-1089``).
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
         p = jnp.exp(s * sm_scale - lse)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
             # variant measured 2x slower — it breaks Mosaic's scheduling).
             row = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
                 + q_idx * block_q
                 + q_offset
             )
             col = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
                 + kv_idx * block_kv
             )
             visible = col <= row
@@ -136,31 +132,15 @@ def _dkv_kernel(
 
         # dV += P^T dO  (``kernels.metal:1101-1126``, minus the transposes —
         # the MXU contracts either operand dimension natively).
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype),
-            do,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dv_acc[...] += mxu_dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
 
         # dP = dO V^T ; dS = P * (dP - delta) * scale
         # (``kernels.metal:1128-1169``).
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
         ds = p * (dp - delta) * sm_scale
 
         # dK += dS^T Q  (``kernels.metal:1189-1214``).
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype),
-            q,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dk_acc[...] += mxu_dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
@@ -223,23 +203,19 @@ def _dq_kernel(
         lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
         p = jnp.exp(s * sm_scale - lse)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
             # variant measured 2x slower — it breaks Mosaic's scheduling).
             row = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
                 + q_idx * block_q
                 + q_offset
             )
             col = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
                 + kv_idx * block_kv
             )
             visible = col <= row
@@ -254,25 +230,60 @@ def _dq_kernel(
             ks = kvseg_ref[0, :1, :]
             p = jnp.where(qs == ks, p, 0.0)
 
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
         ds = p * (dp - delta) * sm_scale
 
         # dQ += dS K  (``kernels.metal:1176-1187``).
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k.dtype),
-            k,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dq_acc[...] += mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
         dq_ref[0, 0, :, :] = dq_acc[...].astype(dq_ref.dtype)
+
+
+_AUTOTUNE_BWD_WARNED = False
+
+
+def flash_attention_bwd_auto(
+    q, k, v, o, do, lse_lanes, q_offset=None, dlse=None, *,
+    sm_scale=None, causal=False, window=None, sinks=0, segment_ids=None,
+    block_sizes=None, interpret=False,
+):
+    """Backward dispatcher: consult the autotuner's persisted decision
+    (impl + blocks) for this shape; FA-2 two-kernel defaults otherwise.
+
+    The training custom-vjp path rides this, so a tuned chip runs
+    whichever of split/fused won the measurement for its shape.
+    """
+    impl = "split"
+    if block_sizes is None:
+        try:
+            from ..harness.autotune import lookup_bwd as _lookup
+
+            hit = _lookup(
+                q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                q.shape[3], causal, q.dtype,
+            )
+            if hit is not None:
+                impl, block_sizes = hit
+        except (OSError, KeyError, ValueError, TypeError) as e:
+            global _AUTOTUNE_BWD_WARNED
+            if not _AUTOTUNE_BWD_WARNED:
+                _AUTOTUNE_BWD_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    f"bwd autotune lookup failed ({type(e).__name__}: {e}); "
+                    "using heuristic blocks"
+                )
+            block_sizes = None
+    kern = flash_attention_bwd_fused if impl == "fused" else flash_attention_bwd
+    return kern(
+        q, k, v, o, do, lse_lanes, q_offset, dlse,
+        sm_scale=sm_scale, causal=causal, window=window, sinks=sinks,
+        segment_ids=segment_ids, block_sizes=block_sizes,
+        interpret=interpret,
+    )
 
 
 def _fused_bwd_kernel(
@@ -341,21 +352,17 @@ def _fused_bwd_kernel(
         lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
         p = jnp.exp(s * sm_scale - lse)
 
         if causal:
             row = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
                 + q_idx * block_q
                 + q_offset
             )
             col = (
-                jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
                 + kv_idx * block_kv
             )
             visible = col <= row
@@ -370,35 +377,13 @@ def _fused_bwd_kernel(
             ks = kvseg_ref[0, :1, :]
             p = jnp.where(qs == ks, p, 0.0)
 
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype),
-            do,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dv_acc[...] += mxu_dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
+        dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
         ds = p * (dp - delta) * sm_scale
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype),
-            q,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dk_acc[...] += mxu_dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
         # The 5th matmul the two-kernel path pays 3 recomputes for:
         # this pair's dQ contribution, emitted as an HBM partial.
-        dqp_ref[0, 0, 0, :, :] = jax.lax.dot_general(
-            ds.astype(k.dtype),
-            k,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mxu_precision(q.dtype),
-        )
+        dqp_ref[0, 0, 0, :, :] = mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
     @pl.when(jnp.logical_not(should_run))
     def _zero():

@@ -56,7 +56,7 @@ from ..config import (
     BlockSizes,
     default_scale,
 )
-from ._common import mxu_precision_fast as mxu_precision
+from ._common import mxu_dot_general
 
 # Softmax in base-2: exp(x) = 2^(x*log2(e)).  log2(e) is folded into the
 # one-off Q scaling, so every per-score transcendental is a raw ``exp2`` —
@@ -128,7 +128,7 @@ def _fwd_kernel(
             # never written); causality and the window apply to those
             # positions, not to slot indices.
             rowpos = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                 + q_idx * block_q
                 + q_offset
             )
@@ -141,13 +141,19 @@ def _fwd_kernel(
                     keep |= kvpos < sinks
                 visible &= keep
         elif causal:
+            # Narrow iotas: (bq, 1) rows vs (1, bk) cols, with the scalar
+            # offsets folded into the SMALL operands before the broadcast
+            # compare — the full-tile work is one compare + one select
+            # instead of two materialized (bq, bk) iota+add chains (the
+            # mask VPU chain feeds the softmax's critical path, so every
+            # saved pass counts on causal shapes).
             row = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                 + q_idx * block_q
                 + q_offset
             )
             col = (
-                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
                 + kv_major * block_k_major
                 + start
             )
@@ -185,26 +191,14 @@ def _fwd_kernel(
             q = _scaled_q()
             k = k_ref[0, 0]
             v = v_ref[0, 0]
-            s = jax.lax.dot_general(
-                q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu_precision(q.dtype),
-            )
+            s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
             if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, 0)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o = jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu_precision(v.dtype),
-            )
+            o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
             o_ref[0, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
             if save_lse:
                 lse = jnp.where(
@@ -258,13 +252,7 @@ def _fwd_kernel(
             k = k_ref[0, 0, start : start + block_k, :]
             v = v_ref[0, 0, start : start + block_k, :]
 
-            s = jax.lax.dot_general(
-                q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu_precision(q.dtype),
-            )
+            s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
 
             if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, start)
@@ -273,13 +261,7 @@ def _fwd_kernel(
                 # P is cast to the V dtype so P.V rides the MXU at input
                 # precision (analog of the fp16 MMA at ``kernels.metal:
                 # 833-848``); accumulation stays fp32.
-                return jax.lax.dot_general(
-                    p.astype(v.dtype),
-                    v,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mxu_precision(v.dtype),
-                )
+                return mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
 
             def _lazy():
                 # Lagged-base update: exponentiate against the previous
@@ -367,32 +349,20 @@ def _fwd_kernel_lean(
     q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q,
-        k,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision(q.dtype),
-    )
+    s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
     if causal:
         row = (
-            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
             + pl.program_id(2) * block_q
             + q_offset
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision(v.dtype),
-    )
+    o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
     o_ref[0, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
     if save_lse:
         lse = jnp.where(

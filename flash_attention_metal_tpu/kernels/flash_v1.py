@@ -69,7 +69,9 @@ def _flash_v1_kernel(
 
     @pl.when(should_run)
     def _body():
-        q = q_ref[0, 0].astype(jnp.float32)
+        # Scale folded into the (block_q, D) Q tile once instead of a
+        # (block_q, block_k) pass over every score tile.
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
 
@@ -79,7 +81,6 @@ def _flash_v1_kernel(
             preferred_element_type=jnp.float32,
             precision=mxu_precision(q.dtype),
         )
-        s = s * sm_scale
 
         if causal:
             row = (

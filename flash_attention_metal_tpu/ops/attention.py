@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BlockSizes, default_scale
-from ..kernels.flash_bwd import flash_attention_bwd
+from ..kernels.flash_bwd import flash_attention_bwd_auto
 from ..kernels.flash_fwd import flash_attention_fwd
 from ..reference.oracle import attention_reference, attention_reference_with_lse
 
@@ -94,7 +94,7 @@ def _grads_from_residuals(
     h_q, h_kv = q.shape[1], k.shape[1]
     reps = h_q // h_kv
     kb, vb = _broadcast_kv_heads(q, k, v)
-    dq, dk, dv = flash_attention_bwd(
+    dq, dk, dv = flash_attention_bwd_auto(
         q,
         kb,
         vb,

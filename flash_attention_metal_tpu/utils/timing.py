@@ -271,7 +271,10 @@ def measure_kernel_pair(
         return max((s2 - s1) / (inner_hi - 1), 1e-9)
 
     ta, tb, ratios = [], [], []
-    for _ in range(max(repeats, 1)):
+    budget = 3 * max(repeats, 1)  # retry drift-collapsed reads, bounded
+    attempts = 0
+    while len(ratios) < max(repeats, 1) and attempts < budget:
+        attempts += 1
         ra = one(a1, ah)
         rb = one(b1, bh)
         if ra > floor_s and rb > floor_s:
@@ -279,10 +282,18 @@ def measure_kernel_pair(
             tb.append(rb)
             ratios.append(ra / rb)
     if not ratios:
-        return {"a_s": floor_s, "b_s": floor_s, "ratio": 1.0}
+        # Every read collapsed below the floor (pathological drift): fall
+        # back to the unpaired stable estimates rather than fabricating a
+        # 1.0 ratio — a silent 1.0 poisons downstream geomeans.
+        sa = measure_kernel(fn_a, args_a, iters=iters, inner_hi=inner_hi,
+                            repeats=3, floor_s=floor_s)["median_s"]
+        sb = measure_kernel(fn_b, args_b, iters=iters, inner_hi=inner_hi,
+                            repeats=3, floor_s=floor_s)["median_s"]
+        return {"a_s": sa, "b_s": sb, "ratio": sa / sb, "paired": False}
     ta.sort(), tb.sort(), ratios.sort()
     return {
         "a_s": ta[len(ta) // 2],
         "b_s": tb[len(tb) // 2],
         "ratio": ratios[len(ratios) // 2],
+        "paired": True,
     }
