@@ -74,6 +74,7 @@ class DecodeEngine:
         mesh: Optional[Mesh] = None,
         batch_axis: str = "dp",
         seq_axis: Optional[str] = None,
+        head_axis: Optional[str] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -89,12 +90,26 @@ class DecodeEngine:
             else 1
         )
         self._seq_axis = seq_axis if self._sp_size > 1 else None
-        if self._seq_axis is not None:
+        # Tensor-parallel serving: KV heads + Megatron weight shards over
+        # ``head_axis`` (runtime.sp_decode handles both axes together).
+        self._tp_size = (
+            mesh.shape[head_axis]
+            if (mesh is not None and head_axis is not None)
+            else 1
+        )
+        self._head_axis = head_axis if self._tp_size > 1 else None
+        if self._seq_axis is not None or self._head_axis is not None:
             if rolling:
                 raise ValueError(
                     "rolling caches are dp-only (no contiguous shard "
                     "ownership under a wrapped position map)"
                 )
+        if self._head_axis is not None and cfg.n_kv_heads % self._tp_size:
+            raise ValueError(
+                f"n_kv_heads={cfg.n_kv_heads} must divide over "
+                f"{head_axis}={self._tp_size}"
+            )
+        if self._seq_axis is not None:
             maxloc = max_len // self._sp_size
             if max_len % self._sp_size or maxloc % 128:
                 raise ValueError(
@@ -186,24 +201,39 @@ class DecodeEngine:
                 )
             repl = NamedSharding(mesh, PartitionSpec())
             seq = self._seq_axis
+            head = self._head_axis
 
             def shard_for(leaf):
                 # Batch is dim 0 for rank-1/2 leaves (lengths/positions/
                 # tokens), dim 1 for [n_layers, B, ...] cache leaves; the
-                # length dim additionally splits over sp when enabled.
+                # length dim additionally splits over sp and the KV-head
+                # dim over tp when enabled.
                 if leaf.ndim <= 2:
                     return NamedSharding(mesh, PartitionSpec(batch_axis))
-                if seq is not None:
+                if seq is not None or head is not None:
                     from .sp_decode import cache_pspec
 
                     return NamedSharding(
-                        mesh, cache_pspec(leaf, batch_axis, seq)
+                        mesh, cache_pspec(leaf, batch_axis, seq, head)
                     )
                 return NamedSharding(
                     mesh, PartitionSpec(None, batch_axis)
                 )
 
-            self.params = jax.device_put(self.params, repl)
+            if self._head_axis is not None:
+                from .sp_decode import param_pspecs
+
+                pspecs = param_pspecs(self.params, self._head_axis)
+                self.params = jax.device_put(
+                    self.params,
+                    jax.tree_util.tree_map(
+                        lambda sp_: NamedSharding(mesh, sp_),
+                        pspecs,
+                        is_leaf=lambda x: isinstance(x, PartitionSpec),
+                    ),
+                )
+            else:
+                self.params = jax.device_put(self.params, repl)
             self.cache = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, shard_for(x)), self.cache
             )
@@ -214,11 +244,15 @@ class DecodeEngine:
             self._active_dev = jax.device_put(
                 self._active_dev, shard_for(self._active_dev)
             )
-            if self._seq_axis is not None:
+            if self._seq_axis is not None or self._head_axis is not None:
                 from .sp_decode import SpStepFns
 
                 self._sp = SpStepFns(
-                    mesh, cfg, batch_axis=batch_axis, seq_axis=self._seq_axis
+                    mesh,
+                    cfg,
+                    batch_axis=batch_axis,
+                    seq_axis=self._seq_axis,
+                    head_axis=self._head_axis,
                 )
                 # sp prefill goes in chunks that each land in ONE shard.
                 self._prefill_chunk = min(128, max_len // self._sp_size)

@@ -31,7 +31,7 @@ shard ownership.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,23 +53,73 @@ from .decode import sample_batch
 from .kv_cache import KVCache, QuantKVCache, bump_lengths
 
 
-def cache_pspec(leaf, batch_axis: str, seq_axis: str) -> PartitionSpec:
+def _tp_mlp(layer, x, cfg, head_axis):
+    """Megatron MLP: column-parallel gate/up, row-parallel down + psum."""
+    if head_axis is None:
+        return mlp_block(layer, x, cfg)
+    dt = cfg.dtype
+    h = rms_norm(x, layer["mlp_norm"])
+    gate = jax.nn.silu(h @ layer["w_gate"].astype(dt))
+    up = h @ layer["w_up"].astype(dt)
+    out = (gate * up) @ layer["w_down"].astype(dt)
+    return x + jax.lax.psum(out, head_axis)
+
+
+def cache_pspec(
+    leaf,
+    batch_axis: str,
+    seq_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
+) -> PartitionSpec:
     """PartitionSpec for a KV-cache leaf: slots on ``batch_axis``, the
-    length dim on ``seq_axis``.
+    length dim on ``seq_axis`` (sp), the KV-head dim on ``head_axis``
+    (tp).
 
     Leaf ranks: 5 = k/v values ``[L, B, H, len, D]``; 4 = quant scales
     ``[L, B, H, len]``; 1 = lengths ``[B]``.
     """
     if leaf.ndim == 5:
-        return PartitionSpec(None, batch_axis, None, seq_axis, None)
+        return PartitionSpec(None, batch_axis, head_axis, seq_axis, None)
     if leaf.ndim == 4:
-        return PartitionSpec(None, batch_axis, None, seq_axis)
+        return PartitionSpec(None, batch_axis, head_axis, seq_axis)
     if leaf.ndim == 1:
         return PartitionSpec(batch_axis)
     raise ValueError(
         f"unsupported cache leaf rank {leaf.ndim} for sequence sharding "
         "(rolling caches are dp-only)"
     )
+
+
+def param_pspecs(params, head_axis: Optional[str]):
+    """Megatron tensor-parallel PartitionSpecs for the decode params.
+
+    Column-parallel: wq/wk/wv (heads live in the output columns) and
+    w_gate/w_up; row-parallel (psum after): wo, w_down.  Norms, embed,
+    and lm_head stay replicated (decode logits are psum'd only through
+    the row-parallel projections, then identical on every tp shard).
+    """
+    rep = PartitionSpec()
+    if head_axis is None:
+        return jax.tree_util.tree_map(lambda _: rep, params)
+    col = PartitionSpec(None, head_axis)
+    row = PartitionSpec(head_axis, None)
+    layer_spec = {
+        "attn_norm": rep,
+        "wq": col,
+        "wk": col,
+        "wv": col,
+        "wo": row,
+        "mlp_norm": rep,
+        "w_gate": col,
+        "w_up": col,
+        "w_down": row,
+    }
+    return {
+        "embed": rep,
+        "layers": [dict(layer_spec) for _ in params["layers"]],
+        "final_norm": rep,
+        "lm_head": rep,
+    }
 
 
 def _quantize_like(cache: QuantKVCache, x: jax.Array):
@@ -132,12 +182,16 @@ def _sp_attn_with_cache(
     layer_idx: int,
     positions: jax.Array,
     *,
-    seq_axis: str,
+    seq_axis: Optional[str],
+    head_axis: Optional[str] = None,
+    tp_size: int = 1,
 ) -> Tuple[jax.Array, object]:
-    """One attention block against the LOCAL KV shard + sp lse-combine.
+    """One attention block against the LOCAL KV shard: sp lse-combine
+    across sequence shards, Megatron column/row sharding across tp.
 
-    Call inside ``shard_map``; ``x``/``positions`` replicated over sp,
-    ``cache`` the local shard.  Mirrors ``decode._attn_with_cache``.
+    Call inside ``shard_map``; ``x``/``positions`` replicated over
+    sp/tp, ``cache`` the local shard.  Mirrors
+    ``decode._attn_with_cache``.
     """
     if cfg.attn_window is not None:
         raise ValueError(
@@ -147,12 +201,20 @@ def _sp_attn_with_cache(
     dt = cfg.dtype
     t_new = x.shape[1]
     interpret = jax.default_backend() != "tpu"
-    my_sp = jax.lax.axis_index(seq_axis)
+    my_sp = jax.lax.axis_index(seq_axis) if seq_axis is not None else 0
 
+    # Column-parallel projections: the weight shard's columns ARE this
+    # tp shard's heads, so head splitting just uses the local counts.
     h = rms_norm(x, layer["attn_norm"])
-    q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
-    k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
-    v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    q = _split_heads(
+        h @ layer["wq"].astype(dt), cfg.n_heads // tp_size, cfg.head_dim
+    )
+    k = _split_heads(
+        h @ layer["wk"].astype(dt), cfg.n_kv_heads // tp_size, cfg.head_dim
+    )
+    v = _split_heads(
+        h @ layer["wv"].astype(dt), cfg.n_kv_heads // tp_size, cfg.head_dim
+    )
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -185,15 +247,12 @@ def _sp_attn_with_cache(
             k_scale=cache.k_scale.at[layer_idx].set(ks_l),
             v_scale=cache.v_scale.at[layer_idx].set(vs_l),
         )
+        kv_loc = cfg.n_kv_heads // tp_size
         qkv_q = QuantizedKV(
             k_q=k_l,
             v_q=v_l,
-            k_scale=ks_l.reshape(
-                k_l.shape[0], cfg.n_kv_heads, maxloc // 128, 128
-            ),
-            v_scale=vs_l.reshape(
-                k_l.shape[0], cfg.n_kv_heads, maxloc // 128, 128
-            ),
+            k_scale=ks_l.reshape(k_l.shape[0], kv_loc, maxloc // 128, 128),
+            v_scale=vs_l.reshape(k_l.shape[0], kv_loc, maxloc // 128, 128),
         )
         o_l, lse_lanes = flash_attention_quant(
             q,
@@ -222,17 +281,27 @@ def _sp_attn_with_cache(
             interpret=interpret,
         )
 
-    o = lse_psum_combine(o_l, lse_lanes[..., 0], seq_axis).astype(dt)
+    if seq_axis is not None:
+        o = lse_psum_combine(o_l, lse_lanes[..., 0], seq_axis).astype(dt)
+    else:
+        o = o_l
     out = _merge_heads(o) @ layer["wo"].astype(dt)
+    if head_axis is not None:
+        # Row-parallel output projection: partial sums join over tp.
+        out = jax.lax.psum(out, head_axis)
     return x + out, cache
 
 
 class SpStepFns:
-    """jit+shard_map'd prefill/decode steps for a (dp x sp)-sharded engine.
+    """jit+shard_map'd prefill/decode steps for a (dp x sp x tp)-sharded
+    engine.
 
     ``decode_and_sample(params, cache, tokens, active, key, temps)`` and
     ``prefill_chunk(params, cache, tokens, start_len, prompt_len, slot)``
-    take/return GLOBAL arrays laid out per ``cache_pspec``.
+    take/return GLOBAL arrays laid out per ``cache_pspec`` /
+    ``param_pspecs``.  ``seq_axis`` shards the KV length dim (lse
+    combine), ``head_axis`` shards heads + Megatron weights (psum after
+    the row-parallel projections); either may be None.
     """
 
     def __init__(
@@ -241,16 +310,28 @@ class SpStepFns:
         cfg: ModelConfig,
         *,
         batch_axis: str = "dp",
-        seq_axis: str = "sp",
+        seq_axis: Optional[str] = "sp",
+        head_axis: Optional[str] = None,
     ):
         self.mesh = mesh
         self.cfg = cfg
         self.batch_axis = batch_axis
         self.seq_axis = seq_axis
+        self.head_axis = head_axis
+        self.tp_size = mesh.shape[head_axis] if head_axis else 1
+        if self.tp_size > 1 and (
+            cfg.n_heads % self.tp_size or cfg.n_kv_heads % self.tp_size
+        ):
+            raise ValueError(
+                f"n_heads={cfg.n_heads}/n_kv_heads={cfg.n_kv_heads} must "
+                f"divide over {head_axis}={self.tp_size}"
+            )
+        tp_size = self.tp_size
         self._prefill_jits = {}
 
         cspec = functools.partial(
-            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis
+            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis,
+            head_axis=head_axis,
         )
         rep = PartitionSpec()
         dp = PartitionSpec(batch_axis)
@@ -261,9 +342,10 @@ class SpStepFns:
             x = params["embed"][tokens[:, None]].astype(cfg.dtype)
             for i, layer in enumerate(params["layers"]):
                 x, cache = _sp_attn_with_cache(
-                    layer, x, cfg, cache, i, positions, seq_axis=seq_axis
+                    layer, x, cfg, cache, i, positions, seq_axis=seq_axis,
+                    head_axis=head_axis, tp_size=tp_size,
                 )
-                x = mlp_block(layer, x, cfg)
+                x = _tp_mlp(layer, x, cfg, head_axis)
             x = rms_norm(x, params["final_norm"])
             logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
                 jnp.float32
@@ -281,7 +363,7 @@ class SpStepFns:
                 decode_body,
                 mesh=mesh,
                 in_specs=(
-                    jax.tree_util.tree_map(lambda _: rep, params),
+                    param_pspecs(params, head_axis),
                     spec,
                     dp,
                     dp,
@@ -300,8 +382,10 @@ class SpStepFns:
         cfg = self.cfg
         mesh = self.mesh
         batch_axis, seq_axis = self.batch_axis, self.seq_axis
+        head_axis, tp_size = self.head_axis, self.tp_size
         cspec = functools.partial(
-            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis
+            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis,
+            head_axis=head_axis,
         )
         rep = PartitionSpec()
 
@@ -334,9 +418,9 @@ class SpStepFns:
             for i, layer in enumerate(params["layers"]):
                 x, slot_cache = _sp_attn_with_cache(
                     layer, x, cfg, slot_cache, i, positions,
-                    seq_axis=seq_axis,
+                    seq_axis=seq_axis, head_axis=head_axis, tp_size=tp_size,
                 )
-                x = mlp_block(layer, x, cfg)
+                x = _tp_mlp(layer, x, cfg, head_axis)
             x = rms_norm(x, params["final_norm"])
             logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
                 jnp.float32
@@ -382,7 +466,7 @@ class SpStepFns:
                 prefill_body,
                 mesh=mesh,
                 in_specs=(
-                    jax.tree_util.tree_map(lambda _: rep, params),
+                    param_pspecs(params, head_axis),
                     spec,
                     rep,
                     rep,
