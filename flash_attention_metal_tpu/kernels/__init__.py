@@ -12,6 +12,7 @@ from .flash_bwd import (
 )
 from .flash_mask import (
     BlockMask,
+    block_sparse_attention,
     flash_attention_block_sparse,
     flash_attention_block_sparse_fwd,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "flash_attention_bwd_auto",
     "flash_attention_bwd_fused",
     "BlockMask",
+    "block_sparse_attention",
     "flash_attention_block_sparse",
     "flash_attention_block_sparse_fwd",
     "QuantizedKV",

@@ -582,3 +582,19 @@ def _sparse_bwd_rule(mask, sm_scale, interpret, res, do):
 
 
 flash_attention_block_sparse.defvjp(_sparse_fwd_rule, _sparse_bwd_rule)
+
+
+def block_sparse_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: BlockMask,
+    *,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Keyword-friendly front door for ``flash_attention_block_sparse``
+    (the custom-vjp op takes its nondiff args positionally)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return flash_attention_block_sparse(q, k, v, mask, sm_scale, interpret)
