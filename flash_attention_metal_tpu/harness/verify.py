@@ -187,6 +187,40 @@ def run_ladder(
     oracle_w = attention_reference(q, k, v, causal=True, window=w)
     rung(f"flash sliding-window (W={w}) vs oracle", ow, oracle_w, TOL_HALF)
 
+    # Rung 11: arbitrary block-sparse mask (skip-list grid) vs a masked
+    # oracle — validates the mask compiler's Mosaic path end-to-end.
+    from ..kernels import BlockMask, block_sparse_attention
+
+    def _mask_fn(r, c):
+        return (c <= r) & (((r - c) < n // 4) | ((c % (3 * n // 8)) < n // 8))
+
+    bm = BlockMask(_mask_fn, n, n, 128, 128)
+    osp = block_sparse_attention(qh, kh, vh, bm, interpret=interpret)
+    sbs = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * (head_dim**-0.5)
+    rr, cc = jnp.arange(n)[:, None], jnp.arange(n)[None, :]
+    sbs = jnp.where(_mask_fn(rr, cc), sbs, -jnp.inf)
+    mm = jnp.max(sbs, -1, keepdims=True)
+    mm = jnp.where(jnp.isneginf(mm), 0.0, mm)
+    pp = jnp.exp(sbs - mm)
+    ll = jnp.sum(pp, -1, keepdims=True)
+    oracle_sp = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        pp / jnp.where(ll == 0, 1.0, ll),
+        v.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rung(
+        f"flash block-sparse mask (density {bm.density:.2f}) vs oracle",
+        osp,
+        oracle_sp,
+        TOL_HALF,
+    )
+
     return results
 
 

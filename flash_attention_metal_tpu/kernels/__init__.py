@@ -16,6 +16,7 @@ from .flash_mask import (
     flash_attention_block_sparse,
     flash_attention_block_sparse_fwd,
 )
+from .paged import flash_attention_paged
 from .quant import (
     QuantizedKV,
     dequantize_kv,
@@ -36,6 +37,7 @@ __all__ = [
     "block_sparse_attention",
     "flash_attention_block_sparse",
     "flash_attention_block_sparse_fwd",
+    "flash_attention_paged",
     "QuantizedKV",
     "quantize_kv",
     "dequantize_kv",

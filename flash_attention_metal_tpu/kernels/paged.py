@@ -1,0 +1,165 @@
+"""Paged flash-attention: decode/prefill over a pooled, page-table KV cache.
+
+vLLM-style paged KV for fragmentation-free long-tail serving.  Physical
+KV storage is a shared pool of fixed-size pages ``[P, H_kv, page_size, D]``
+and each batch slot owns an int32 row of a page table mapping *logical*
+page index -> physical page id.  The TPU-native trick: the indirection
+lives entirely in the Pallas KV ``index_map`` — the page table rides
+scalar prefetch (SMEM) next to the per-slot causal offsets, the grid's
+KV axis walks *logical* pages, and the index map translates each step to
+its physical page.  The kernel body (``flash_fwd._fwd_kernel``) is reused
+unchanged: all masking runs in logical position space, so correctness is
+independent of physical placement, and the causal diagonal clamp still
+collapses post-diagonal steps onto the same physical page (their DMAs are
+elided exactly like the dense kernel's).
+
+This generalizes the reference's cross-invocation state design seed (the
+persisted logsumexp, ``kernels.metal:861-864``) the same way the dense
+cache does (``runtime/kv_cache.py``) while removing its one scaling flaw:
+a slot no longer reserves ``max_len`` contiguous tokens up front.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import NUM_LANES, default_scale
+from .flash_fwd import _fwd_kernel
+
+
+def flash_attention_paged(
+    q: jax.Array,
+    pool_k: jax.Array,
+    pool_v: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    sinks: int = 0,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal flash attention reading KV through a page table.
+
+    * ``q``: ``[B, H, T_new, D]`` — the step's query rows (T_new = 1 for
+      decode, up to a prefill chunk otherwise).
+    * ``pool_k`` / ``pool_v``: ``[P, H_kv, page_size, D]`` shared page
+      pool (one layer's view).
+    * ``page_table``: ``[B, max_pages]`` int32 — physical page id per
+      logical page.  Every logical page that can hold a visible position
+      (i.e. up to ``ceil((lengths[b] + T_new) / page_size)``) MUST be
+      allocated; entries past that are never dereferenced (the causal
+      clamp keeps the index map at/below the diagonal page).
+    * ``lengths``: ``[B]`` int32 — tokens already in the cache *before*
+      this step's rows (the causal q_offset, exactly as the dense decode
+      path uses it).
+
+    Masking is always causal in logical position space; ``window`` /
+    ``sinks`` compose like the dense kernel's.  Forward-only (serving).
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_pages, kv_heads, page_size, d_kv = pool_k.shape
+    if d_kv != head_dim:
+        raise ValueError(f"head_dim mismatch: q {head_dim} vs pool {d_kv}")
+    if heads % kv_heads:
+        raise ValueError(
+            f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
+        )
+    kv_group = heads // kv_heads
+    max_pages = page_table.shape[1]
+    if page_size % NUM_LANES:
+        raise ValueError(f"page_size={page_size} must be a multiple of 128")
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    block_q = min(block_q, n_q)
+    if n_q % block_q:
+        raise ValueError(f"n_q={n_q} not divisible by block_q={block_q}")
+
+    grid = (batch, heads, n_q // block_q, max_pages)
+    q_offset = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (batch,)
+    )
+    table = jnp.asarray(page_table, jnp.int32)
+
+    bound = functools.partial(
+        _fwd_kernel,
+        sm_scale=sm_scale,
+        causal=True,
+        block_q=block_q,
+        block_k_major=page_size,
+        block_k=page_size,
+        num_kv_major=max_pages,
+        save_lse=False,
+        lazy_softmax=True,
+        window=window,
+        sinks=int(sinks),
+    )
+
+    def kernel(off_ref, table_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s):
+        del table_ref  # consumed by the index maps only
+        return bound(
+            off_ref, q_ref, k_ref, v_ref, None, None, None, o_ref, None,
+            m_s, l_s, a_s,
+        )
+
+    def kv_page_map(b, h, i, j, off_ref, table_ref):
+        # Same diagonal clamp as the dense kernel (DMA elision of skipped
+        # steps), then translate logical -> physical through the table.
+        diag = ((i + 1) * block_q - 1 + off_ref[b]) // page_size
+        j_eff = jnp.minimum(j, diag)
+        if window is not None and not sinks:
+            j_min = (i * block_q + off_ref[b] - window + 1) // page_size
+            j_eff = jnp.maximum(j_eff, j_min)
+        j_eff = jnp.clip(j_eff, 0, max_pages - 1)
+        phys = table_ref[b, j_eff]
+        return (jnp.clip(phys, 0, n_pages - 1), h // kv_group, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+            ),
+            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+            )
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+    )
+
+    # FLOP model: only pages at/below each slot's diagonal do work, which
+    # the scheduler can't see per-batch — use the worst case (full table).
+    flops = 2 * batch * heads * n_q * max_pages * page_size * head_dim
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + pool_k.size + pool_v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * n_q * max_pages * page_size,
+        ),
+        interpret=interpret,
+    )(q_offset, table, q, pool_k, pool_v)
+    return out[0]

@@ -1,11 +1,21 @@
 """Serving runtime: KV cache, decode steps, continuous batching engine."""
 
 from .kv_cache import KVCache, append_tokens, bump_lengths, init_cache, reset_slot
+from .paged_kv import (
+    PagedKVCache,
+    PageAllocator,
+    append_tokens_paged,
+    init_paged_cache,
+)
 from .decode import decode_step, prefill_slot, sample
 from .engine import DecodeEngine, Request
 
 __all__ = [
     "KVCache",
+    "PagedKVCache",
+    "PageAllocator",
+    "append_tokens_paged",
+    "init_paged_cache",
     "append_tokens",
     "bump_lengths",
     "init_cache",

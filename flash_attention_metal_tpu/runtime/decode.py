@@ -25,7 +25,9 @@ from ..models.transformer import (
     rope,
 )
 from ..kernels.quant import QuantizedKV, flash_attention_quant
+from ..kernels.paged import flash_attention_paged
 from ..ops.attention import flash_attention
+from .paged_kv import PagedKVCache, append_tokens_paged
 from .kv_cache import (
     KVCache,
     QuantKVCache,
@@ -122,6 +124,23 @@ def _attn_with_cache(
             cache.lengths,
             pos_eff,
             causal=True,
+            window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
+            interpret=jax.default_backend() != "tpu",
+        )
+    elif isinstance(cache, PagedKVCache):
+        # Paged pool: append scatters through the page table; attention
+        # reads KV through the same table inside the kernel's index maps
+        # (kernels/paged.py).  All pages covering lengths + t_new tokens
+        # must already be granted (the engine's PageAllocator runs ahead
+        # of every step).
+        cache = append_tokens_paged(cache, layer_idx, k, v)
+        o = flash_attention_paged(
+            q,
+            cache.pool_k[layer_idx],
+            cache.pool_v[layer_idx],
+            cache.page_table,
+            cache.lengths,
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
             interpret=jax.default_backend() != "tpu",
@@ -223,12 +242,18 @@ def prefill_chunk(
 
     # Slot view / write-back work generically over the cache classes:
     # rank-1 leaves are the per-slot lengths, rank-2 the rolling position
-    # map, everything else is [n_layers, B, ...].
+    # map / page table, everything else is [n_layers, B, ...] — except a
+    # paged cache's pools, which are shared (no batch dim) and pass
+    # through whole: prefill only touches the slot's own physical pages.
+    paged = isinstance(cache, PagedKVCache)
+
     def view(leaf):
         if leaf.ndim == 1:  # lengths [B]
             return leaf[slot : slot + 1] * 0 + start_len.astype(jnp.int32)
-        if leaf.ndim == 2:  # rolling positions [B, C]
+        if leaf.ndim == 2:  # rolling positions / page table [B, C]
             return leaf[slot : slot + 1]
+        if paged:  # pool [L, P, H, ps, D]
+            return leaf
         return leaf[:, slot : slot + 1]
 
     slot_cache = jax.tree_util.tree_map(view, cache)
@@ -261,6 +286,8 @@ def prefill_chunk(
             return buf.at[slot].set(new_len)
         if buf.ndim == 2:
             return buf.at[slot : slot + 1].set(new)
+        if paged:
+            return new
         return buf.at[:, slot : slot + 1].set(new)
 
     new_cache = jax.tree_util.tree_map(write, cache, slot_cache)

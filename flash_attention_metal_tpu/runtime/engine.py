@@ -11,7 +11,8 @@ decode) regardless of traffic.
 from __future__ import annotations
 
 import dataclasses
-from collections import deque
+import hashlib
+from collections import OrderedDict, deque
 from typing import Dict, List, Optional
 
 import jax
@@ -48,6 +49,25 @@ def _pad_to(x: List[int], multiple: int) -> np.ndarray:
     return np.asarray(x + [0] * pad, np.int32)
 
 
+def _prefix_chain_keys(prompt: List[int], page_size: int) -> List[str]:
+    """Chained content keys for each full prompt page.
+
+    Key i digests ALL tokens up to the end of page i (not just the
+    page's own): a page's KV depends on its entire prefix, so equal
+    keys <=> bit-identical KV through the same jitted prefill.
+    """
+    h = hashlib.sha256()
+    keys = []
+    for i in range(len(prompt) // page_size):
+        h.update(
+            np.asarray(
+                prompt[i * page_size : (i + 1) * page_size], np.int64
+            ).tobytes()
+        )
+        keys.append(h.hexdigest())
+    return keys
+
+
 class DecodeEngine:
     """Continuous batching over a fixed slot pool.
 
@@ -71,6 +91,10 @@ class DecodeEngine:
         harvest_lag: int = 16,
         kv_quant: Optional[str] = None,
         rolling: bool = False,
+        paged: bool = False,
+        page_size: int = 128,
+        n_pages: Optional[int] = None,
+        prefix_share: bool = False,
         mesh: Optional[Mesh] = None,
         batch_axis: str = "dp",
         seq_axis: Optional[str] = None,
@@ -116,7 +140,44 @@ class DecodeEngine:
                     f"max_len={max_len} must split into 128-aligned "
                     f"shards over {seq_axis}={self._sp_size}"
                 )
-        if rolling:
+        self._paged = paged
+        self._allocator = None
+        self._host_len = [0] * max_batch
+        if paged:
+            # vLLM-style paged pool (ROADMAP item 7): slots share a page
+            # pool instead of each reserving max_len contiguous tokens.
+            # Admission is gated by worst-case page reservation, so the
+            # pool can be sized to real traffic (sum of per-request
+            # prompt+max_new footprints) rather than max_batch * max_len.
+            if rolling or kv_quant:
+                raise ValueError(
+                    "paged=True composes with dense bf16 KV only (no "
+                    "rolling/quant paging yet)"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "paged=True is single-device (a shared physical pool "
+                    "has no batch dim to shard)"
+                )
+            from .paged_kv import PageAllocator, init_paged_cache
+
+            if n_pages is None:
+                # Default: no oversubscription (full dense equivalent)
+                # plus the reserved placeholder page 0.
+                n_pages = max_batch * (max_len // page_size) + 1
+            self.cache = init_paged_cache(
+                cfg.n_layers,
+                max_batch,
+                cfg.n_kv_heads,
+                max_len,
+                cfg.head_dim,
+                n_pages=n_pages,
+                page_size=page_size,
+                dtype=cfg.dtype,
+            )
+            self._allocator = PageAllocator(n_pages, max_batch)
+            self._prefill_chunk = None
+        elif rolling:
             # O(window) rolling cache for sliding-window models.
             if cfg.attn_window is None:
                 raise ValueError("rolling=True requires cfg.attn_window")
@@ -168,6 +229,13 @@ class DecodeEngine:
             )
         if not rolling:
             self._prefill_chunk = None
+        if prefix_share and not paged:
+            raise ValueError("prefix_share=True requires paged=True")
+        self._prefix_share = prefix_share
+        # Retained prefix registry: chain-key -> physical page, LRU
+        # ordered.  Entries hold a pin on their page so shared prompt
+        # prefixes survive slot turnover; evicted under pool pressure.
+        self._prefix_registry: OrderedDict[str, int] = OrderedDict()
         self.slots: List[Optional[Request]] = [None] * max_batch
         # Device-resident per-slot state: the decode chain never
         # round-trips tokens through the host.
@@ -278,7 +346,69 @@ class DecodeEngine:
                 continue
             req = self.queue.popleft()
             tokens = _pad_to(req.prompt, 128)
-            if self._sp is not None:
+            shared_tokens = 0
+            prefix_keys: List[str] = []
+            if self._paged:
+                # Memory-based admission control: reserve the request's
+                # worst-case page footprint (padded prompt for prefill
+                # writes, or prompt + generation + zombie-step margin)
+                # so mid-flight growth can never exhaust the pool.
+                ps = self.cache.page_size
+                worst = max(
+                    len(tokens),
+                    len(req.prompt)
+                    + req.max_new_tokens
+                    + self.harvest_lag
+                    + 1,
+                )
+                need = -(-min(worst, self.max_len) // ps)
+                while (
+                    not self._allocator.can_reserve(need)
+                    and self._prefix_registry
+                ):
+                    # Evict retained prefixes (LRU) before refusing work.
+                    key, phys = self._prefix_registry.popitem(last=False)
+                    self._allocator.unpin(phys)
+                if not self._allocator.can_reserve(need):
+                    # Pool full: requeue and wait for retirements.
+                    self.queue.appendleft(req)
+                    break
+                self._allocator.reserve(slot, need)
+                if self._prefix_share:
+                    prefix_keys = _prefix_chain_keys(req.prompt, ps)
+                    # Adopt the longest registered chain prefix, capped
+                    # strictly below prompt_len so the tail prefill
+                    # always runs (it produces the first sample's
+                    # logits) and decode never writes a shared page.
+                    adoptable = (len(req.prompt) - 1) // ps
+                    for key in prefix_keys[:adoptable]:
+                        phys = self._prefix_registry.get(key)
+                        if phys is None:
+                            break
+                        self.cache = self._allocator.adopt(
+                            self.cache, slot, phys
+                        )
+                        self._prefix_registry.move_to_end(key)
+                        shared_tokens += ps
+                self.cache = self._allocator.grow(
+                    self.cache, slot, len(tokens)
+                )
+                self._host_len[slot] = len(req.prompt)
+            if shared_tokens:
+                # Prefill only past the shared prefix: its KV is already
+                # resident through the adopted pages.
+                from .decode import prefill_chunk
+
+                logits, self.cache = prefill_chunk(
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    jnp.asarray(tokens[shared_tokens:]),
+                    jnp.int32(shared_tokens),
+                    jnp.int32(len(req.prompt)),
+                    slot,
+                )
+            elif self._sp is not None:
                 logits, self.cache = self._sp.prefill_slot(
                     self.params,
                     self.cache,
@@ -297,6 +427,15 @@ class DecodeEngine:
                     slot,
                     chunk=self._prefill_chunk,
                 )
+            if self._prefix_share:
+                # Register this prompt's fully-true pages (adopted ones
+                # are already present) for future admissions to share.
+                full = len(req.prompt) // self.cache.page_size
+                owned = self._allocator._owned[slot]
+                for i, key in enumerate(prefix_keys[:full]):
+                    if key not in self._prefix_registry:
+                        self._allocator.pin(owned[i])
+                        self._prefix_registry[key] = owned[i]
             self.key, sub = jax.random.split(self.key)
             tok = int(sample(logits, sub, req.temperature))
             req.slot = slot
@@ -319,7 +458,13 @@ class DecodeEngine:
             req.done = True
             self.slots[req.slot] = None
             self._occupancy_dirty = True
-            self.cache = reset_slot(self.cache, req.slot)
+            if self._paged:
+                # Zeroing the table row redirects any still-in-flight
+                # zombie writes to the reserved page 0, so the freed
+                # pages are immediately safe to re-grant.
+                self.cache = self._allocator.release(self.cache, req.slot)
+            else:
+                self.cache = reset_slot(self.cache, req.slot)
             self.finished[req.uid] = req
 
     # ------------------------------------------------------------------
@@ -350,6 +495,17 @@ class DecodeEngine:
                 )
                 self._occupancy_dirty = False
             active = self._active_dev
+            if self._paged:
+                # Grant pages ahead of the step: each active slot is
+                # about to append one token at position _host_len.
+                # Reservation accounting at admission guarantees this
+                # never exhausts the pool.
+                for slot, r in enumerate(self.slots):
+                    if r is not None:
+                        self.cache = self._allocator.grow(
+                            self.cache, slot, self._host_len[slot] + 1
+                        )
+                        self._host_len[slot] += 1
             # One fused device program (decode + batched sample, KV cache
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.
@@ -409,7 +565,17 @@ class DecodeEngine:
         """
         while self._inflight:
             self._harvest_one()
+        paged_state = None
+        if self._paged:
+            paged_state = {
+                "owned": [list(x) for x in self._allocator._owned],
+                "reserved": list(self._allocator._reserved),
+                "refs": list(self._allocator._refs),
+                "registry": list(self._prefix_registry.items()),
+                "host_len": list(self._host_len),
+            }
         return {
+            "paged": paged_state,
             "cache": self.cache,
             "next_token": self.next_token,
             "temps": self.temps,
@@ -470,3 +636,20 @@ class DecodeEngine:
         )
         self._inflight.clear()
         self._occupancy_dirty = True
+        if self._paged and snap.get("paged") is not None:
+            meta = snap["paged"]
+            alloc = self._allocator
+            alloc._owned = [list(x) for x in meta["owned"]]
+            alloc._reserved = list(meta["reserved"])
+            alloc._refs = list(meta["refs"])
+            alloc._committed = sum(alloc._reserved)
+            alloc._pinned = len(meta["registry"])
+            alloc._free = [
+                p
+                for p in range(self.cache.n_pages - 1, 0, -1)
+                if alloc._refs[p] == 0
+            ]
+            self._prefix_registry = OrderedDict(
+                (k, int(v)) for k, v in meta["registry"]
+            )
+            self._host_len = list(meta["host_len"])
