@@ -221,6 +221,45 @@ def run_ladder(
         TOL_HALF,
     )
 
+    # Rung 12: paged KV (vLLM-style page-table indirection) — physical
+    # pages deliberately permuted so the scalar-prefetch index-map
+    # translation is actually exercised; masking is in logical position
+    # space so output must match the causal oracle regardless of
+    # placement.  Covers full prefill (lengths=0) and a decode chunk
+    # (lengths=n-128, last block of rows).
+    from ..kernels import flash_attention_paged
+
+    ps = 128
+    pages_per = n // ps
+    perm = (
+        jax.random.permutation(jax.random.PRNGKey(11), batch * pages_per) + 1
+    ).reshape(batch, pages_per)
+    pool_shape = (1 + batch * pages_per, heads, ps, head_dim)
+    pool_k = jnp.zeros(pool_shape, jnp.bfloat16)
+    pool_v = jnp.zeros(pool_shape, jnp.bfloat16)
+    kp = kh.reshape(batch, heads, pages_per, ps, head_dim)
+    vp = vh.reshape(batch, heads, pages_per, ps, head_dim)
+    for b in range(batch):
+        for p in range(pages_per):
+            pool_k = pool_k.at[perm[b, p]].set(kp[b, :, p])
+            pool_v = pool_v.at[perm[b, p]].set(vp[b, :, p])
+    table = jnp.asarray(perm, jnp.int32)
+    op_full = flash_attention_paged(
+        qh, pool_k, pool_v, table,
+        jnp.zeros((batch,), jnp.int32), interpret=interpret,
+    )
+    rung("flash paged-KV prefill vs causal oracle", op_full, oracle_c, TOL_HALF)
+    op_dec = flash_attention_paged(
+        qh[:, :, n - ps:], pool_k, pool_v, table,
+        jnp.full((batch,), n - ps, jnp.int32), interpret=interpret,
+    )
+    rung(
+        "flash paged-KV decode chunk vs causal oracle",
+        op_dec,
+        oracle_c[:, :, n - ps:],
+        TOL_HALF,
+    )
+
     return results
 
 
