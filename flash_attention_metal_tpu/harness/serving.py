@@ -35,6 +35,7 @@ def build_engine(
     d_ff: int = 2048,
     vocab: int = 32768,
     seed: int = 0,
+    **engine_kwargs,
 ) -> tuple:
     cfg = ModelConfig(
         vocab_size=vocab,
@@ -48,7 +49,9 @@ def build_engine(
         dtype=jnp.bfloat16,
     )
     params = init_params(jax.random.PRNGKey(seed), cfg)
-    eng = DecodeEngine(params, cfg, max_batch=max_batch, max_len=max_len)
+    eng = DecodeEngine(
+        params, cfg, max_batch=max_batch, max_len=max_len, **engine_kwargs
+    )
     return eng, cfg
 
 
@@ -58,15 +61,33 @@ def run_serving_bench(
     n_requests: int = 16,
     prompt_len: int = 128,
     max_new: int = 128,
+    paged: bool = False,
+    shared_prefix: int = 0,
     log=print,
 ) -> dict:
-    eng, cfg = build_engine(max_batch=max_batch)
+    """One steady-state decode run.
+
+    ``paged=True`` swaps the contiguous slot cache for the pooled
+    page-table cache (``runtime/paged_kv.py``); ``shared_prefix > 0``
+    additionally gives every request the same first ``shared_prefix``
+    prompt tokens and enables the engine's prefix registry, so shared
+    pages are prefilled once and adopted by later admissions.
+    """
+    eng, cfg = build_engine(
+        max_batch=max_batch,
+        paged=paged,
+        prefix_share=paged and shared_prefix > 0,
+    )
     rng = np.random.default_rng(0)
+    common = rng.integers(1, cfg.vocab_size, shared_prefix).tolist()
     for uid in range(n_requests):
+        tail = rng.integers(
+            1, cfg.vocab_size, prompt_len - shared_prefix
+        ).tolist()
         eng.submit(
             Request(
                 uid=uid,
-                prompt=rng.integers(1, cfg.vocab_size, prompt_len).tolist(),
+                prompt=common + tail,
                 max_new_tokens=max_new,
             )
         )
@@ -85,6 +106,8 @@ def run_serving_bench(
 
     total_tokens = sum(len(r.generated) for r in eng.finished.values())
     result = {
+        "mode": "paged" if paged else "dense",
+        "shared_prefix": shared_prefix,
         "model": {
             "n_layers": cfg.n_layers,
             "d_model": cfg.d_model,
@@ -104,8 +127,8 @@ def run_serving_bench(
         "ms_per_step": elapsed / max(steps, 1) * 1e3,
     }
     log(
-        f"serving: {total_tokens} tokens in {elapsed:.2f}s over {steps} steps"
-        f" -> {result['tokens_per_s']:.0f} tok/s,"
+        f"serving[{result['mode']}]: {total_tokens} tokens in {elapsed:.2f}s"
+        f" over {steps} steps -> {result['tokens_per_s']:.0f} tok/s,"
         f" {result['ms_per_step']:.1f} ms/step (batch {max_batch})"
     )
     return result
@@ -121,13 +144,23 @@ def main() -> int:
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument(
+        "--dense-only", action="store_true",
+        help="skip the paged / prefix-shared comparison runs",
+    )
     args = ap.parse_args()
-    result = run_serving_bench(
+    common = dict(
         max_batch=args.max_batch,
         n_requests=args.requests,
         prompt_len=args.prompt_len,
         max_new=args.max_new,
     )
+    result = run_serving_bench(**common)
+    if not args.dense_only:
+        result["paged"] = run_serving_bench(**common, paged=True)
+        result["paged_prefix_shared"] = run_serving_bench(
+            **common, paged=True, shared_prefix=args.prompt_len // 2
+        )
     with open("serving_bench.json", "w") as f:
         json.dump(result, f, indent=2)
     print("wrote serving_bench.json")

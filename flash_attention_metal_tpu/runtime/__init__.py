@@ -9,6 +9,7 @@ from .paged_kv import (
 )
 from .decode import decode_step, prefill_slot, sample
 from .engine import DecodeEngine, Request
+from .speculative import speculative_generate, speculative_step
 
 __all__ = [
     "KVCache",
@@ -25,4 +26,6 @@ __all__ = [
     "sample",
     "DecodeEngine",
     "Request",
+    "speculative_generate",
+    "speculative_step",
 ]

@@ -346,15 +346,53 @@ def prefill_slot(
     return last, cache
 
 
+def _filter_top_kp(
+    scaled: jax.Array,  # [B, V] temperature-scaled logits
+    top_k: jax.Array,  # [B] int32, <= 0 disables
+    top_p: jax.Array,  # [B] float, >= 1 disables
+) -> jax.Array:
+    """Mask all but the top-k / nucleus-p candidates to -inf.
+
+    Sort-once formulation: rank thresholding gives top-k; the cumulative
+    probability EXCLUDING the candidate itself under ``top_p`` gives the
+    smallest prefix whose mass reaches p (rank 0 always survives, so the
+    distribution can never go empty).  Both filters compose per slot and
+    are disabled by their sentinel values, keeping the serving loop at
+    one executable for any mix of request sampling settings.
+    """
+    vocab = scaled.shape[-1]
+    sort_idx = jnp.argsort(scaled, axis=-1)[:, ::-1]
+    s = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+    rank = jnp.arange(vocab)[None, :]
+    keep = (top_k[:, None] <= 0) | (rank < top_k[:, None])
+    probs = jax.nn.softmax(jnp.where(keep, s, -jnp.inf), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= (top_p[:, None] >= 1.0) | ((cum - probs) < top_p[:, None])
+    s = jnp.where(keep, s, -jnp.inf)
+    # Un-sort back to vocab order.
+    inv = jnp.argsort(sort_idx, axis=-1)
+    return jnp.take_along_axis(s, inv, axis=-1)
+
+
 def sample(
     logits: jax.Array,
     key: Optional[jax.Array] = None,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jax.Array:
-    """Greedy (t=0) or temperature sampling over ``[..., V]`` logits."""
+    """Greedy (t=0) / temperature / top-k / nucleus sampling over
+    ``[..., V]`` logits."""
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+    scaled = (logits / temperature).reshape(1, -1)
+    if top_k > 0 or top_p < 1.0:
+        scaled = _filter_top_kp(
+            scaled,
+            jnp.asarray([top_k], jnp.int32),
+            jnp.asarray([top_p], jnp.float32),
+        )
+    return jax.random.categorical(key, scaled[0]).astype(jnp.int32)
 
 
 @jax.jit
@@ -362,20 +400,32 @@ def sample_batch(
     logits: jax.Array,
     key: jax.Array,
     temperatures: jax.Array,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Per-slot greedy/temperature sampling in ONE device program.
+    """Per-slot greedy/temperature/top-k/top-p sampling in ONE device
+    program.
 
-    ``logits [B, V]``, ``temperatures [B]`` (0 = greedy).  Keeps the
-    serving loop at a single host<->device round trip per decode step —
+    ``logits [B, V]``, ``temperatures [B]`` (0 = greedy), ``top_ks [B]``
+    int32 (<=0 = off), ``top_ps [B]`` (>=1 = off).  Keeps the serving
+    loop at a single host<->device round trip per decode step —
     per-slot host-side sampling costs one transfer each, which dominates
     end-to-end latency on dispatch-bound links.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temps = jnp.maximum(temperatures, 1e-6)[:, None]
+    scaled = logits / temps
+    if top_ks is not None or top_ps is not None:
+        batch = logits.shape[0]
+        if top_ks is None:
+            top_ks = jnp.zeros((batch,), jnp.int32)
+        if top_ps is None:
+            top_ps = jnp.ones((batch,), jnp.float32)
+        scaled = _filter_top_kp(scaled, top_ks, top_ps)
     keys = jax.random.split(key, logits.shape[0])
     sampled = jax.vmap(
         lambda k, l: jax.random.categorical(k, l).astype(jnp.int32)
-    )(keys, logits / temps)
+    )(keys, scaled)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 
@@ -390,6 +440,8 @@ def decode_and_sample(
     active: jax.Array,
     key: jax.Array,
     temperatures: jax.Array,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One fused device program per serving step: decode + batched sample.
 
@@ -398,7 +450,7 @@ def decode_and_sample(
     loop costs exactly one dispatch plus one result fetch per step.
     """
     logits, cache = decode_step.__wrapped__(params, cfg, cache, tokens, active)
-    toks = sample_batch.__wrapped__(logits, key, temperatures)
+    toks = sample_batch.__wrapped__(logits, key, temperatures, top_ks, top_ps)
     # Inactive slots keep feeding token 0; their cache does not advance.
     toks = jnp.where(active, toks, 0)
     return toks, cache

@@ -37,6 +37,8 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 64
     temperature: float = 0.0
+    top_k: int = 0  # <= 0: disabled
+    top_p: float = 1.0  # >= 1: disabled
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
@@ -241,6 +243,8 @@ class DecodeEngine:
         # round-trips tokens through the host.
         self.next_token = jnp.zeros((max_batch,), jnp.int32)
         self.temps = jnp.zeros((max_batch,), jnp.float32)
+        self.top_ks = jnp.zeros((max_batch,), jnp.int32)
+        self.top_ps = jnp.ones((max_batch,), jnp.float32)
         self.queue: deque[Request] = deque()
         self.key = jax.random.PRNGKey(seed)
         self.steps = 0
@@ -309,6 +313,8 @@ class DecodeEngine:
                 self.next_token, shard_for(self.next_token)
             )
             self.temps = jax.device_put(self.temps, shard_for(self.temps))
+            self.top_ks = jax.device_put(self.top_ks, shard_for(self.top_ks))
+            self.top_ps = jax.device_put(self.top_ps, shard_for(self.top_ps))
             self._active_dev = jax.device_put(
                 self._active_dev, shard_for(self._active_dev)
             )
@@ -437,12 +443,16 @@ class DecodeEngine:
                         self._allocator.pin(owned[i])
                         self._prefix_registry[key] = owned[i]
             self.key, sub = jax.random.split(self.key)
-            tok = int(sample(logits, sub, req.temperature))
+            tok = int(
+                sample(logits, sub, req.temperature, req.top_k, req.top_p)
+            )
             req.slot = slot
             req.generated.append(tok)
             self.slots[slot] = req
             self.next_token = self.next_token.at[slot].set(tok)
             self.temps = self.temps.at[slot].set(req.temperature)
+            self.top_ks = self.top_ks.at[slot].set(req.top_k)
+            self.top_ps = self.top_ps.at[slot].set(req.top_p)
             self._occupancy_dirty = True
             self._maybe_finish(req)
 
@@ -518,6 +528,8 @@ class DecodeEngine:
                     active,
                     sub,
                     self.temps,
+                    self.top_ks,
+                    self.top_ps,
                 )
             else:
                 toks_dev, self.cache = decode_and_sample(
@@ -528,6 +540,8 @@ class DecodeEngine:
                     active,
                     sub,
                     self.temps,
+                    self.top_ks,
+                    self.top_ps,
                 )
             self.next_token = toks_dev
             try:
@@ -579,6 +593,8 @@ class DecodeEngine:
             "cache": self.cache,
             "next_token": self.next_token,
             "temps": self.temps,
+            "top_ks": self.top_ks,
+            "top_ps": self.top_ps,
             "key": self.key,
             "steps": self.steps,
             "slots": [
@@ -589,6 +605,8 @@ class DecodeEngine:
                     "prompt": list(r.prompt),
                     "max_new_tokens": r.max_new_tokens,
                     "temperature": r.temperature,
+                    "top_k": r.top_k,
+                    "top_p": r.top_p,
                     "generated": list(r.generated),
                     "slot": r.slot,
                 }
@@ -600,6 +618,8 @@ class DecodeEngine:
                     "prompt": list(r.prompt),
                     "max_new_tokens": r.max_new_tokens,
                     "temperature": r.temperature,
+                    "top_k": r.top_k,
+                    "top_p": r.top_p,
                 }
                 for r in self.queue
             ],
@@ -610,6 +630,12 @@ class DecodeEngine:
         self.cache = snap["cache"]
         self.next_token = jnp.asarray(snap["next_token"])
         self.temps = jnp.asarray(snap["temps"])
+        self.top_ks = jnp.asarray(
+            snap.get("top_ks", jnp.zeros_like(self.temps, jnp.int32))
+        )
+        self.top_ps = jnp.asarray(
+            snap.get("top_ps", jnp.ones_like(self.temps))
+        )
         self.key = jnp.asarray(snap["key"])
         self.steps = int(snap["steps"])
         self.slots = [
@@ -620,6 +646,8 @@ class DecodeEngine:
                 prompt=list(meta["prompt"]),
                 max_new_tokens=meta["max_new_tokens"],
                 temperature=meta["temperature"],
+                top_k=meta.get("top_k", 0),
+                top_p=meta.get("top_p", 1.0),
                 generated=list(meta["generated"]),
                 slot=meta["slot"],
             )
@@ -631,6 +659,8 @@ class DecodeEngine:
                 prompt=list(meta["prompt"]),
                 max_new_tokens=meta["max_new_tokens"],
                 temperature=meta["temperature"],
+                top_k=meta.get("top_k", 0),
+                top_p=meta.get("top_p", 1.0),
             )
             for meta in snap["queue"]
         )

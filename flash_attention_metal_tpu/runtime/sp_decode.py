@@ -296,7 +296,8 @@ class SpStepFns:
     """jit+shard_map'd prefill/decode steps for a (dp x sp x tp)-sharded
     engine.
 
-    ``decode_and_sample(params, cache, tokens, active, key, temps)`` and
+    ``decode_and_sample(params, cache, tokens, active, key, temps,
+    top_ks, top_ps)`` and
     ``prefill_chunk(params, cache, tokens, start_len, prompt_len, slot)``
     take/return GLOBAL arrays laid out per ``cache_pspec`` /
     ``param_pspecs``.  ``seq_axis`` shards the KV length dim (lse
@@ -336,7 +337,8 @@ class SpStepFns:
         rep = PartitionSpec()
         dp = PartitionSpec(batch_axis)
 
-        def decode_body(params, cache, tokens, active, key, temps):
+        def decode_body(params, cache, tokens, active, key, temps,
+                        top_ks, top_ps):
             my_dp = jax.lax.axis_index(batch_axis)
             positions = cache.lengths[:, None]
             x = params["embed"][tokens[:, None]].astype(cfg.dtype)
@@ -352,12 +354,18 @@ class SpStepFns:
             )[:, 0]
             cache = bump_lengths(cache, 1, active)
             toks = sample_batch.__wrapped__(
-                logits, jax.random.fold_in(key, my_dp), temps
+                logits, jax.random.fold_in(key, my_dp), temps,
+                top_ks, top_ps,
             )
             toks = jnp.where(active, toks, 0)
             return toks, cache
 
-        def _wrap_decode(params, cache, tokens, active, key, temps):
+        def _wrap_decode(params, cache, tokens, active, key, temps,
+                         top_ks=None, top_ps=None):
+            if top_ks is None:
+                top_ks = jnp.zeros(tokens.shape, jnp.int32)
+            if top_ps is None:
+                top_ps = jnp.ones(tokens.shape, jnp.float32)
             spec = jax.tree_util.tree_map(cspec, cache)
             fn = jax.shard_map(
                 decode_body,
@@ -369,11 +377,14 @@ class SpStepFns:
                     dp,
                     rep,
                     dp,
+                    dp,
+                    dp,
                 ),
                 out_specs=(dp, spec),
                 check_vma=False,
             )
-            return fn(params, cache, tokens, active, key, temps)
+            return fn(params, cache, tokens, active, key, temps,
+                      top_ks, top_ps)
 
         self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
 

@@ -1,0 +1,123 @@
+"""Speculative decoding: greedy spec output == target greedy output.
+
+The load-bearing property (Leviathan et al.): the draft model changes
+how many target forwards a generation takes, NEVER the generated tokens
+(greedy) / their distribution (sampling).  These tests pin the greedy
+equality token-for-token against a plain decode_step loop, across draft
+quality extremes (draft == target -> all-accept; independently random
+draft -> mostly-reject) and gamma values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_metal_tpu.models import ModelConfig, init_params
+from flash_attention_metal_tpu.runtime import (
+    decode_step,
+    init_cache,
+    prefill_slot,
+    speculative_generate,
+)
+
+CFG_T = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    head_dim=64,
+    d_ff=256,
+    max_seq_len=512,
+    dtype=jnp.float32,
+)
+CFG_D = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=1,
+    n_heads=2,
+    n_kv_heads=1,
+    head_dim=64,
+    d_ff=128,
+    max_seq_len=512,
+    dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def params_t():
+    return init_params(jax.random.PRNGKey(0), CFG_T)
+
+
+@pytest.fixture(scope="module")
+def params_d():
+    return init_params(jax.random.PRNGKey(1), CFG_D)
+
+
+def greedy_reference(params, cfg, prompts, max_new):
+    """Plain one-token-at-a-time greedy decode via decode_step."""
+    batch = len(prompts)
+    n_pad = -(-max(len(p) for p in prompts) // 128) * 128
+    max_len = -(-(n_pad + max_new + 16) // 128) * 128
+    cache = init_cache(
+        cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim, cfg.dtype
+    )
+    out = []
+    for b, p in enumerate(prompts):
+        toks = jnp.asarray(list(p) + [0] * (n_pad - len(p)), jnp.int32)
+        logits, cache = prefill_slot(
+            params, cfg, cache, toks, jnp.int32(len(p)), b
+        )
+        out.append([int(jnp.argmax(logits))])
+    tok = jnp.asarray([o[0] for o in out], jnp.int32)
+    active = jnp.ones((batch,), bool)
+    for _ in range(max_new - 1):
+        logits, cache = decode_step(params, cfg, cache, tok, active)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for b in range(batch):
+            out[b].append(int(tok[b]))
+    return out
+
+
+PROMPTS = [[5, 9, 2, 77, 31], [100, 3], [42] * 17]
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 4])
+def test_greedy_equals_plain_decode(params_t, params_d, gamma):
+    want = greedy_reference(params_t, CFG_T, PROMPTS, 24)
+    got = speculative_generate(
+        params_t, CFG_T, params_d, CFG_D, PROMPTS, 24, gamma=gamma
+    )
+    assert got == want
+
+
+def test_draft_equals_target_all_accept(params_t):
+    """Perfect draft: still exactly the greedy sequence (and the
+    all-accept path — bonus after gamma accepted — is exercised)."""
+    want = greedy_reference(params_t, CFG_T, PROMPTS, 20)
+    got = speculative_generate(
+        params_t, CFG_T, params_t, CFG_T, PROMPTS, 20, gamma=4
+    )
+    assert got == want
+
+
+def test_sampling_smoke(params_t, params_d):
+    out = speculative_generate(
+        params_t, CFG_T, params_d, CFG_D, PROMPTS, 16,
+        gamma=3, temperature=0.8, seed=3,
+    )
+    assert [len(o) for o in out] == [16, 16, 16]
+    for o in out:
+        assert all(0 <= t < CFG_T.vocab_size for t in o)
+
+
+def test_ragged_lengths_and_exact_count(params_t, params_d):
+    """max_new is hit exactly even when a round over-produces."""
+    prompts = [[7], [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]]
+    got = speculative_generate(
+        params_t, CFG_T, params_d, CFG_D, prompts, 7, gamma=4
+    )
+    want = greedy_reference(params_t, CFG_T, prompts, 7)
+    assert got == want
+    assert [len(g) for g in got] == [7, 7]
