@@ -63,6 +63,7 @@ def run_serving_bench(
     max_new: int = 128,
     paged: bool = False,
     shared_prefix: int = 0,
+    multi_step: int = 1,
     log=print,
 ) -> dict:
     """One steady-state decode run.
@@ -77,6 +78,7 @@ def run_serving_bench(
         max_batch=max_batch,
         paged=paged,
         prefix_share=paged and shared_prefix > 0,
+        multi_step=multi_step,
     )
     rng = np.random.default_rng(0)
     common = rng.integers(1, cfg.vocab_size, shared_prefix).tolist()
@@ -108,6 +110,7 @@ def run_serving_bench(
     result = {
         "mode": "paged" if paged else "dense",
         "shared_prefix": shared_prefix,
+        "multi_step": multi_step,
         "model": {
             "n_layers": cfg.n_layers,
             "d_model": cfg.d_model,
@@ -148,18 +151,23 @@ def main() -> int:
         "--dense-only", action="store_true",
         help="skip the paged / prefix-shared comparison runs",
     )
+    ap.add_argument("--multi-step", type=int, default=1)
     args = ap.parse_args()
     common = dict(
         max_batch=args.max_batch,
         n_requests=args.requests,
         prompt_len=args.prompt_len,
         max_new=args.max_new,
+        multi_step=args.multi_step,
     )
     result = run_serving_bench(**common)
     if not args.dense_only:
         result["paged"] = run_serving_bench(**common, paged=True)
         result["paged_prefix_shared"] = run_serving_bench(
             **common, paged=True, shared_prefix=args.prompt_len // 2
+        )
+        result["multi_step_8"] = run_serving_bench(
+            **{**common, "multi_step": 8}
         )
     with open("serving_bench.json", "w") as f:
         json.dump(result, f, indent=2)

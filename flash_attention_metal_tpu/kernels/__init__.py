@@ -16,7 +16,7 @@ from .flash_mask import (
     flash_attention_block_sparse,
     flash_attention_block_sparse_fwd,
 )
-from .paged import flash_attention_paged
+from .paged import flash_attention_paged, flash_attention_paged_quant
 from .quant import (
     QuantizedKV,
     dequantize_kv,
@@ -38,6 +38,7 @@ __all__ = [
     "flash_attention_block_sparse",
     "flash_attention_block_sparse_fwd",
     "flash_attention_paged",
+    "flash_attention_paged_quant",
     "QuantizedKV",
     "quantize_kv",
     "dequantize_kv",

@@ -31,6 +31,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import NUM_LANES, default_scale
 from .flash_fwd import _fwd_kernel
+from .quant import _quant_fwd_kernel
+
+
+def _make_page_map(
+    block_q: int,
+    page_size: int,
+    max_pages: int,
+    n_pages: int,
+    kv_group: int,
+    window,
+    sinks: int,
+):
+    """Logical->physical KV index map shared by the paged kernels.
+
+    Applies the dense kernel's diagonal clamp first (so skipped steps
+    re-reference an already-fetched physical page and their DMAs are
+    elided), then translates through the scalar-prefetched table."""
+
+    def kv_page_map(b, h, i, j, off_ref, table_ref):
+        diag = ((i + 1) * block_q - 1 + off_ref[b]) // page_size
+        j_eff = jnp.minimum(j, diag)
+        if window is not None and not sinks:
+            j_min = (i * block_q + off_ref[b] - window + 1) // page_size
+            j_eff = jnp.maximum(j_eff, j_min)
+        j_eff = jnp.clip(j_eff, 0, max_pages - 1)
+        phys = table_ref[b, j_eff]
+        return (jnp.clip(phys, 0, n_pages - 1), h // kv_group, 0, 0)
+
+    return kv_page_map
 
 
 def flash_attention_paged(
@@ -109,17 +138,9 @@ def flash_attention_paged(
             m_s, l_s, a_s,
         )
 
-    def kv_page_map(b, h, i, j, off_ref, table_ref):
-        # Same diagonal clamp as the dense kernel (DMA elision of skipped
-        # steps), then translate logical -> physical through the table.
-        diag = ((i + 1) * block_q - 1 + off_ref[b]) // page_size
-        j_eff = jnp.minimum(j, diag)
-        if window is not None and not sinks:
-            j_min = (i * block_q + off_ref[b] - window + 1) // page_size
-            j_eff = jnp.maximum(j_eff, j_min)
-        j_eff = jnp.clip(j_eff, 0, max_pages - 1)
-        phys = table_ref[b, j_eff]
-        return (jnp.clip(phys, 0, n_pages - 1), h // kv_group, 0, 0)
+    kv_page_map = _make_page_map(
+        block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -162,4 +183,136 @@ def flash_attention_paged(
         ),
         interpret=interpret,
     )(q_offset, table, q, pool_k, pool_v)
+    return out[0]
+
+
+def flash_attention_paged_quant(
+    q: jax.Array,
+    pool_k_q: jax.Array,
+    pool_v_q: jax.Array,
+    pool_k_scale: jax.Array,
+    pool_v_scale: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    sinks: int = 0,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal flash attention over an 8-bit paged KV pool.
+
+    The paged analog of ``kernels/quant.py::flash_attention_quant`` —
+    HBM traffic is 8-bit pages + per-token scales, dequant happens in
+    VMEM, and the logical->physical translation rides the same
+    scalar-prefetch index maps as ``flash_attention_paged``.  Completes
+    the BASELINE config-5 stack: 8-bit KV x continuous batching x paging.
+
+    * ``pool_k_q`` / ``pool_v_q``: ``[P, H_kv, page_size, D]`` int8/fp8.
+    * ``pool_k_scale`` / ``pool_v_scale``: ``[P, H_kv, page_size]``
+      fp32 per-token scales (reshaped internally to the quant kernel's
+      ``[rows, 128]`` lane layout).
+    * ``page_table`` / ``lengths``: as ``flash_attention_paged``.
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_pages, kv_heads, page_size, d_kv = pool_k_q.shape
+    if d_kv != head_dim:
+        raise ValueError(f"head_dim mismatch: q {head_dim} vs pool {d_kv}")
+    if heads % kv_heads:
+        raise ValueError(
+            f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
+        )
+    kv_group = heads // kv_heads
+    max_pages = page_table.shape[1]
+    if page_size % NUM_LANES:
+        raise ValueError(f"page_size={page_size} must be a multiple of 128")
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    block_q = min(block_q, n_q)
+    if n_q % block_q:
+        raise ValueError(f"n_q={n_q} not divisible by block_q={block_q}")
+    scale_rows = page_size // NUM_LANES
+
+    grid = (batch, heads, n_q // block_q, max_pages)
+    q_offset = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32).reshape(-1), (batch,)
+    )
+    table = jnp.asarray(page_table, jnp.int32)
+    ks = pool_k_scale.astype(jnp.float32).reshape(
+        n_pages, kv_heads, scale_rows, NUM_LANES
+    )
+    vs = pool_v_scale.astype(jnp.float32).reshape(
+        n_pages, kv_heads, scale_rows, NUM_LANES
+    )
+
+    bound = functools.partial(
+        _quant_fwd_kernel,
+        sm_scale=sm_scale,
+        causal=True,
+        window=window,
+        sinks=int(sinks),
+        block_q=block_q,
+        block_k=page_size,
+        num_kv=max_pages,
+        save_lse=False,
+    )
+
+    def kernel(
+        off_ref, table_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
+        m_s, l_s, a_s,
+    ):
+        del table_ref  # consumed by the index maps only
+        return bound(
+            off_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, None, o_ref,
+            None, m_s, l_s, a_s,
+        )
+
+    kv_page_map = _make_page_map(
+        block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+            ),
+            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
+            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+            )
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+    )
+
+    flops = 4 * batch * heads * n_q * max_pages * page_size * head_dim
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * q.size * q.dtype.itemsize
+            + pool_k_q.size
+            + pool_v_q.size
+            + (ks.size + vs.size) * 4,
+            transcendentals=batch * heads * n_q * max_pages * page_size,
+        ),
+        interpret=interpret,
+    )(q_offset, table, q, pool_k_q, pool_v_q, ks, vs)
     return out[0]

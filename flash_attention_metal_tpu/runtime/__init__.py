@@ -3,9 +3,12 @@
 from .kv_cache import KVCache, append_tokens, bump_lengths, init_cache, reset_slot
 from .paged_kv import (
     PagedKVCache,
+    PagedQuantKVCache,
     PageAllocator,
     append_tokens_paged,
+    append_tokens_paged_quant,
     init_paged_cache,
+    init_paged_quant_cache,
 )
 from .decode import decode_step, prefill_slot, sample
 from .engine import DecodeEngine, Request
@@ -14,9 +17,12 @@ from .speculative import speculative_generate, speculative_step
 __all__ = [
     "KVCache",
     "PagedKVCache",
+    "PagedQuantKVCache",
     "PageAllocator",
     "append_tokens_paged",
+    "append_tokens_paged_quant",
     "init_paged_cache",
+    "init_paged_quant_cache",
     "append_tokens",
     "bump_lengths",
     "init_cache",

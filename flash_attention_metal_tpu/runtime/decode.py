@@ -25,9 +25,14 @@ from ..models.transformer import (
     rope,
 )
 from ..kernels.quant import QuantizedKV, flash_attention_quant
-from ..kernels.paged import flash_attention_paged
+from ..kernels.paged import flash_attention_paged, flash_attention_paged_quant
 from ..ops.attention import flash_attention
-from .paged_kv import PagedKVCache, append_tokens_paged
+from .paged_kv import (
+    PagedKVCache,
+    PagedQuantKVCache,
+    append_tokens_paged,
+    append_tokens_paged_quant,
+)
 from .kv_cache import (
     KVCache,
     QuantKVCache,
@@ -145,6 +150,22 @@ def _attn_with_cache(
             sinks=cfg.attn_sinks,
             interpret=jax.default_backend() != "tpu",
         )
+    elif isinstance(cache, PagedQuantKVCache):
+        # 8-bit paged pool: quantize at append, page-table indirection +
+        # in-VMEM dequant inside the kernel (kernels/paged.py).
+        cache = append_tokens_paged_quant(cache, layer_idx, k, v)
+        o = flash_attention_paged_quant(
+            q,
+            cache.pool_k_q[layer_idx],
+            cache.pool_v_q[layer_idx],
+            cache.pool_k_scale[layer_idx],
+            cache.pool_v_scale[layer_idx],
+            cache.page_table,
+            cache.lengths,
+            window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
+            interpret=jax.default_backend() != "tpu",
+        )
     elif isinstance(cache, QuantKVCache):
         # 8-bit cache path: tokens were quantized at append; attention
         # reads 8-bit KV + per-token scales (``kernels/quant.py``).
@@ -245,7 +266,7 @@ def prefill_chunk(
     # map / page table, everything else is [n_layers, B, ...] — except a
     # paged cache's pools, which are shared (no batch dim) and pass
     # through whole: prefill only touches the slot's own physical pages.
-    paged = isinstance(cache, PagedKVCache)
+    paged = isinstance(cache, (PagedKVCache, PagedQuantKVCache))
 
     def view(leaf):
         if leaf.ndim == 1:  # lengths [B]
@@ -421,7 +442,16 @@ def sample_batch(
             top_ks = jnp.zeros((batch,), jnp.int32)
         if top_ps is None:
             top_ps = jnp.ones((batch,), jnp.float32)
-        scaled = _filter_top_kp(scaled, top_ks, top_ps)
+        # The filter costs a [B, V] sort (~ms at 32K vocab) — gate it at
+        # RUNTIME so all-greedy/plain-temperature traffic never pays it
+        # while the serving loop keeps a single compiled executable.
+        need = jnp.any(top_ks > 0) | jnp.any(top_ps < 1.0)
+        scaled = jax.lax.cond(
+            need,
+            lambda s: _filter_top_kp(s, top_ks, top_ps),
+            lambda s: s,
+            scaled,
+        )
     keys = jax.random.split(key, logits.shape[0])
     sampled = jax.vmap(
         lambda k, l: jax.random.categorical(k, l).astype(jnp.int32)
@@ -454,3 +484,47 @@ def decode_and_sample(
     # Inactive slots keep feeding token 0; their cache does not advance.
     toks = jnp.where(active, toks, 0)
     return toks, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps"),
+    donate_argnames=("cache",),
+)
+def decode_and_sample_multi(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,
+    active: jax.Array,
+    key: jax.Array,
+    temperatures: jax.Array,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    *,
+    n_steps: int,
+) -> Tuple[jax.Array, KVCache]:
+    """``n_steps`` fused decode+sample steps in ONE device dispatch.
+
+    A ``lax.scan`` chains the sampled token of step i into step i+1
+    entirely on device, so the per-dispatch host cost (~3 ms on
+    tunneled links) is amortized over ``n_steps`` tokens.  Returns
+    ``[n_steps, B]`` tokens.  EOS/max-new bookkeeping is already
+    harvest-lagged in the engine, so the only behavioral change is
+    admission/retirement granularity (a slot may decode up to
+    ``n_steps - 1`` extra tokens past its stop point; they are
+    discarded at harvest and masked by the next occupant's lengths).
+    """
+
+    def body(carry, k_i):
+        tok, c = carry
+        logits, c = decode_step.__wrapped__(params, cfg, c, tok, active)
+        toks = sample_batch.__wrapped__(
+            logits, k_i, temperatures, top_ks, top_ps
+        )
+        toks = jnp.where(active, toks, 0)
+        return (toks, c), toks
+
+    keys = jax.random.split(key, n_steps)
+    (_, cache), all_toks = jax.lax.scan(body, (tokens, cache), keys)
+    return all_toks, cache

@@ -21,7 +21,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..models.transformer import ModelConfig, Params
-from .decode import decode_and_sample, prefill_slot, sample
+from .decode import (
+    decode_and_sample,
+    decode_and_sample_multi,
+    prefill_slot,
+    sample,
+)
 from .kv_cache import (
     init_cache,
     init_quant_cache,
@@ -91,6 +96,7 @@ class DecodeEngine:
         eos_id: int = -1,
         seed: int = 0,
         harvest_lag: int = 16,
+        multi_step: int = 1,
         kv_quant: Optional[str] = None,
         rolling: bool = False,
         paged: bool = False,
@@ -106,6 +112,13 @@ class DecodeEngine:
         self.cfg = cfg
         self.eos_id = eos_id
         self.max_len = max_len
+        # Multi-token dispatch: scan ``multi_step`` decode+sample steps
+        # per device program, amortizing the ~3 ms tunneled-launch floor.
+        # Trades admission granularity (and up to multi_step-1 discarded
+        # overshoot tokens per retirement) for per-token latency.
+        if multi_step < 1:
+            raise ValueError(f"multi_step={multi_step} must be >= 1")
+        self._multi_step = multi_step
         # Sequence-sharded serving (BASELINE config 5): the KV cache's
         # length dim splits over ``seq_axis`` and decode runs the
         # lse-combine path (runtime.sp_decode).  Composes with dp slot
@@ -130,6 +143,11 @@ class DecodeEngine:
                     "rolling caches are dp-only (no contiguous shard "
                     "ownership under a wrapped position map)"
                 )
+            if multi_step > 1:
+                raise ValueError(
+                    "multi_step>1 is not wired through the sp/tp decode "
+                    "path yet (single-device + dp only)"
+                )
         if self._head_axis is not None and cfg.n_kv_heads % self._tp_size:
             raise ValueError(
                 f"n_kv_heads={cfg.n_kv_heads} must divide over "
@@ -151,32 +169,51 @@ class DecodeEngine:
             # Admission is gated by worst-case page reservation, so the
             # pool can be sized to real traffic (sum of per-request
             # prompt+max_new footprints) rather than max_batch * max_len.
-            if rolling or kv_quant:
+            if rolling:
                 raise ValueError(
-                    "paged=True composes with dense bf16 KV only (no "
-                    "rolling/quant paging yet)"
+                    "paged=True does not compose with rolling (a wrapped "
+                    "position map has no stable page ownership)"
                 )
             if mesh is not None:
                 raise ValueError(
                     "paged=True is single-device (a shared physical pool "
                     "has no batch dim to shard)"
                 )
-            from .paged_kv import PageAllocator, init_paged_cache
+            from .paged_kv import (
+                PageAllocator,
+                init_paged_cache,
+                init_paged_quant_cache,
+            )
 
             if n_pages is None:
                 # Default: no oversubscription (full dense equivalent)
                 # plus the reserved placeholder page 0.
                 n_pages = max_batch * (max_len // page_size) + 1
-            self.cache = init_paged_cache(
-                cfg.n_layers,
-                max_batch,
-                cfg.n_kv_heads,
-                max_len,
-                cfg.head_dim,
-                n_pages=n_pages,
-                page_size=page_size,
-                dtype=cfg.dtype,
-            )
+            if kv_quant:
+                # 8-bit paged pool (BASELINE config 5: 8-bit KV x
+                # continuous batching x paging).
+                qdt = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[kv_quant]
+                self.cache = init_paged_quant_cache(
+                    cfg.n_layers,
+                    max_batch,
+                    cfg.n_kv_heads,
+                    max_len,
+                    cfg.head_dim,
+                    n_pages=n_pages,
+                    page_size=page_size,
+                    dtype=qdt,
+                )
+            else:
+                self.cache = init_paged_cache(
+                    cfg.n_layers,
+                    max_batch,
+                    cfg.n_kv_heads,
+                    max_len,
+                    cfg.head_dim,
+                    n_pages=n_pages,
+                    page_size=page_size,
+                    dtype=cfg.dtype,
+                )
             self._allocator = PageAllocator(n_pages, max_batch)
             self._prefill_chunk = None
         elif rolling:
@@ -482,15 +519,17 @@ class DecodeEngine:
         """Apply bookkeeping for the oldest in-flight decode step."""
         toks_dev, uids = self._inflight.popleft()
         toks = np.asarray(toks_dev)  # async copy usually already landed
+        rows = toks if toks.ndim == 2 else toks[None]  # multi-step window
         finished: List[Request] = []
-        for slot, uid in enumerate(uids):
-            req = self.slots[slot]
-            if uid is None or req is None or req.uid != uid or req.done:
-                continue  # slot was retired/reused since this step ran
-            req.generated.append(int(toks[slot]))
-            self._maybe_finish(req)
-            if req.done:
-                finished.append(req)
+        for row in rows:
+            for slot, uid in enumerate(uids):
+                req = self.slots[slot]
+                if uid is None or req is None or req.uid != uid or req.done:
+                    continue  # retired/reused, or stopped mid-window
+                req.generated.append(int(row[slot]))
+                self._maybe_finish(req)
+                if req.done:
+                    finished.append(req)
         return finished
 
     def step(self) -> List[Request]:
@@ -506,16 +545,18 @@ class DecodeEngine:
                 self._occupancy_dirty = False
             active = self._active_dev
             if self._paged:
-                # Grant pages ahead of the step: each active slot is
-                # about to append one token at position _host_len.
+                # Grant pages ahead of the dispatch: each active slot is
+                # about to append ``multi_step`` tokens from _host_len.
                 # Reservation accounting at admission guarantees this
                 # never exhausts the pool.
                 for slot, r in enumerate(self.slots):
                     if r is not None:
                         self.cache = self._allocator.grow(
-                            self.cache, slot, self._host_len[slot] + 1
+                            self.cache,
+                            slot,
+                            self._host_len[slot] + self._multi_step,
                         )
-                        self._host_len[slot] += 1
+                        self._host_len[slot] += self._multi_step
             # One fused device program (decode + batched sample, KV cache
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.
@@ -531,6 +572,20 @@ class DecodeEngine:
                     self.top_ks,
                     self.top_ps,
                 )
+            elif self._multi_step > 1:
+                toks_dev, self.cache = decode_and_sample_multi(
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    self.next_token,
+                    active,
+                    sub,
+                    self.temps,
+                    self.top_ks,
+                    self.top_ps,
+                    n_steps=self._multi_step,
+                )  # [multi_step, B]
+                self.next_token = toks_dev[-1]
             else:
                 toks_dev, self.cache = decode_and_sample(
                     self.params,
@@ -543,7 +598,8 @@ class DecodeEngine:
                     self.top_ks,
                     self.top_ps,
                 )
-            self.next_token = toks_dev
+            if self._multi_step == 1 or self._sp is not None:
+                self.next_token = toks_dev
             try:
                 toks_dev.copy_to_host_async()
             except AttributeError:  # pragma: no cover - older jax
@@ -551,7 +607,7 @@ class DecodeEngine:
             self._inflight.append(
                 (toks_dev, [r.uid if r else None for r in self.slots])
             )
-            self.steps += 1
+            self.steps += self._multi_step
 
         finished: List[Request] = []
         while self._inflight and (

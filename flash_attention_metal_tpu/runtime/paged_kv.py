@@ -252,3 +252,140 @@ def gather_slot_kv(cache: PagedKVCache, layer: int, slot: int) -> tuple:
     k = k.transpose(1, 0, 2, 3).reshape(k.shape[1], -1, k.shape[3])
     v = v.transpose(1, 0, 2, 3).reshape(v.shape[1], -1, v.shape[3])
     return k, v
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PagedQuantKVCache:
+    """8-bit paged pool: int8/fp8 pages + per-token fp32 scale pages.
+
+    Same table/lengths semantics as ``PagedKVCache``; tokens are
+    quantized at append (symmetric per-token absmax, matching
+    ``kv_cache.append_tokens_quant``) so HBM holds 8-bit pages and the
+    paged-quant kernel dequantizes in VMEM."""
+
+    pool_k_q: jax.Array  # [L, P, H_kv, page_size, D] int8/fp8
+    pool_v_q: jax.Array
+    pool_k_scale: jax.Array  # [L, P, H_kv, page_size] fp32
+    pool_v_scale: jax.Array
+    page_table: jax.Array  # [B, max_pages] int32
+    lengths: jax.Array  # [B] int32
+
+    def tree_flatten(self):
+        return (
+            self.pool_k_q,
+            self.pool_v_q,
+            self.pool_k_scale,
+            self.pool_v_scale,
+            self.page_table,
+            self.lengths,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def page_size(self) -> int:
+        return self.pool_k_q.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.pool_k_q.shape[1]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    @property
+    def batch(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.max_pages * self.page_size
+
+
+def init_paged_quant_cache(
+    n_layers: int,
+    batch: int,
+    n_kv_heads: int,
+    max_len: int,
+    head_dim: int,
+    *,
+    n_pages: int,
+    page_size: int = 128,
+    dtype=jnp.int8,
+) -> PagedQuantKVCache:
+    if page_size % 128:
+        raise ValueError(f"page_size={page_size} must be a multiple of 128")
+    if max_len % page_size:
+        raise ValueError(f"max_len={max_len} must be a multiple of page_size")
+    shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
+    sshape = shape[:-1]
+    return PagedQuantKVCache(
+        pool_k_q=jnp.zeros(shape, dtype),
+        pool_v_q=jnp.zeros(shape, dtype),
+        pool_k_scale=jnp.zeros(sshape, jnp.float32),
+        pool_v_scale=jnp.zeros(sshape, jnp.float32),
+        page_table=jnp.zeros((batch, max_len // page_size), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def append_tokens_paged_quant(
+    cache: PagedQuantKVCache,
+    layer: int,
+    k_new: jax.Array,
+    v_new: jax.Array,
+) -> PagedQuantKVCache:
+    """Quantize + scatter ``[B, H_kv, T, D]`` keys/values through the
+    page table (same write-head semantics as ``append_tokens_paged``)."""
+    from ..kernels.quant import _QMAX
+
+    qdtype = cache.pool_k_q.dtype
+    qmax = _QMAX[jnp.dtype(qdtype)]
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / qmax
+        xf = x.astype(jnp.float32) / scale
+        if jnp.dtype(qdtype) == jnp.int8.dtype:
+            xq = jnp.clip(jnp.round(xf), -qmax, qmax).astype(qdtype)
+        else:
+            xq = xf.astype(qdtype)
+        return xq, scale[..., 0]  # [B, H, T]
+
+    kq_new, ks_new = quant(k_new)
+    vq_new, vs_new = quant(v_new)
+
+    t_new = k_new.shape[2]
+    ps = cache.page_size
+    pos = cache.lengths[:, None] + jnp.arange(t_new)[None, :]  # [B, T]
+    logical = jnp.clip(pos // ps, 0, cache.max_pages - 1)
+    row = pos % ps
+    phys = jnp.take_along_axis(cache.page_table, logical, axis=1)  # [B, T]
+
+    def scatter(pool_l, new):  # pool_l [P, H, ps, D], new [B, H, T, D]
+        vals = new.transpose(0, 2, 1, 3)  # [B, T, H, D]
+        return pool_l.at[phys, :, row, :].set(vals)
+
+    def scatter_s(pool_l, new):  # pool_l [P, H, ps], new [B, H, T]
+        vals = new.transpose(0, 2, 1)  # [B, T, H]
+        return pool_l.at[phys, :, row].set(vals)
+
+    return dataclasses.replace(
+        cache,
+        pool_k_q=cache.pool_k_q.at[layer].set(
+            scatter(cache.pool_k_q[layer], kq_new)
+        ),
+        pool_v_q=cache.pool_v_q.at[layer].set(
+            scatter(cache.pool_v_q[layer], vq_new)
+        ),
+        pool_k_scale=cache.pool_k_scale.at[layer].set(
+            scatter_s(cache.pool_k_scale[layer], ks_new)
+        ),
+        pool_v_scale=cache.pool_v_scale.at[layer].set(
+            scatter_s(cache.pool_v_scale[layer], vs_new)
+        ),
+    )

@@ -208,9 +208,10 @@ def test_paged_snapshot_restore(params):
 
 
 def test_paged_rejects_bad_combos(params):
+    cfg_w = dataclasses.replace(CFG, attn_window=32)
     with pytest.raises(ValueError):
         DecodeEngine(
-            params, CFG, max_batch=2, max_len=256, paged=True, kv_quant="int8"
+            params, cfg_w, max_batch=2, max_len=256, paged=True, rolling=True
         )
     with pytest.raises(ValueError):
         DecodeEngine(
@@ -323,3 +324,175 @@ def test_prefix_share_snapshot_roundtrip(params):
     got.update(finished_before)
     assert got == want
     assert len(eng2._prefix_registry) == 1
+
+
+# ---------------------------------------------------------------------------
+# Paged + 8-bit quantized pool (BASELINE config 5 composite)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t_new", [1, 128])
+def test_paged_quant_kernel_matches_dense_quant(t_new):
+    """8-bit attention through a scrambled page table == dense 8-bit."""
+    from flash_attention_metal_tpu.kernels.paged import (
+        flash_attention_paged_quant,
+    )
+    from flash_attention_metal_tpu.kernels.quant import (
+        flash_attention_quant,
+        quantize_kv,
+    )
+
+    batch, heads, kv_heads, n_kv, d = 2, 4, 2, 512, 64
+    key = jax.random.PRNGKey(7)
+    k, v, _, _, table = _scrambled_pool(
+        key, batch, kv_heads, n_kv, d, jnp.float32
+    )
+    qkv = quantize_kv(k, v, dtype=jnp.int8)
+    pages_per = n_kv // PS
+    n_pages = 1 + batch * pages_per
+    pool_kq = jnp.zeros((n_pages, kv_heads, PS, d), jnp.int8)
+    pool_vq = jnp.zeros_like(pool_kq)
+    pool_ks = jnp.zeros((n_pages, kv_heads, PS), jnp.float32)
+    pool_vs = jnp.zeros_like(pool_ks)
+    ks_flat = qkv.k_scale.reshape(batch, kv_heads, n_kv)
+    vs_flat = qkv.v_scale.reshape(batch, kv_heads, n_kv)
+    for b in range(batch):
+        for lp in range(pages_per):
+            phys = int(table[b, lp])
+            sl = slice(lp * PS, (lp + 1) * PS)
+            pool_kq = pool_kq.at[phys].set(qkv.k_q[b, :, sl])
+            pool_vq = pool_vq.at[phys].set(qkv.v_q[b, :, sl])
+            pool_ks = pool_ks.at[phys].set(ks_flat[b, :, sl])
+            pool_vs = pool_vs.at[phys].set(vs_flat[b, :, sl])
+
+    q = jax.random.normal(
+        jax.random.PRNGKey(8), (batch, heads, t_new, d), jnp.float32
+    )
+    lengths = jnp.asarray([n_kv - t_new, 3 * PS - t_new], jnp.int32)
+    got = flash_attention_paged_quant(
+        q, pool_kq, pool_vq, pool_ks, pool_vs, table, lengths,
+        interpret=True,
+    )
+    want = flash_attention_quant(
+        q, qkv, lengths, causal=True,
+        block_sizes=BlockSizes(block_q=128, block_k_major=PS, block_k=PS),
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_paged_quant_append_matches_dense_quant_append():
+    """Per-token quant at the paged write head == the dense quant cache's
+    (same math, different storage)."""
+    from flash_attention_metal_tpu.runtime.kv_cache import (
+        append_tokens_quant,
+        init_quant_cache,
+    )
+    from flash_attention_metal_tpu.runtime.paged_kv import (
+        append_tokens_paged_quant,
+        init_paged_quant_cache,
+    )
+
+    B, H, D, T = 2, 2, 64, 7
+    dense = init_quant_cache(1, B, H, 2 * PS, D, dtype=jnp.int8)
+    paged = init_paged_quant_cache(
+        1, B, H, 2 * PS, D, n_pages=5, page_size=PS, dtype=jnp.int8
+    )
+    alloc = PageAllocator(5, B)
+    for b in range(B):
+        paged = alloc.grow(paged, b, 2 * PS)
+    lengths = jnp.asarray([100, 0], jnp.int32)
+    dense = dataclasses.replace(dense, lengths=lengths)
+    paged = dataclasses.replace(paged, lengths=lengths)
+    k_new = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, D))
+    v_new = jax.random.normal(jax.random.PRNGKey(3), (B, H, T, D))
+    dense = append_tokens_quant(dense, 0, k_new, v_new)
+    paged = append_tokens_paged_quant(paged, 0, k_new, v_new)
+    for b in range(B):
+        start = int(lengths[b])
+        table = paged.page_table[b]
+        kq = paged.pool_k_q[0][table].transpose(1, 0, 2, 3).reshape(H, -1, D)
+        ks = paged.pool_k_scale[0][table].transpose(1, 0, 2).reshape(H, -1)
+        sl = slice(start, start + T)
+        np.testing.assert_array_equal(
+            np.asarray(kq[:, sl]), np.asarray(dense.k_q[0, b, :, sl])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ks[:, sl]), np.asarray(dense.k_scale[0, b, :, sl])
+        )
+
+
+def test_paged_quant_engine_matches_dense_quant(params):
+    out_p = _run(params, paged=True, kv_quant="int8")
+    out_d = _run(params, kv_quant="int8")
+    assert sorted(out_p.keys()) == [0, 1, 2, 3]
+    for uid in out_d:
+        assert len(out_p[uid]) == 5
+        same = sum(a == b for a, b in zip(out_p[uid], out_d[uid]))
+        assert same >= 4, (uid, out_p[uid], out_d[uid])
+
+
+def test_paged_quant_engine_with_prefix_share(params):
+    """Prefix sharing composes with the 8-bit pool (shared pages hold
+    quantized KV + scales; adoption shares both)."""
+    long_prompt = list(range(1, 129)) + [7, 8, 9]
+
+    def run(**kw):
+        eng = DecodeEngine(
+            params, CFG, max_batch=2, max_len=512, paged=True,
+            kv_quant="int8", **kw,
+        )
+        for uid in range(3):
+            eng.submit(
+                Request(
+                    uid=uid, prompt=long_prompt + [uid], max_new_tokens=4
+                )
+            )
+        return eng.run()
+
+    assert run(prefix_share=True) == run(prefix_share=False)
+
+
+# ---------------------------------------------------------------------------
+# Multi-token dispatch (decode_and_sample_multi)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("multi", [2, 4])
+def test_multi_step_matches_single_step(params, multi):
+    """K decode steps per dispatch: greedy generations identical to the
+    one-step engine (same kernels, same chain, coarser dispatch)."""
+    out_m = _run(params, multi_step=multi)
+    out_1 = _run(params)
+    assert out_m == out_1
+
+
+def test_multi_step_paged_compose(params):
+    out = _run(params, paged=True, multi_step=4)
+    assert _run(params) == out
+
+
+def test_multi_step_quant_paged_compose(params):
+    out = _run(params, paged=True, kv_quant="int8", multi_step=3)
+    want = _run(params, kv_quant="int8")
+    for uid in want:
+        same = sum(a == b for a, b in zip(out[uid], want[uid]))
+        assert same >= 4, (uid, out[uid], want[uid])
+
+
+def test_multi_step_eos_and_overshoot(params):
+    """EOS mid-window: overshoot tokens are discarded, generation stops
+    at the same place as the single-step engine."""
+
+    def run(multi):
+        eng = DecodeEngine(
+            params, CFG, max_batch=2, max_len=256,
+            eos_id=7, multi_step=multi, harvest_lag=2,
+        )
+        for uid in range(3):
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=40)
+            )
+        return eng.run()
+
+    assert run(4) == run(1)
