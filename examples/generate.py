@@ -1,6 +1,7 @@
 """Minimal serving example: continuous batching on a FlashLM model.
 
     timeout 590 python examples/generate.py [--kv-quant int8] [--rolling]
+                                            [--paged] [--multi-step 8]
 
 Uses randomly initialized weights (the framework ships no checkpoints),
 so outputs are structurally valid token ids, not language.
@@ -26,6 +27,10 @@ def main() -> int:
     ap.add_argument("--kv-quant", choices=["int8", "fp8"], default=None)
     ap.add_argument("--rolling", action="store_true",
                     help="O(window) rolling cache (uses attn_window)")
+    ap.add_argument("--paged", action="store_true",
+                    help="vLLM-style paged pool + prompt prefix sharing")
+    ap.add_argument("--multi-step", type=int, default=1,
+                    help="decode K tokens per device dispatch")
     ap.add_argument("--max-new", type=int, default=32)
     args = ap.parse_args()
 
@@ -49,6 +54,9 @@ def main() -> int:
         max_len=2048,
         kv_quant=args.kv_quant,
         rolling=args.rolling,
+        paged=args.paged,
+        prefix_share=args.paged,
+        multi_step=args.multi_step,
     )
     rng = np.random.default_rng(0)
     for uid in range(6):
@@ -58,6 +66,7 @@ def main() -> int:
                 prompt=rng.integers(1, cfg.vocab_size, 64).tolist(),
                 max_new_tokens=args.max_new,
                 temperature=0.8 if uid % 2 else 0.0,
+                top_k=50 if uid % 2 else 0,
             )
         )
     out = eng.run()
