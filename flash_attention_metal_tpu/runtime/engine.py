@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+from typing import Tuple
+
 from ..models.transformer import ModelConfig, Params
 from .decode import (
     decode_and_sample,
@@ -97,6 +99,8 @@ class DecodeEngine:
         seed: int = 0,
         harvest_lag: int = 16,
         multi_step: int = 1,
+        draft: Optional[Tuple[Params, ModelConfig]] = None,
+        spec_gamma: int = 4,
         kv_quant: Optional[str] = None,
         rolling: bool = False,
         paged: bool = False,
@@ -119,6 +123,27 @@ class DecodeEngine:
         if multi_step < 1:
             raise ValueError(f"multi_step={multi_step} must be >= 1")
         self._multi_step = multi_step
+        # Speculative serving: a (params, cfg) draft model proposes
+        # spec_gamma tokens per round; the target verifies them in one
+        # chunked decode (runtime/speculative.py).  Greedy requests
+        # receive exactly the target-only greedy tokens.
+        self._draft = draft
+        self._spec_gamma = spec_gamma
+        # Tokens a retired slot may still decode before bookkeeping lands
+        # (harvest runs ``harvest_lag`` dispatches behind; each dispatch
+        # emits up to multi_step / gamma+1 tokens).
+        window = max(multi_step, (spec_gamma + 1) if draft else 1)
+        self._zombie_margin = harvest_lag * window + window
+        if draft is not None:
+            if multi_step > 1 or kv_quant or rolling or paged or (
+                mesh is not None
+            ):
+                raise ValueError(
+                    "draft= (speculative serving) currently composes with "
+                    "the dense single-device cache only"
+                )
+            if draft[1].head_dim != cfg.head_dim:
+                pass  # head dims may differ; caches are independent
         # Sequence-sharded serving (BASELINE config 5): the KV cache's
         # length dim splits over ``seq_axis`` and decode runs the
         # lse-combine path (runtime.sp_decode).  Composes with dp slot
@@ -268,6 +293,16 @@ class DecodeEngine:
             )
         if not rolling:
             self._prefill_chunk = None
+        self.draft_cache = None
+        if draft is not None:
+            self.draft_cache = init_cache(
+                draft[1].n_layers,
+                max_batch,
+                draft[1].n_kv_heads,
+                max_len,
+                draft[1].head_dim,
+                dtype=draft[1].dtype,
+            )
         if prefix_share and not paged:
             raise ValueError("prefix_share=True requires paged=True")
         self._prefix_share = prefix_share
@@ -372,6 +407,13 @@ class DecodeEngine:
     def submit(self, request: Request) -> None:
         if len(request.prompt) >= self.max_len:
             raise ValueError("prompt longer than cache capacity")
+        if self._draft is not None and (
+            request.top_k > 0 or request.top_p < 1.0
+        ):
+            raise ValueError(
+                "speculative serving supports greedy/temperature requests "
+                "only (top-k/top-p acceptance is not implemented)"
+            )
         self.queue.append(request)
 
     def pending(self) -> bool:
@@ -401,7 +443,7 @@ class DecodeEngine:
                     len(tokens),
                     len(req.prompt)
                     + req.max_new_tokens
-                    + self.harvest_lag
+                    + self._zombie_margin
                     + 1,
                 )
                 need = -(-min(worst, self.max_len) // ps)
@@ -470,6 +512,17 @@ class DecodeEngine:
                     slot,
                     chunk=self._prefill_chunk,
                 )
+            if self._draft is not None:
+                # Speculative serving: the draft model must hold the same
+                # prompt context before it can propose.
+                _, self.draft_cache = prefill_slot(
+                    self._draft[0],
+                    self._draft[1],
+                    self.draft_cache,
+                    jnp.asarray(tokens),
+                    jnp.int32(len(req.prompt)),
+                    slot,
+                )
             if self._prefix_share:
                 # Register this prompt's fully-true pages (adopted ones
                 # are already present) for future admissions to share.
@@ -499,7 +552,7 @@ class DecodeEngine:
         # advance this slot's write head before retirement lands.
         full = (
             len(req.prompt) + len(req.generated)
-            >= self.max_len - 1 - self.harvest_lag
+            >= self.max_len - 1 - self._zombie_margin
         )
         if hit_eos or len(req.generated) >= req.max_new_tokens or full:
             req.done = True
@@ -512,15 +565,33 @@ class DecodeEngine:
                 self.cache = self._allocator.release(self.cache, req.slot)
             else:
                 self.cache = reset_slot(self.cache, req.slot)
+                if self.draft_cache is not None:
+                    self.draft_cache = reset_slot(
+                        self.draft_cache, req.slot
+                    )
             self.finished[req.uid] = req
 
     # ------------------------------------------------------------------
     def _harvest_one(self) -> List[Request]:
         """Apply bookkeeping for the oldest in-flight decode step."""
         toks_dev, uids = self._inflight.popleft()
+        finished: List[Request] = []
+        if isinstance(toks_dev, tuple):  # speculative (out, n_emit) round
+            out, n_emit = (np.asarray(x) for x in toks_dev)
+            for slot, uid in enumerate(uids):
+                req = self.slots[slot]
+                if uid is None or req is None or req.uid != uid or req.done:
+                    continue
+                for j in range(int(n_emit[slot])):
+                    if req.done:
+                        break
+                    req.generated.append(int(out[slot, j]))
+                    self._maybe_finish(req)
+                if req.done:
+                    finished.append(req)
+            return finished
         toks = np.asarray(toks_dev)  # async copy usually already landed
         rows = toks if toks.ndim == 2 else toks[None]  # multi-step window
-        finished: List[Request] = []
         for row in rows:
             for slot, uid in enumerate(uids):
                 req = self.slots[slot]
@@ -572,6 +643,26 @@ class DecodeEngine:
                     self.top_ks,
                     self.top_ps,
                 )
+            elif self._draft is not None:
+                from .speculative import speculative_step
+
+                out, n_emit, new_tok, self.cache, self.draft_cache = (
+                    speculative_step(
+                        self.params,
+                        self.cfg,
+                        self.cache,
+                        self._draft[0],
+                        self._draft[1],
+                        self.draft_cache,
+                        self.next_token,
+                        active,
+                        sub,
+                        self.temps,
+                        gamma=self._spec_gamma,
+                    )
+                )
+                toks_dev = (out, n_emit)
+                self.next_token = new_tok
             elif self._multi_step > 1:
                 toks_dev, self.cache = decode_and_sample_multi(
                     self.params,
@@ -598,16 +689,20 @@ class DecodeEngine:
                     self.top_ks,
                     self.top_ps,
                 )
-            if self._multi_step == 1 or self._sp is not None:
+            if self._draft is None and (
+                self._multi_step == 1 or self._sp is not None
+            ):
                 self.next_token = toks_dev
-            try:
-                toks_dev.copy_to_host_async()
-            except AttributeError:  # pragma: no cover - older jax
-                pass
+            leaves = toks_dev if isinstance(toks_dev, tuple) else (toks_dev,)
+            for leaf in leaves:
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
             self._inflight.append(
                 (toks_dev, [r.uid if r else None for r in self.slots])
             )
-            self.steps += self._multi_step
+            self.steps += 1 if self._draft is not None else self._multi_step
 
         finished: List[Request] = []
         while self._inflight and (
@@ -647,6 +742,7 @@ class DecodeEngine:
         return {
             "paged": paged_state,
             "cache": self.cache,
+            "draft_cache": self.draft_cache,
             "next_token": self.next_token,
             "temps": self.temps,
             "top_ks": self.top_ks,
@@ -684,6 +780,8 @@ class DecodeEngine:
     def restore(self, snap: dict) -> None:
         """Resume from a ``snapshot()`` (e.g. after a crash/restart)."""
         self.cache = snap["cache"]
+        if self.draft_cache is not None and snap.get("draft_cache") is not None:
+            self.draft_cache = snap["draft_cache"]
         self.next_token = jnp.asarray(snap["next_token"])
         self.temps = jnp.asarray(snap["temps"])
         self.top_ks = jnp.asarray(

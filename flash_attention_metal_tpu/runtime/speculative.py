@@ -66,7 +66,7 @@ def _forward_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg_t", "cfg_d", "gamma", "temperature"),
+    static_argnames=("cfg_t", "cfg_d", "gamma"),
     donate_argnames=("cache_t", "cache_d"),
 )
 def speculative_step(
@@ -79,9 +79,9 @@ def speculative_step(
     tok: jax.Array,  # [B] the last emitted token per slot
     active: jax.Array,  # [B] bool
     key: jax.Array,
+    temps: jax.Array,  # [B] per-slot temperature; <= 0 = greedy
     *,
     gamma: int,
-    temperature: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache, KVCache]:
     """One speculative round; emits 1..gamma+1 tokens per active slot.
 
@@ -90,10 +90,19 @@ def speculative_step(
     cache).  Returns ``(out [B, gamma+1], n_emit [B], new_tok [B],
     cache_t, cache_d)`` — per slot, ``out[:n_emit]`` are the emitted
     tokens and ``new_tok == out[n_emit - 1]`` seeds the next round.
+
+    ``temps`` mixes modes per slot in one executable: greedy slots use
+    exact token-match acceptance (output identical to the target's
+    greedy decode); sampling slots use the speculative-sampling rule
+    (accept with ``min(1, p/q)``, resample the first rejection from the
+    normalized residual ``max(p - q, 0)``), which preserves the target
+    distribution at that temperature.
     """
     batch = tok.shape[0]
     l0_t, l0_d = cache_t.lengths, cache_d.lengths
     keys = jax.random.split(key, gamma + 2)
+    greedy_slot = temps <= 0.0  # [B]
+    tau = jnp.maximum(temps, 1e-6)[:, None]
 
     # --- draft: gamma proposals + one extra ingest step so the draft
     # cache covers its own last proposal (needed when all are accepted).
@@ -103,12 +112,9 @@ def speculative_step(
         logits_d, cache_d = decode_step.__wrapped__(
             params_d, cfg_d, cache_d, cur, active
         )
-        if temperature <= 0.0:
-            cur = jnp.argmax(logits_d, -1).astype(jnp.int32)
-        else:
-            cur = jax.random.categorical(
-                keys[i], logits_d / temperature
-            ).astype(jnp.int32)
+        g = jnp.argmax(logits_d, -1).astype(jnp.int32)
+        s = jax.random.categorical(keys[i], logits_d / tau).astype(jnp.int32)
+        cur = jnp.where(greedy_slot, g, s)
         draft_toks.append(cur)
         draft_logits.append(logits_d)
     _, cache_d = decode_step.__wrapped__(params_d, cfg_d, cache_d, cur, active)
@@ -123,39 +129,38 @@ def speculative_step(
     logits_t, cache_t = _forward_chunk(params_t, cfg_t, cache_t, seq)
     logits_t = logits_t[:, :t_rows]  # [B, gamma+1, V]
 
-    # --- acceptance.
-    if temperature <= 0.0:
-        t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
-        match = d == t_pred[:, :gamma]
-        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)
-        n_acc = jnp.sum(acc, axis=1)  # [B] in [0, gamma]
-        bonus = jnp.take_along_axis(t_pred, n_acc[:, None], axis=1)[:, 0]
-    else:
-        tau = temperature
-        p = jax.nn.softmax(logits_t / tau, axis=-1)  # [B, gamma+1, V]
-        q = jax.nn.softmax(jnp.stack(draft_logits, 1) / tau, axis=-1)
-        p_tok = jnp.take_along_axis(p[:, :gamma], d[..., None], -1)[..., 0]
-        q_tok = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
-        u = jax.random.uniform(keys[gamma], (batch, gamma))
-        accept = u < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-20))
-        acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
-        n_acc = jnp.sum(acc, axis=1)
-        # First rejected position: resample from the residual
-        # max(p - q, 0); if everything was accepted the bonus comes
-        # straight from the target's gamma-th distribution (q there = 0).
-        p_n = jnp.take_along_axis(
-            p, n_acc[:, None, None].repeat(p.shape[-1], -1), axis=1
-        )[:, 0]  # [B, V]
-        q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
-        q_n = jnp.take_along_axis(
-            q_pad, n_acc[:, None, None].repeat(q.shape[-1], -1), axis=1
-        )[:, 0]
-        resid = jnp.maximum(p_n - q_n, 0.0)
-        norm = jnp.sum(resid, axis=-1, keepdims=True)
-        resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20), p_n)
-        bonus = jax.random.categorical(
-            keys[gamma + 1], jnp.log(jnp.maximum(resid, 1e-30))
-        ).astype(jnp.int32)
+    # --- acceptance: exact match (greedy slots) / min(1, p/q) (sampled).
+    t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
+    greedy_match = d == t_pred[:, :gamma]
+    p = jax.nn.softmax(logits_t / tau[..., None], axis=-1)
+    q = jax.nn.softmax(jnp.stack(draft_logits, 1) / tau[..., None], axis=-1)
+    p_tok = jnp.take_along_axis(p[:, :gamma], d[..., None], -1)[..., 0]
+    q_tok = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
+    u = jax.random.uniform(keys[gamma], (batch, gamma))
+    samp_accept = u < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-20))
+    accept = jnp.where(greedy_slot[:, None], greedy_match, samp_accept)
+    acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)  # [B] in [0, gamma]
+
+    # Bonus token at the first rejected position: greedy slots take the
+    # target argmax; sampling slots resample from the residual
+    # max(p - q, 0) (q = 0 past gamma, so the all-accept bonus reduces
+    # to the target's own distribution).
+    bonus_g = jnp.take_along_axis(t_pred, n_acc[:, None], axis=1)[:, 0]
+    p_n = jnp.take_along_axis(
+        p, n_acc[:, None, None].repeat(p.shape[-1], -1), axis=1
+    )[:, 0]  # [B, V]
+    q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
+    q_n = jnp.take_along_axis(
+        q_pad, n_acc[:, None, None].repeat(q.shape[-1], -1), axis=1
+    )[:, 0]
+    resid = jnp.maximum(p_n - q_n, 0.0)
+    norm = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20), p_n)
+    bonus_s = jax.random.categorical(
+        keys[gamma + 1], jnp.log(jnp.maximum(resid, 1e-30))
+    ).astype(jnp.int32)
+    bonus = jnp.where(greedy_slot, bonus_g, bonus_s)
 
     # --- assemble the emitted window and restore the length invariant.
     idx = jnp.arange(gamma + 1)[None, :]
@@ -233,7 +238,8 @@ def speculative_generate(
         out, n_emit, tok, cache_t, cache_d = speculative_step(
             params_t, cfg_t, cache_t, params_d, cfg_d, cache_d,
             tok, jnp.asarray(active_h), sub,
-            gamma=gamma, temperature=temperature,
+            jnp.full((batch,), temperature, jnp.float32),
+            gamma=gamma,
         )
         out_h = np.asarray(out)
         n_h = np.asarray(n_emit)

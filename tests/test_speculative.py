@@ -121,3 +121,86 @@ def test_ragged_lengths_and_exact_count(params_t, params_d):
     want = greedy_reference(params_t, CFG_T, prompts, 7)
     assert got == want
     assert [len(g) for g in got] == [7, 7]
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: continuous-batching speculative serving
+# ---------------------------------------------------------------------------
+
+from flash_attention_metal_tpu.runtime import DecodeEngine, Request
+
+
+def _engine_run(params_t, draft=None, temps=(0.0, 0.0, 0.0, 0.0), **kw):
+    eng = DecodeEngine(
+        params_t, CFG_T, max_batch=2, max_len=512, draft=draft, **kw
+    )
+    for uid in range(4):  # slot churn: 4 requests over 2 slots
+        eng.submit(
+            Request(
+                uid=uid,
+                prompt=[1 + uid, 2, 3, 4 + uid],
+                max_new_tokens=9,
+                temperature=temps[uid],
+            )
+        )
+    return eng.run()
+
+
+def test_spec_engine_matches_plain_greedy(params_t, params_d):
+    want = _engine_run(params_t)
+    got = _engine_run(params_t, draft=(params_d, CFG_D), spec_gamma=3)
+    assert got == want
+
+
+def test_spec_engine_perfect_draft(params_t):
+    want = _engine_run(params_t)
+    got = _engine_run(params_t, draft=(params_t, CFG_T), spec_gamma=4)
+    assert got == want
+    # A perfect draft must finish in far fewer dispatches than plain
+    # decode: every round emits gamma+1 tokens.
+    eng = DecodeEngine(
+        params_t, CFG_T, max_batch=2, max_len=512,
+        draft=(params_t, CFG_T), spec_gamma=4, harvest_lag=0,
+    )
+    eng.submit(Request(uid=0, prompt=[5, 6, 7], max_new_tokens=20))
+    eng.run()
+    assert eng.steps <= 6  # ceil(20/5) rounds vs 20 plain decode steps
+
+
+def test_spec_engine_mixed_temperatures(params_t, params_d):
+    out = _engine_run(
+        params_t, draft=(params_d, CFG_D), spec_gamma=3,
+        temps=(0.0, 0.9, 0.0, 1.3),
+    )
+    assert sorted(out.keys()) == [0, 1, 2, 3]
+    for uid, toks in out.items():
+        assert len(toks) == 9
+        assert all(0 <= t < CFG_T.vocab_size for t in toks)
+    # Greedy slots still exactly match the target-only engine.
+    want = _engine_run(params_t)
+    assert out[0] == want[0] and out[2] == want[2]
+
+
+def test_spec_engine_eos(params_t, params_d):
+    """EOS mid-round stops at the same token as the plain engine."""
+
+    def run(draft):
+        eng = DecodeEngine(
+            params_t, CFG_T, max_batch=1, max_len=512,
+            eos_id=11, draft=draft, spec_gamma=3, harvest_lag=2,
+        )
+        eng.submit(Request(uid=0, prompt=[9, 8, 7], max_new_tokens=40))
+        return eng.run()
+
+    assert run((params_d, CFG_D)) == run(None)
+
+
+def test_spec_engine_rejects_topk(params_t, params_d):
+    eng = DecodeEngine(
+        params_t, CFG_T, max_batch=1, max_len=512,
+        draft=(params_d, CFG_D),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.submit(Request(uid=0, prompt=[1], top_k=5, temperature=1.0))
