@@ -184,18 +184,53 @@ def main():
     f_fwd = attention_flops(B, H, N, N, D, causal=True)
     f_bwd = attention_flops(B, H, N, N, D, causal=True, backward=True)
     bts = attention_bytes(B, H, N, N, D, 2)
+    # Backward moves ~2.5x the forward's tensors: reads q,k,v,o,do + lse,
+    # writes dq,dk,dv (all bf16 except the fp32 lse/delta rows).
+    tensor = B * H * N * D * 2
+    bts_bwd = 8 * tensor + 2 * B * H * N * 4
     detail["high_occupancy"] = {
         "fwd_ms": t_fwd * 1e3,
         "bwd_ms": t_bwd * 1e3,
         "fwd_tflops": f_fwd / t_fwd / 1e12,
         "bwd_tflops": f_bwd / t_bwd / 1e12,
         "fwd_roofline": roofline_fraction(t_fwd, f_fwd, bts, spec, head_dim=D),
+        "bwd_roofline": roofline_fraction(
+            t_bwd, f_bwd, bts_bwd, spec, head_dim=D
+        ),
     }
     log(
         f"high-occupancy B{B} H{H} N{N}: fwd {t_fwd*1e3:.3f} ms "
         f"({f_fwd/t_fwd/1e12:.1f} TF/s, "
         f"{detail['high_occupancy']['fwd_roofline']:.0%} roofline), "
         f"bwd {t_bwd*1e3:.3f} ms ({f_bwd/t_bwd/1e12:.1f} TF/s)"
+    )
+
+    # In-benchmark backward spot-verification (main.mm:1087-1195 analog):
+    # the reference re-verifies its big-batch backward against the CPU
+    # oracle at N<=128 inside the benchmark binary, so the bench and the
+    # ladder can't silently drift apart.  Same here: a 128-row slice of
+    # the exact tensors the timed kernel ran on, vs the closed-form
+    # oracle gradient, at the ladder's bf16 tolerance.
+    from flash_attention_metal_tpu.reference import attention_reference_bwd
+
+    ns = 128
+    qs, ks, vs, dos = (x[:1, :2, :ns] for x in (q, k, v, do))
+    os_, lses = flash_attention_fwd(
+        qs, ks, vs, causal=True, save_lse=True, interpret=interpret
+    )
+    dq_s, dk_s, dv_s = flash_attention_bwd_auto(
+        qs, ks, vs, os_, dos, lses, causal=True, interpret=interpret
+    )
+    dq_r, dk_r, dv_r = attention_reference_bwd(qs, ks, vs, dos, causal=True)
+    bwd_diff = max(
+        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b)))
+        for a, b in ((dq_s, dq_r), (dk_s, dk_r), (dv_s, dv_r))
+    )
+    detail["high_occupancy"]["bwd_spot_verify_max_diff"] = bwd_diff
+    detail["high_occupancy"]["bwd_spot_verify_pass"] = bool(bwd_diff < 1e-2)
+    log(
+        f"bwd spot-verify (N={ns} slice vs oracle): max diff {bwd_diff:.2e} "
+        f"({'PASS' if bwd_diff < 1e-2 else 'FAIL'} @ 1e-2)"
     )
 
     detail["geomean_speedup"] = geomean

@@ -260,6 +260,27 @@ def run_ladder(
         TOL_HALF,
     )
 
+    # Rung 13: tanh logit softcap (Gemma-2 style) vs capped oracle — the
+    # in-kernel transform runs in log2 units, so this checks the rebase.
+    cap = 20.0
+    osc = flash_attention_fwd(
+        qh, kh, vh, causal=True, softcap=cap, interpret=interpret
+    )
+    oracle_sc = attention_reference(q, k, v, causal=True, softcap=cap)
+    rung(f"flash softcap ({cap:g}) causal vs oracle", osc, oracle_sc, TOL_HALF)
+
+    # Rung 14: ALiBi linear position bias vs biased oracle (per-head
+    # slopes; a capability the reference scoped out,
+    # project_narrative.md:50-53).
+    slopes = jnp.asarray(
+        [2.0 ** -(8.0 * (i + 1) / heads) for i in range(heads)], jnp.float32
+    )
+    oal = flash_attention_fwd(
+        qh, kh, vh, causal=True, alibi_slopes=slopes, interpret=interpret
+    )
+    oracle_al = attention_reference(q, k, v, causal=True, alibi_slopes=slopes)
+    rung("flash ALiBi causal vs oracle", oal, oracle_al, TOL_HALF)
+
     return results
 
 

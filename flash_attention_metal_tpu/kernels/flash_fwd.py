@@ -89,6 +89,7 @@ def _fwd_kernel(
     qseg_ref,
     kvseg_ref,
     kvpos_ref,
+    slopes_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -105,6 +106,7 @@ def _fwd_kernel(
     lazy_softmax: bool,
     window,
     sinks,
+    softcap,
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
@@ -112,8 +114,42 @@ def _fwd_kernel(
     # a direct two-pass softmax saves every scratch read-modify-write.
     single_block = num_kv_major == 1 and block_k_major == block_k
 
-    if causal or kvpos_ref is not None:
+    if causal or kvpos_ref is not None or slopes_ref is not None:
         q_offset = off_ref[pl.program_id(0)]
+
+    def _transform(s, start):
+        # Score transforms applied between the QK^T matmul and masking.
+        # The score tile lives in log2 units (sm_scale * log2(e) is folded
+        # into Q), so both transforms are rebased by _LOG2E.
+        if softcap is not None:
+            # Gemma-2-style tanh logit cap on the *scaled natural* score:
+            # cap*tanh(s_nat/cap) == c2*tanh(s2/c2) with c2 = cap*log2(e).
+            c2 = softcap * _LOG2E
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        if slopes_ref is not None:
+            # ALiBi (Press et al.): additive bias slope_h*(col - row) where
+            # row carries the causal q_offset; bias <= 0 for visible keys.
+            # (1, 1) slice, not a scalar extract — broadcasts on the VPU
+            # without a vector->scalar move.
+            slope2 = slopes_ref[:1, :1] * _LOG2E
+            rowpos = (
+                jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            if kvpos_ref is not None:
+                # Rolling caches: distance in position space (slots whose
+                # position is -1 are masked out right after this).
+                colpos = kvpos_ref[0, :1, start : start + s.shape[1]]
+            else:
+                colpos = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+                    + kv_major * block_k_major
+                    + start
+                )
+            dist = (colpos - rowpos).astype(jnp.float32)
+            s = s + slope2 * dist
+        return s
 
     def _mask(s, start):
         # Unconditional elementwise mask on running blocks: measured
@@ -192,6 +228,8 @@ def _fwd_kernel(
             k = k_ref[0, 0]
             v = v_ref[0, 0]
             s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
+            if softcap is not None or slopes_ref is not None:
+                s = _transform(s, 0)
             if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, 0)
             m = jnp.max(s, axis=-1, keepdims=True)
@@ -254,6 +292,8 @@ def _fwd_kernel(
 
             s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
 
+            if softcap is not None or slopes_ref is not None:
+                s = _transform(s, start)
             if causal or qseg_ref is not None or kvpos_ref is not None:
                 s = _mask(s, start)
 
@@ -458,6 +498,7 @@ def _fwd_lean(
         "block_sizes",
         "save_lse",
         "lazy_softmax",
+        "softcap",
         "interpret",
     ),
     # segment_ids is a traced pytree argument
@@ -477,6 +518,8 @@ def flash_attention_fwd(
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
@@ -503,6 +546,18 @@ def flash_attention_fwd(
     long-context serving pattern).  Out-of-window KV blocks are skipped
     AND their DMAs elided, so compute and bandwidth scale with
     ``window``, not ``n_kv``.
+
+    ``softcap``: optional tanh logit cap (Gemma-2 style) applied to the
+    *scaled* scores before ALiBi/masking: ``s = softcap*tanh(s/softcap)``.
+    Bounds every score to ``(-softcap, +softcap)``, which also guarantees
+    the lazy-softmax envelope.
+
+    ``alibi_slopes``: optional ``[H]`` fp32 per-q-head ALiBi slopes adding
+    the linear position bias ``slope * (col - row - q_offset)`` after the
+    cap ("Train Short, Test Long", Press et al. — a position scheme the
+    reference explicitly scoped out, ``project_narrative.md:50-53``).
+    Composes with causal/window/GQA and position-space (rolling-cache)
+    masking.
 
     ``lazy_softmax`` (default True): exponentiate each KV block against
     the previous block's base (starting from base 0) so the max-reduce
@@ -541,6 +596,8 @@ def flash_attention_fwd(
             block_sizes=block_sizes,
             save_lse=save_lse,
             lazy_softmax=lazy_softmax,
+            softcap=softcap,
+            alibi_slopes=alibi_slopes,
             interpret=interpret,
         )
         if save_lse:
@@ -611,6 +668,8 @@ def flash_attention_fwd(
         and window is None
         and segment_ids is None
         and kv_positions is None
+        and softcap is None
+        and alibi_slopes is None
         and (q_offset is None or isinstance(q_offset, int))
     ):
         # Whole KV fits one block and the causal offset is static: take the
@@ -647,22 +706,27 @@ def flash_attention_fwd(
         lazy_softmax=lazy_softmax,
         window=window,
         sinks=int(sinks),
+        softcap=softcap,
     )
     has_seg = segment_ids is not None
     has_pos = kv_positions is not None
+    has_alibi = alibi_slopes is not None
 
     def kernel(off_ref, *rest):
-        # Optional-arg shim: segment-id / kv-position inputs and the LSE
-        # output are only present in the pallas_call signature when
-        # requested.
+        # Optional-arg shim: segment-id / kv-position / ALiBi-slope inputs
+        # and the LSE output are only present in the pallas_call signature
+        # when requested.
         q_ref, k_ref, v_ref = rest[:3]
         i = 3
-        qseg_ref = kvseg_ref = kvpos_ref = None
+        qseg_ref = kvseg_ref = kvpos_ref = slopes_ref = None
         if has_seg:
             qseg_ref, kvseg_ref = rest[i : i + 2]
             i += 2
         if has_pos:
             kvpos_ref = rest[i]
+            i += 1
+        if has_alibi:
+            slopes_ref = rest[i]
             i += 1
         o_ref = rest[i]
         i += 1
@@ -679,6 +743,7 @@ def flash_attention_fwd(
             qseg_ref,
             kvseg_ref,
             kvpos_ref,
+            slopes_ref,
             o_ref,
             lse_ref,
             m_s,
@@ -787,6 +852,18 @@ def flash_attention_fwd(
             pl.BlockSpec((1, NUM_SUBLANES, block_k_major), kvpos_map)
         )
         inputs.append(kvpos)
+    if has_alibi:
+        # One fp32 slope per q-head, lane-replicated so the kernel reads a
+        # (1, 1) slice (no vector->scalar extract).  Heads sharing a KV
+        # group still get distinct slopes (indexed by q-head h).
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
+            (heads, NUM_LANES),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
+        )
+        inputs.append(slopes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -129,13 +129,14 @@ def flash_attention_paged(
         lazy_softmax=True,
         window=window,
         sinks=int(sinks),
+        softcap=None,
     )
 
     def kernel(off_ref, table_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s):
         del table_ref  # consumed by the index maps only
         return bound(
-            off_ref, q_ref, k_ref, v_ref, None, None, None, o_ref, None,
-            m_s, l_s, a_s,
+            off_ref, q_ref, k_ref, v_ref, None, None, None, None, o_ref,
+            None, m_s, l_s, a_s,
         )
 
     kv_page_map = _make_page_map(

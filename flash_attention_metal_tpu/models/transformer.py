@@ -47,6 +47,11 @@ class ModelConfig:
     attn_window: Optional[int] = None
     # Attention sinks: first N positions stay visible beyond the window.
     attn_sinks: int = 0
+    # Tanh logit soft-cap on attention scores (Gemma-2 style); None = off.
+    attn_softcap: Optional[float] = None
+    # ALiBi linear position bias instead of RoPE ("Train Short, Test
+    # Long"): per-head slopes 2^(-8i/n_heads), RoPE disabled.
+    attn_alibi: bool = False
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -116,6 +121,22 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """Standard ALiBi slope schedule: ``2^(-8i/n)`` for head i=1..n."""
+    return jnp.asarray(
+        [2.0 ** (-8.0 * (i + 1) / n_heads) for i in range(n_heads)],
+        jnp.float32,
+    )
+
+
+def _maybe_rope(x, positions, cfg):
+    """RoPE unless the config uses ALiBi for position (mutually exclusive
+    position schemes — ALiBi models are trained without rotary)."""
+    if cfg.attn_alibi:
+        return x
+    return rope(x, positions, cfg.rope_theta)
+
+
 def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
     b, n, _ = x.shape
     return x.reshape(b, n, n_heads, head_dim).transpose(0, 2, 1, 3)
@@ -145,8 +166,8 @@ def attention_block(
     q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
     k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
     v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = _maybe_rope(q, positions, cfg)
+    k = _maybe_rope(k, positions, cfg)
 
     new_kv = (k, v)
     if kv_cache is not None:
@@ -159,6 +180,8 @@ def attention_block(
         causal=True,
         window=cfg.attn_window,
         sinks=cfg.attn_sinks,
+        softcap=cfg.attn_softcap,
+        alibi_slopes=alibi_slopes(cfg.n_heads) if cfg.attn_alibi else None,
         block_sizes=cfg.block_sizes,
         impl=cfg.attn_impl,
     )

@@ -221,6 +221,105 @@ def _flash_lse_bwd_rule(
 _flash_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def _flash_ext(
+    q, k, v, q_offset, alibi_slopes, segment_ids, causal, window, sinks,
+    sm_scale, softcap, block_sizes, lazy_softmax, interpret,
+):
+    """Score-transform path (softcap / ALiBi): Pallas forward, oracle VJP.
+
+    The FA-2 backward kernels don't model the tanh cap or the ALiBi bias,
+    so the backward recomputes the forward through the differentiable XLA
+    oracle and takes its VJP — activation-recompute style, O(N^2) score
+    materialization.  Correct for training; for long-context serving the
+    forward-only path is unaffected.
+    """
+    return flash_attention_fwd(
+        q,
+        k,
+        v,
+        q_offset,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        segment_ids=segment_ids,
+        block_sizes=block_sizes,
+        save_lse=False,
+        lazy_softmax=lazy_softmax,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
+        interpret=interpret,
+    )
+
+
+def _flash_ext_fwd_rule(
+    q, k, v, q_offset, alibi_slopes, segment_ids, causal, window, sinks,
+    sm_scale, softcap, block_sizes, lazy_softmax, interpret,
+):
+    o = _flash_ext(
+        q, k, v, q_offset, alibi_slopes, segment_ids, causal, window,
+        sinks, sm_scale, softcap, block_sizes, lazy_softmax, interpret,
+    )
+    return o, (q, k, v, q_offset, alibi_slopes, segment_ids)
+
+
+def _flash_ext_bwd_rule(
+    causal, window, sinks, sm_scale, softcap, block_sizes, lazy_softmax,
+    interpret, residuals, do,
+):
+    q, k, v, q_offset, alibi_slopes, segment_ids = residuals
+    h_q, h_kv = q.shape[1], k.shape[1]
+    reps = h_q // h_kv
+    kb, vb = _broadcast_kv_heads(q, k, v)
+
+    def f(qf, kf, vf, slopes):
+        return attention_reference(
+            qf,
+            kf,
+            vf,
+            causal=causal,
+            sm_scale=sm_scale,
+            q_offset=q_offset,
+            window=window,
+            sinks=sinks,
+            segment_ids=segment_ids,
+            softcap=softcap,
+            alibi_slopes=slopes,
+        )
+
+    if alibi_slopes is None:
+        _, vjp = jax.vjp(lambda a, b, c: f(a, b, c, None), q, kb, vb)
+        dq, dkb, dvb = vjp(do)
+        d_slopes = None
+    else:
+        _, vjp = jax.vjp(f, q, kb, vb, alibi_slopes)
+        dq, dkb, dvb, d_slopes = vjp(do)
+    if reps > 1:
+        b, _, n, d = dkb.shape
+        dkb = dkb.reshape(b, h_kv, reps, n, d).sum(axis=2)
+        dvb = dvb.reshape(b, h_kv, reps, n, d).sum(axis=2)
+    d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
+    d_seg = (
+        None
+        if segment_ids is None
+        else jax.tree_util.tree_map(
+            lambda x: np.zeros(np.shape(x), jax.dtypes.float0), segment_ids
+        )
+    )
+    return (
+        dq.astype(q.dtype),
+        dkb.astype(k.dtype),
+        dvb.astype(v.dtype),
+        d_off,
+        d_slopes,
+        d_seg,
+    )
+
+
+_flash_ext.defvjp(_flash_ext_fwd_rule, _flash_ext_bwd_rule)
+
+
 def _broadcast_kv_heads(q: jax.Array, k: jax.Array, v: jax.Array):
     """GQA/MQA: replicate KV heads up to the Q head count."""
     h_q, h_kv = q.shape[1], k.shape[1]
@@ -246,6 +345,8 @@ def flash_attention(
     sinks: int = 0,
     kv_positions: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
@@ -273,6 +374,12 @@ def flash_attention(
         rolling (wrapped) KV caches; switches causal/window masking to
         position space.  Forward-only (serving path).
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
+      softcap: optional tanh logit cap (Gemma-2 style) on the scaled
+        scores: ``s = softcap * tanh(s / softcap)``.  Differentiable (the
+        backward recomputes through the XLA oracle).
+      alibi_slopes: optional ``[q_heads]`` fp32 ALiBi slopes adding the
+        linear position bias ``slope * (col - row - q_offset)``.
+        Differentiable, including d/d(slopes).
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
         Both outputs are differentiable (the lse cotangent folds into the
@@ -319,6 +426,8 @@ def flash_attention(
             kv_positions=kv_positions,
             block_sizes=block_sizes,
             save_lse=save_lse,
+            softcap=softcap,
+            alibi_slopes=alibi_slopes,
             interpret=interpret,
         )
 
@@ -335,6 +444,8 @@ def flash_attention(
                 window=window,
                 sinks=sinks,
                 segment_ids=segment_ids,
+                softcap=softcap,
+                alibi_slopes=alibi_slopes,
             )
         return attention_reference(
             q,
@@ -346,9 +457,36 @@ def flash_attention(
             window=window,
             sinks=sinks,
             segment_ids=segment_ids,
+            softcap=softcap,
+            alibi_slopes=alibi_slopes,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
+
+    if softcap is not None or alibi_slopes is not None:
+        if save_lse:
+            raise NotImplementedError(
+                "save_lse with softcap/alibi_slopes is not supported on the "
+                "pallas path; use impl='xla'"
+            )
+        if alibi_slopes is not None:
+            alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        return _flash_ext(
+            q,
+            k,
+            v,
+            q_offset,
+            alibi_slopes,
+            segment_ids,
+            causal,
+            window,
+            sinks,
+            sm_scale,
+            softcap,
+            block_sizes,
+            lazy_softmax,
+            interpret,
+        )
 
     if save_lse:
         # LSE consumers (ring attention, decode) get a fully differentiable

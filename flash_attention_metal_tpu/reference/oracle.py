@@ -26,6 +26,36 @@ import jax.numpy as jnp
 from ..config import default_scale
 
 
+def _softcap_scores(s: jax.Array, softcap: Optional[float]) -> jax.Array:
+    """Tanh logit soft-cap: s -> softcap * tanh(s / softcap)."""
+    if softcap is None:
+        return s
+    return softcap * jnp.tanh(s / softcap)
+
+
+def _alibi_bias(
+    s: jax.Array,
+    slopes: jax.Array,
+    n_q: int,
+    n_kv: int,
+    q_offset,
+) -> jax.Array:
+    """Additive ALiBi bias ``slope_h * (col - (row + q_offset))``.
+
+    ``slopes`` is ``[H]``; bias is <= 0 for causally-visible positions
+    (col <= row + q_offset) and grows more negative with distance —
+    "Train Short, Test Long" (Press et al.), the linear-bias position
+    scheme the reference explicitly scoped out
+    (``project_narrative.md:50-53``).
+    """
+    off = (n_kv - n_q) if q_offset is None else q_offset
+    row = jnp.arange(n_q)[:, None] + off
+    col = jnp.arange(n_kv)[None, :]
+    dist = (col - row).astype(jnp.float32)  # [n_q, n_kv]
+    # slopes [H] -> [H, 1, 1] so it broadcasts under [..., H, n_q, n_kv].
+    return s + slopes.astype(jnp.float32)[:, None, None] * dist
+
+
 def attention_reference(
     q: jax.Array,
     k: jax.Array,
@@ -37,11 +67,19 @@ def attention_reference(
     window: Optional[int] = None,
     segment_ids=None,
     sinks: int = 0,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
     ``window``: with ``causal``, restrict each row to the last ``window``
     visible keys (sliding-window / local attention).
+
+    ``softcap``: tanh logit cap applied to the scaled scores before any
+    bias/masking (Gemma-2 style): ``s = softcap * tanh(s / softcap)``.
+
+    ``alibi_slopes``: optional ``[H]`` per-head slopes adding the linear
+    position bias ``slope * (col - row - q_offset)`` after the cap.
 
     Accepts ``[..., N_q, D]`` / ``[..., N_kv, D]`` (leading batch/head dims
     broadcast).  All math in fp32 regardless of input dtype; output cast back
@@ -57,6 +95,9 @@ def attention_reference(
 
     s = jnp.einsum("...qd,...kd->...qk", qf, kf,
                    precision=jax.lax.Precision.HIGHEST) * sm_scale
+    s = _softcap_scores(s, softcap)
+    if alibi_slopes is not None:
+        s = _alibi_bias(s, alibi_slopes, s.shape[-2], s.shape[-1], q_offset)
     if causal:
         n_q, n_kv = s.shape[-2], s.shape[-1]
         # Align the diagonals at the *end* of the sequences (the usual decode
@@ -100,6 +141,8 @@ def attention_reference_with_lse(
     window: Optional[int] = None,
     sinks: int = 0,
     segment_ids=None,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward oracle that also returns the logsumexp L = m + log(l).
 
@@ -114,6 +157,9 @@ def attention_reference_with_lse(
     vf = v.astype(jnp.float32)
     s = jnp.einsum("...qd,...kd->...qk", qf, kf,
                    precision=jax.lax.Precision.HIGHEST) * sm_scale
+    s = _softcap_scores(s, softcap)
+    if alibi_slopes is not None:
+        s = _alibi_bias(s, alibi_slopes, s.shape[-2], s.shape[-1], q_offset)
     if causal:
         n_q, n_kv = s.shape[-2], s.shape[-1]
         off = (n_kv - n_q) if q_offset is None else q_offset
@@ -149,6 +195,8 @@ def attention_reference_bwd(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-form (dQ, dK, dV) for the attention forward.
 
@@ -163,6 +211,8 @@ def attention_reference_bwd(
         v_.astype(jnp.float32),
         causal=causal,
         sm_scale=sm_scale,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
     )
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(do.astype(jnp.float32))

@@ -18,11 +18,12 @@ import jax.numpy as jnp
 from ..models.transformer import (
     ModelConfig,
     Params,
+    _maybe_rope,
     _merge_heads,
     _split_heads,
+    alibi_slopes,
     mlp_block,
     rms_norm,
-    rope,
 )
 from ..kernels.quant import QuantizedKV, flash_attention_quant
 from ..kernels.paged import flash_attention_paged, flash_attention_paged_quant
@@ -79,8 +80,22 @@ def _attn_with_cache(
     q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
     k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
     v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = _maybe_rope(q, positions, cfg)
+    k = _maybe_rope(k, positions, cfg)
+
+    # Score transforms: softcap/ALiBi ride the dense and rolling cache
+    # paths (the kernels mask in position space, so ALiBi distance is
+    # correct on wrapped slots); the quantized/paged kernels don't model
+    # them yet — fail loudly rather than silently dropping the transform.
+    _slopes = alibi_slopes(cfg.n_heads) if cfg.attn_alibi else None
+    _transforms = dict(softcap=cfg.attn_softcap, alibi_slopes=_slopes)
+    if (cfg.attn_softcap is not None or cfg.attn_alibi) and not isinstance(
+        cache, (RollingKVCache, KVCache)
+    ):
+        raise NotImplementedError(
+            "attn_softcap/attn_alibi serving requires a dense or rolling "
+            f"bf16 KV cache, got {type(cache).__name__}"
+        )
 
     # Valid cache length for masking is the OLD length + t_new; query row r
     # (0-based within the new tokens) sits at global position length + r,
@@ -104,6 +119,7 @@ def _attn_with_cache(
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
             block_sizes=cfg.block_sizes,
+            **_transforms,
         )
     elif isinstance(cache, RollingQuantKVCache):
         # 8-bit rolling window cache: quantize at append, mask in
@@ -203,6 +219,7 @@ def _attn_with_cache(
             sinks=cfg.attn_sinks,
             block_sizes=cfg.block_sizes,
             impl=cfg.attn_impl,
+            **_transforms,
         )
     out = _merge_heads(o) @ layer["wo"].astype(dt)
     return x + out, cache

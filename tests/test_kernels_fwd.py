@@ -388,3 +388,127 @@ def test_sinks_rolling_cache_positions(rng_key):
         q_offset=offs[:, None, None, None],
     )
     assert max_abs_diff(got, want) < TOL_FP32
+
+
+# ---------------------------------------------------------------------------
+# Score transforms: tanh softcap (Gemma-2) and ALiBi linear position bias —
+# capabilities the reference scoped out (project_narrative.md:50-53), built
+# here as in-kernel transforms between QK^T and masking.
+# ---------------------------------------------------------------------------
+
+
+def _alibi_test_slopes(h):
+    return jnp.asarray([2.0 ** -(i + 1) for i in range(h)], jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("softcap", [30.0, 8.0])
+def test_softcap_vs_oracle(rng_key, causal, softcap):
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, causal=causal, softcap=softcap, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(q, k, v, causal=causal, softcap=softcap)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_alibi_vs_oracle(rng_key, causal):
+    q, k, v = make_qkv(rng_key, (2, 4, 256, 64))
+    slopes = _alibi_test_slopes(4)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, k, v, causal=causal, alibi_slopes=slopes, block_sizes=bs,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(q, k, v, causal=causal, alibi_slopes=slopes)
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_alibi_softcap_window_gqa_combination(rng_key):
+    """softcap + ALiBi + sliding window + GQA all compose vs the oracle."""
+    from flash_attention_metal_tpu.ops.attention import flash_attention
+
+    q, _, _ = make_qkv(rng_key, (2, 4, 512, 64))
+    k2, v2 = (
+        jax.random.uniform(key, (2, 2, 512, 64), jnp.float32, -1, 1)
+        for key in jax.random.split(rng_key, 2)
+    )
+    slopes = _alibi_test_slopes(4)
+    got = flash_attention(
+        q, k2, v2, causal=True, window=192, softcap=20.0,
+        alibi_slopes=slopes, interpret=INTERPRET,
+    )
+    kr, vr = jnp.repeat(k2, 2, axis=1), jnp.repeat(v2, 2, axis=1)
+    want = attention_reference(
+        q, kr, vr, causal=True, window=192, softcap=20.0,
+        alibi_slopes=slopes,
+    )
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_alibi_rolling_cache_positions(rng_key):
+    """ALiBi distance rides kv_positions (position space) on wrapped caches."""
+    C, cur = 256, 300
+    kq, kk, kv2 = jax.random.split(rng_key, 3)
+    q = jax.random.uniform(kq, (1, 2, 128, 64), jnp.float32, -1, 1)
+    hist_k = jax.random.uniform(kk, (1, 2, cur, 64), jnp.float32, -1, 1)
+    hist_v = jax.random.uniform(kv2, (1, 2, cur, 64), jnp.float32, -1, 1)
+    slopes = _alibi_test_slopes(2)
+
+    slots = np.arange(cur) % C
+    kcache = np.zeros((1, 2, C, 64), np.float32)
+    vcache = np.zeros((1, 2, C, 64), np.float32)
+    pos = -np.ones((1, C), np.int32)
+    kcache[:, :, slots] = np.asarray(hist_k)
+    vcache[:, :, slots] = np.asarray(hist_v)
+    pos[:, slots] = np.arange(cur)
+
+    offs = jnp.asarray([cur - 128], jnp.int32)
+    bs = BlockSizes(block_q=128, block_k_major=128, block_k=128)
+    got = flash_attention_fwd(
+        q, jnp.asarray(kcache), jnp.asarray(vcache), offs,
+        causal=True, window=120, kv_positions=jnp.asarray(pos),
+        alibi_slopes=slopes, block_sizes=bs, interpret=INTERPRET,
+    )
+    want = attention_reference(
+        q, hist_k, hist_v, causal=True, window=120,
+        alibi_slopes=slopes, q_offset=offs[0],
+    )
+    assert max_abs_diff(got, want) < TOL_FP32
+
+
+def test_softcap_alibi_grads_match_oracle(rng_key):
+    """Pallas fwd + oracle-VJP bwd == end-to-end oracle autodiff."""
+    from flash_attention_metal_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    slopes = _alibi_test_slopes(2)
+
+    def loss(fn, *args):
+        return jnp.sum(fn(*args) ** 2)
+
+    g = jax.grad(
+        lambda a, b, c, s: loss(
+            lambda *x: flash_attention(
+                x[0], x[1], x[2], causal=True, softcap=20.0,
+                alibi_slopes=x[3], interpret=INTERPRET,
+            ),
+            a, b, c, s,
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, slopes)
+    gr = jax.grad(
+        lambda a, b, c, s: loss(
+            lambda *x: attention_reference(
+                x[0], x[1], x[2], causal=True, softcap=20.0,
+                alibi_slopes=x[3],
+            ),
+            a, b, c, s,
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, slopes)
+    for name, a, b in zip("dq dk dv dslopes".split(), g, gr):
+        assert max_abs_diff(a, b) < 1e-2, name

@@ -557,3 +557,87 @@ def test_encoder_mlm_trains():
         params, loss = step(params)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Score-transform model variants: Gemma-2-style softcap and ALiBi-position
+# models must decode exactly like their teacher-forced forward.
+# ---------------------------------------------------------------------------
+
+CFG_TRANSFORM = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    head_dim=64,
+    d_ff=256,
+    max_seq_len=256,
+    dtype=jnp.float32,
+    attn_softcap=30.0,
+    attn_alibi=True,
+)
+
+
+def _decode_vs_forward(cfg):
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    prompt_len, total = 100, 106
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (total,), 0, 256)
+    full_logits = forward(params, tokens[None, :], cfg, remat=False)[0]
+
+    cache = init_cache(
+        cfg.n_layers, 2, cfg.n_kv_heads, 256, cfg.head_dim, cfg.dtype
+    )
+    padded = (
+        jnp.zeros((128,), jnp.int32).at[:prompt_len].set(tokens[:prompt_len])
+    )
+    logits, cache = prefill_slot(
+        params, cfg, cache, padded, jnp.int32(prompt_len), 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.asarray(full_logits[prompt_len - 1]),
+        atol=2e-2,
+        rtol=1e-2,
+    )
+    active = jnp.array([True, False])
+    for t in range(prompt_len, total):
+        step_tokens = jnp.array([int(tokens[t]), 0], jnp.int32)
+        step_logits, cache = decode_step(
+            params, cfg, cache, step_tokens, active
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[0]),
+            np.asarray(full_logits[t]),
+            atol=2e-2,
+            rtol=1e-2,
+        )
+
+
+def test_softcap_alibi_model_decode_matches_forward():
+    """ALiBi+softcap model: stepwise decode == teacher-forced forward."""
+    _decode_vs_forward(CFG_TRANSFORM)
+
+
+def test_softcap_alibi_model_trains():
+    """Gradients flow through the in-kernel transforms (oracle-VJP path)."""
+    params = init_params(jax.random.PRNGKey(0), CFG_TRANSFORM)
+    tokens = jnp.tile(jnp.arange(128)[None, :] % 7, (2, 1))
+    l0 = float(loss_fn(params, tokens, CFG_TRANSFORM))
+    p = params
+    for _ in range(5):
+        p, _ = sgd_train_step(p, tokens, CFG_TRANSFORM, lr=0.05)
+    l1 = float(loss_fn(p, tokens, CFG_TRANSFORM))
+    assert np.isfinite(l1) and l1 < l0
+
+
+def test_alibi_extrapolates_past_train_length():
+    """ALiBi's selling point: a model runs at lengths beyond max_seq_len
+    with no positional table to exhaust (RoPE-free path)."""
+    cfg = CFG_TRANSFORM
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(3), (1, 2 * cfg.max_seq_len), 0, 256
+    )
+    logits = forward(params, tokens, cfg, remat=False)
+    assert np.all(np.isfinite(np.asarray(logits)))
