@@ -72,6 +72,8 @@ def flash_attention_paged(
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
     sinks: int = 0,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     block_q: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
@@ -91,7 +93,10 @@ def flash_attention_paged(
       path uses it).
 
     Masking is always causal in logical position space; ``window`` /
-    ``sinks`` compose like the dense kernel's.  Forward-only (serving).
+    ``sinks`` compose like the dense kernel's, and the ``softcap`` /
+    ``alibi_slopes`` score transforms ride the shared kernel body
+    unchanged (ALiBi distance is logical-position distance — physical
+    page placement never enters the scores).  Forward-only (serving).
     """
     batch, heads, n_q, head_dim = q.shape
     n_pages, kv_heads, page_size, d_kv = pool_k.shape
@@ -117,6 +122,8 @@ def flash_attention_paged(
     )
     table = jnp.asarray(page_table, jnp.int32)
 
+    has_alibi = alibi_slopes is not None
+
     bound = functools.partial(
         _fwd_kernel,
         sm_scale=sm_scale,
@@ -129,30 +136,46 @@ def flash_attention_paged(
         lazy_softmax=True,
         window=window,
         sinks=int(sinks),
-        softcap=None,
+        softcap=softcap,
     )
 
-    def kernel(off_ref, table_ref, q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s):
+    def kernel(off_ref, table_ref, q_ref, k_ref, v_ref, *rest):
         del table_ref  # consumed by the index maps only
+        slopes_r = None
+        if has_alibi:
+            slopes_r, rest = rest[0], rest[1:]
+        o_ref, m_s, l_s, a_s = rest
         return bound(
-            off_ref, q_ref, k_ref, v_ref, None, None, None, None, o_ref,
-            None, m_s, l_s, a_s,
+            off_ref, q_ref, k_ref, v_ref, None, None, None, slopes_r,
+            o_ref, None, m_s, l_s, a_s,
         )
 
     kv_page_map = _make_page_map(
         block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
     )
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+        ),
+        pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+        pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+    ]
+    inputs = [q, pool_k, pool_v]
+    if has_alibi:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
+            (heads, NUM_LANES),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
+        )
+        inputs.append(slopes)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
-            ),
-            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
-            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
@@ -183,7 +206,7 @@ def flash_attention_paged(
             transcendentals=batch * heads * n_q * max_pages * page_size,
         ),
         interpret=interpret,
-    )(q_offset, table, q, pool_k, pool_v)
+    )(q_offset, table, *inputs)
     return out[0]
 
 
@@ -199,6 +222,8 @@ def flash_attention_paged_quant(
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
     sinks: int = 0,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     block_q: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
@@ -247,6 +272,8 @@ def flash_attention_paged_quant(
         n_pages, kv_heads, scale_rows, NUM_LANES
     )
 
+    has_alibi = alibi_slopes is not None
+
     bound = functools.partial(
         _quant_fwd_kernel,
         sm_scale=sm_scale,
@@ -257,34 +284,48 @@ def flash_attention_paged_quant(
         block_k=page_size,
         num_kv=max_pages,
         save_lse=False,
+        softcap=softcap,
     )
 
-    def kernel(
-        off_ref, table_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref,
-        m_s, l_s, a_s,
-    ):
+    def kernel(off_ref, table_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, *rest):
         del table_ref  # consumed by the index maps only
+        slopes_r = None
+        if has_alibi:
+            slopes_r, rest = rest[0], rest[1:]
+        o_ref, m_s, l_s, a_s = rest
         return bound(
-            off_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, None, o_ref,
-            None, m_s, l_s, a_s,
+            off_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, None, slopes_r,
+            o_ref, None, m_s, l_s, a_s,
         )
 
     kv_page_map = _make_page_map(
         block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
     )
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
+        ),
+        pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+        pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
+        pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
+        pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
+    ]
+    inputs = [q, pool_k_q, pool_v_q, ks, vs]
+    if has_alibi:
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
+            (heads, NUM_LANES),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
+        )
+        inputs.append(slopes)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
-            ),
-            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
-            pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
-            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
-            pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, block_q, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)
@@ -315,5 +356,5 @@ def flash_attention_paged_quant(
             transcendentals=batch * heads * n_q * max_pages * page_size,
         ),
         interpret=interpret,
-    )(q_offset, table, q, pool_k_q, pool_v_q, ks, vs)
+    )(q_offset, table, *inputs)
     return out[0]

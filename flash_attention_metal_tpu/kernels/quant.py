@@ -123,6 +123,7 @@ def _quant_fwd_kernel(
     ks_ref,
     vs_ref,
     kvpos_ref,
+    slopes_ref,
     o_ref,
     lse_ref,
     m_scratch,
@@ -137,6 +138,7 @@ def _quant_fwd_kernel(
     block_k: int,
     num_kv: int,
     save_lse: bool,
+    softcap=None,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -185,6 +187,27 @@ def _quant_fwd_kernel(
         # Fold the K dequant scale AND log2(e) into the score scale
         # (column-wise, one pass): the softmax below is a raw exp2.
         s = s * (k_scale * (sm_scale * _LOG2E))
+
+        # Score transforms between the (dequant-scaled) QK^T and masking,
+        # in log2 units — same rebase as flash_fwd._transform.
+        if softcap is not None:
+            c2 = softcap * _LOG2E
+            s = c2 * jnp.tanh(s * (1.0 / c2))
+        if slopes_ref is not None:
+            slope2 = slopes_ref[:1, :1] * _LOG2E
+            rowpos_a = (
+                jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+                + q_idx * block_q
+                + q_offset
+            )
+            if kvpos_ref is not None:
+                colpos_a = kvpos_ref[0, :1, :]
+            else:
+                colpos_a = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+                    + kv_idx * block_k
+                )
+            s = s + slope2 * (colpos_a - rowpos_a).astype(jnp.float32)
 
         if kvpos_ref is not None:
             # Position-space masking for rolling quantized caches.
@@ -265,6 +288,7 @@ def _quant_fwd_kernel(
         "sinks",
         "block_sizes",
         "save_lse",
+        "softcap",
         "interpret",
     ),
 )
@@ -280,6 +304,8 @@ def flash_attention_quant(
     sinks: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash attention against an int8/fp8 KV cache.
@@ -289,6 +315,11 @@ def flash_attention_quant(
     ``q_offset``: optional per-batch int32 causal offset, same semantics
     as ``flash_attention_fwd`` (ragged continuous-batching decode against
     a quantized cache rides this).
+    ``softcap`` / ``alibi_slopes``: score transforms with
+    ``flash_attention_fwd``'s semantics (the cap applies to the
+    dequant-scaled natural score; ALiBi distance runs in position space
+    on rolling caches).  ALiBi requires ``causal=True`` here — the
+    serving paths that reach this kernel are always causal.
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = qkv.seq_len
@@ -323,7 +354,10 @@ def flash_attention_quant(
         window = int(window)
     if kv_positions is not None and not causal:
         raise ValueError("kv_positions requires causal=True")
+    if alibi_slopes is not None and not causal:
+        raise ValueError("alibi_slopes requires causal=True on the quant path")
     has_pos = kv_positions is not None
+    has_alibi = alibi_slopes is not None
 
     bound = functools.partial(
         _quant_fwd_kernel,
@@ -335,15 +369,19 @@ def flash_attention_quant(
         block_k=block_k,
         num_kv=num_kv,
         save_lse=save_lse,
+        softcap=softcap,
     )
 
     def kernel(off_ref, *rest):
-        # Optional-arg shim (kv positions input, LSE output).
+        # Optional-arg shim (kv positions / ALiBi slope inputs, LSE output).
         q_r, kq_r, vq_r, ks_r, vs_r = rest[:5]
         i = 5
-        kvpos_r = None
+        kvpos_r = slopes_r = None
         if has_pos:
             kvpos_r = rest[i]
+            i += 1
+        if has_alibi:
+            slopes_r = rest[i]
             i += 1
         o_r = rest[i]
         i += 1
@@ -353,8 +391,8 @@ def flash_attention_quant(
             i += 1
         m_s, l_s, acc_s = rest[i : i + 3]
         return bound(
-            off_ref, q_r, kq_r, vq_r, ks_r, vs_r, kvpos_r, o_r, lse_r,
-            m_s, l_s, acc_s,
+            off_ref, q_r, kq_r, vq_r, ks_r, vs_r, kvpos_r, slopes_r, o_r,
+            lse_r, m_s, l_s, acc_s,
         )
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
@@ -414,6 +452,16 @@ def flash_attention_quant(
 
         in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, block_k), kvpos_map))
         inputs.append(kvpos)
+    if has_alibi:
+        # One fp32 slope per q-head, lane-replicated (flash_fwd analog).
+        slopes = jnp.broadcast_to(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
+            (heads, NUM_LANES),
+        )
+        in_specs.append(
+            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
+        )
+        inputs.append(slopes)
 
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     results = pl.pallas_call(

@@ -83,19 +83,12 @@ def _attn_with_cache(
     q = _maybe_rope(q, positions, cfg)
     k = _maybe_rope(k, positions, cfg)
 
-    # Score transforms: softcap/ALiBi ride the dense and rolling cache
-    # paths (the kernels mask in position space, so ALiBi distance is
-    # correct on wrapped slots); the quantized/paged kernels don't model
-    # them yet — fail loudly rather than silently dropping the transform.
+    # Score transforms: softcap/ALiBi ride every cache type — the dense,
+    # rolling, quantized, and paged kernels all take the same transform
+    # args, and all mask (and measure ALiBi distance) in position space,
+    # so wrapped slots and physical page placement never enter the scores.
     _slopes = alibi_slopes(cfg.n_heads) if cfg.attn_alibi else None
     _transforms = dict(softcap=cfg.attn_softcap, alibi_slopes=_slopes)
-    if (cfg.attn_softcap is not None or cfg.attn_alibi) and not isinstance(
-        cache, (RollingKVCache, KVCache)
-    ):
-        raise NotImplementedError(
-            "attn_softcap/attn_alibi serving requires a dense or rolling "
-            f"bf16 KV cache, got {type(cache).__name__}"
-        )
 
     # Valid cache length for masking is the OLD length + t_new; query row r
     # (0-based within the new tokens) sits at global position length + r,
@@ -147,6 +140,7 @@ def _attn_with_cache(
             causal=True,
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
+            **_transforms,
             interpret=jax.default_backend() != "tpu",
         )
     elif isinstance(cache, PagedKVCache):
@@ -164,6 +158,7 @@ def _attn_with_cache(
             cache.lengths,
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
+            **_transforms,
             interpret=jax.default_backend() != "tpu",
         )
     elif isinstance(cache, PagedQuantKVCache):
@@ -180,6 +175,7 @@ def _attn_with_cache(
             cache.lengths,
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
+            **_transforms,
             interpret=jax.default_backend() != "tpu",
         )
     elif isinstance(cache, QuantKVCache):
@@ -205,6 +201,7 @@ def _attn_with_cache(
             causal=True,
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
+            **_transforms,
             interpret=jax.default_backend() != "tpu",
         )
     else:

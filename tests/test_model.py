@@ -5,6 +5,8 @@ logits token for token (the cache path and the training path are the same
 math through the same kernels).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -641,3 +643,49 @@ def test_alibi_extrapolates_past_train_length():
     )
     logits = forward(params, tokens, cfg, remat=False)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_transform_rolling_matches_dense_windowed():
+    """softcap+ALiBi on a rolling (wrapped) cache == the dense windowed
+    cache: ALiBi distance and the window both run in position space, so
+    slot wrapping must not change the scores."""
+    cfg = dataclasses.replace(
+        CFG_WINDOW, attn_softcap=25.0, attn_alibi=True
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def run(rolling):
+        eng = DecodeEngine(
+            params, cfg, max_batch=2, max_len=256, rolling=rolling
+        )
+        for uid in range(2):
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 5, 9, 2], max_new_tokens=24)
+            )
+        return eng.run()
+
+    assert run(False) == run(True)
+
+
+def test_transform_rolling_quant_cache():
+    """softcap+ALiBi through the 8-bit rolling cache: valid,
+    deterministic, shares a prefix with the dense-quant windowed run."""
+    cfg = dataclasses.replace(
+        CFG_WINDOW, attn_softcap=25.0, attn_alibi=True
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def run(rolling):
+        eng = DecodeEngine(
+            params, cfg, max_batch=1, max_len=256,
+            kv_quant="int8", rolling=rolling,
+        )
+        eng.submit(Request(uid=0, prompt=[4, 7, 2, 9], max_new_tokens=16))
+        return eng.run()[0]
+
+    rolled = run(True)
+    dense = run(False)
+    assert len(rolled) == 16 and all(0 <= t < 256 for t in rolled)
+    assert run(True) == rolled
+    common = sum(1 for a, b in zip(rolled, dense) if a == b)
+    assert common >= 8, (rolled, dense)

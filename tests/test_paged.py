@@ -496,3 +496,135 @@ def test_multi_step_eos_and_overshoot(params):
         return eng.run()
 
     assert run(4) == run(1)
+
+
+# ---------------------------------------------------------------------------
+# Score transforms (softcap / ALiBi) through the page-table indirection
+# ---------------------------------------------------------------------------
+
+
+def test_paged_kernel_transforms_match_dense():
+    """softcap+ALiBi through a scrambled page table == dense kernel:
+    ALiBi distance is logical-position distance, so physical placement
+    must never enter the scores."""
+    batch, heads, kv_heads, n_kv, d = 2, 4, 2, 512, 64
+    k, v, pool_k, pool_v, table = _scrambled_pool(
+        jax.random.PRNGKey(11), batch, kv_heads, n_kv, d, jnp.float32
+    )
+    q = jax.random.normal(
+        jax.random.PRNGKey(12), (batch, heads, 128, d), jnp.float32
+    )
+    slopes = jnp.asarray(
+        [2.0 ** (-8.0 * (i + 1) / heads) for i in range(heads)], jnp.float32
+    )
+    lengths = jnp.asarray([n_kv - 128, 3 * PS - 128], jnp.int32)
+    got = flash_attention_paged(
+        q, pool_k, pool_v, table, lengths, softcap=20.0,
+        alibi_slopes=slopes, interpret=True,
+    )
+    want = flash_attention_fwd(
+        q, k, v, q_offset=lengths, causal=True, softcap=20.0,
+        alibi_slopes=slopes,
+        block_sizes=BlockSizes(block_q=128, block_k_major=PS, block_k=PS),
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_paged_quant_kernel_transforms_match_dense_quant():
+    """softcap+ALiBi on the 8-bit paged pool == dense 8-bit kernel."""
+    from flash_attention_metal_tpu.kernels.paged import (
+        flash_attention_paged_quant,
+    )
+    from flash_attention_metal_tpu.kernels.quant import (
+        flash_attention_quant,
+        quantize_kv,
+    )
+
+    batch, heads, kv_heads, n_kv, d = 2, 4, 2, 512, 64
+    k, v, _, _, table = _scrambled_pool(
+        jax.random.PRNGKey(13), batch, kv_heads, n_kv, d, jnp.float32
+    )
+    qkv = quantize_kv(k, v, dtype=jnp.int8)
+    pages_per = n_kv // PS
+    n_pages = 1 + batch * pages_per
+    pool_kq = jnp.zeros((n_pages, kv_heads, PS, d), jnp.int8)
+    pool_vq = jnp.zeros_like(pool_kq)
+    pool_ks = jnp.zeros((n_pages, kv_heads, PS), jnp.float32)
+    pool_vs = jnp.zeros_like(pool_ks)
+    ks_flat = qkv.k_scale.reshape(batch, kv_heads, n_kv)
+    vs_flat = qkv.v_scale.reshape(batch, kv_heads, n_kv)
+    for b in range(batch):
+        for lp in range(pages_per):
+            phys = int(table[b, lp])
+            sl = slice(lp * PS, (lp + 1) * PS)
+            pool_kq = pool_kq.at[phys].set(qkv.k_q[b, :, sl])
+            pool_vq = pool_vq.at[phys].set(qkv.v_q[b, :, sl])
+            pool_ks = pool_ks.at[phys].set(ks_flat[b, :, sl])
+            pool_vs = pool_vs.at[phys].set(vs_flat[b, :, sl])
+    q = jax.random.normal(
+        jax.random.PRNGKey(14), (batch, heads, 1, d), jnp.float32
+    )
+    slopes = jnp.asarray(
+        [2.0 ** (-8.0 * (i + 1) / heads) for i in range(heads)], jnp.float32
+    )
+    lengths = jnp.asarray([n_kv - 1, 3 * PS - 1], jnp.int32)
+    got = flash_attention_paged_quant(
+        q, pool_kq, pool_vq, pool_ks, pool_vs, table, lengths,
+        softcap=20.0, alibi_slopes=slopes, interpret=True,
+    )
+    want = flash_attention_quant(
+        q, qkv, lengths, causal=True, softcap=20.0, alibi_slopes=slopes,
+        block_sizes=BlockSizes(block_q=128, block_k_major=PS, block_k=PS),
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+CFG_TRANSFORM_SERVE = dataclasses.replace(
+    CFG, attn_softcap=30.0, attn_alibi=True
+)
+
+
+@pytest.fixture(scope="module")
+def params_transform():
+    return init_params(jax.random.PRNGKey(0), CFG_TRANSFORM_SERVE)
+
+
+def _run_transform(params, **engine_kw):
+    eng = DecodeEngine(
+        params, CFG_TRANSFORM_SERVE, max_batch=2, max_len=256, **engine_kw
+    )
+    for uid in range(3):
+        eng.submit(Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=5))
+    return eng.run()
+
+
+@pytest.mark.parametrize(
+    "kw_x, kw_ref",
+    [
+        (dict(paged=True), dict()),
+        (dict(paged=True, kv_quant="int8"), dict(kv_quant="int8")),
+    ],
+    ids=["paged-vs-dense", "paged-int8-vs-dense-int8"],
+)
+def test_transform_engine_matches_dense(params_transform, kw_x, kw_ref):
+    """A softcap+ALiBi model serves identically through the page-table
+    indirection (vs the same-precision dense engine, token-for-token
+    modulo the usual accumulation-order flips).  Same-precision pairs
+    only: int8-vs-fp32 greedy decode on a random model flips argmax on
+    near-uniform logits and diverges by construction."""
+    out_x = _run_transform(params_transform, **kw_x)
+    out_d = _run_transform(params_transform, **kw_ref)
+    assert sorted(out_x.keys()) == [0, 1, 2]
+    for uid in out_d:
+        assert len(out_x[uid]) == 5
+        same = sum(a == b for a, b in zip(out_x[uid], out_d[uid]))
+        assert same >= 4, (uid, out_x[uid], out_d[uid])
+
+
+def test_transform_engine_int8_deterministic(params_transform):
+    """The 8-bit transform path itself is deterministic slot-to-slot."""
+    assert _run_transform(params_transform, kv_quant="int8") == _run_transform(
+        params_transform, kv_quant="int8"
+    )

@@ -110,3 +110,36 @@ def test_quant_ragged_offsets(rng_key):
     assert (
         float(jnp.max(jnp.abs(got.astype(jnp.float32) - want))) < 1e-2
     )
+
+
+def test_quant_softcap_alibi_vs_dequant_oracle(rng_key):
+    """Score transforms on the 8-bit path: kernel == oracle on the
+    dequantized KV (same quant rounding both sides, so the tolerance is
+    bf16-class, not int8-class)."""
+    q, k, v = make_qkv(rng_key, (2, 4, 256, 64), dtype=jnp.bfloat16)
+    H = q.shape[1]
+    slopes = jnp.asarray(
+        [2.0 ** (-8.0 * (i + 1) / H) for i in range(H)], jnp.float32
+    )
+    qkv = quantize_kv(k, v, dtype=jnp.int8)
+    kd, vd = dequantize_kv(qkv, jnp.float32)
+    got = flash_attention_quant(
+        q, qkv, causal=True, softcap=15.0, alibi_slopes=slopes,
+        interpret=INTERPRET,
+    )
+    want = attention_reference(
+        q.astype(jnp.float32), kd, vd, causal=True, softcap=15.0,
+        alibi_slopes=slopes,
+    )
+    assert max_abs_diff(got, want) < 2e-2
+    assert not bool(jnp.any(jnp.isnan(got)))
+
+
+def test_quant_alibi_requires_causal(rng_key):
+    q, k, v = make_qkv(rng_key, (1, 2, 128, 64), dtype=jnp.bfloat16)
+    qkv = quantize_kv(k, v)
+    slopes = jnp.ones((2,), jnp.float32)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention_quant(
+            q, qkv, causal=False, alibi_slopes=slopes, interpret=INTERPRET
+        )
