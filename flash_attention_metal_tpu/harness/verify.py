@@ -281,6 +281,29 @@ def run_ladder(
     oracle_al = attention_reference(q, k, v, causal=True, alibi_slopes=slopes)
     rung("flash ALiBi causal vs oracle", oal, oracle_al, TOL_HALF)
 
+    # Rung 15: softcap+ALiBi composed through the serving cache kernels —
+    # the int8-KV kernel (transform between dequant-scale and masking) and
+    # the paged kernel (transform through the page-table indirection,
+    # distances in logical position space).  Oracle is the dense fp32
+    # reference with the same transforms.
+    oracle_tc = attention_reference(
+        q, k, v, causal=True, softcap=cap, alibi_slopes=slopes
+    )
+    qkv_i8 = quantize_kv(kh, vh, dtype=jnp.int8)
+    otq = flash_attention_quant(
+        qh, qkv_i8, causal=True, softcap=cap, alibi_slopes=slopes,
+        interpret=interpret,
+    )
+    rung(
+        "flash_quant int8-KV softcap+ALiBi vs oracle",
+        otq, oracle_tc, TOL_QUANT_INT8,
+    )
+    otp = flash_attention_paged(
+        qh, pool_k, pool_v, table, jnp.zeros((batch,), jnp.int32),
+        softcap=cap, alibi_slopes=slopes, interpret=interpret,
+    )
+    rung("flash paged-KV softcap+ALiBi vs oracle", otp, oracle_tc, TOL_HALF)
+
     return results
 
 
