@@ -118,6 +118,64 @@ def _tp_mlp(layer, x, cfg):
     return x + jax.lax.psum(down_partial, "tp")
 
 
+def vocab_sharded_ce(
+    logits,
+    tokens,
+    sp_size: int,
+    reduce_axes: Tuple[str, ...] = ("dp", "sp"),
+    nll_weight=None,
+):
+    """Vocab-sharded (tp) + sequence-sharded (sp) next-token CE.
+
+    ``logits`` is the local ``[B_loc, n_loc, V/tp]`` shard; targets are
+    the left-shifted tokens with the sp-boundary token fetched from the
+    right neighbor via ``ppermute``.  The logsumexp runs as a pmax/psum
+    over tp.  ``reduce_axes`` are the data-replica axes the scalar is
+    psum'd over; ``nll_weight`` (optional per-shard scalar, e.g. a
+    pipeline last-stage mask) multiplies both the NLL and the token
+    count so masked shards drop out of the mean entirely.
+    """
+    sp_idx = jax.lax.axis_index("sp")
+    n_loc = tokens.shape[1]
+
+    # --- next-token targets across the sp boundary ---
+    first_tok = tokens[:, :1]
+    left_perm = [(i, (i - 1) % sp_size) for i in range(sp_size)]
+    recv_first = jax.lax.ppermute(first_tok, "sp", left_perm)
+    targets = jnp.concatenate([tokens[:, 1:], recv_first], axis=1)
+    # The global final position has no target.
+    pos_global = sp_idx * n_loc + jnp.broadcast_to(
+        jnp.arange(n_loc), tokens.shape
+    )
+    valid = pos_global < (sp_size * n_loc - 1)
+
+    # --- vocab-sharded cross entropy (pmax/psum logsumexp) ---
+    tp_idx = jax.lax.axis_index("tp")
+    v_local = logits.shape[-1]
+    # The logsumexp pivot is gradient-invariant, so stop_gradient around the
+    # (non-differentiable) pmax is mathematically exact.
+    m_local = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, "tp"))
+    sumexp = jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
+    lse = jnp.log(jax.lax.psum(sumexp, "tp")) + m
+
+    local_idx = targets - tp_idx * v_local
+    in_shard = (local_idx >= 0) & (local_idx < v_local)
+    gathered = jnp.take_along_axis(
+        logits, jnp.clip(local_idx, 0, v_local - 1)[..., None], axis=-1
+    )[..., 0]
+    target_logit = jax.lax.psum(jnp.where(in_shard, gathered, 0.0), "tp")
+
+    nll = jnp.where(valid, lse - target_logit, 0.0)
+    valid_f = valid.astype(jnp.float32)
+    if nll_weight is not None:
+        nll = nll * nll_weight
+        valid_f = valid_f * nll_weight
+    total = jax.lax.psum(jnp.sum(nll), reduce_axes)
+    count = jax.lax.psum(jnp.sum(valid_f), reduce_axes)
+    return total / count
+
+
 def _sharded_loss(
     params, tokens, cfg: ModelConfig, tp_size: int, sp_size: int, sp_attn: str
 ):
@@ -140,39 +198,7 @@ def _sharded_loss(
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
     # logits: [B_loc, n_loc, V/tp]
-
-    # --- next-token targets across the sp boundary ---
-    # Shift left within the shard; the last target comes from the right
-    # neighbor's first token (ring ppermute).
-    first_tok = tokens[:, :1]
-    left_perm = [(i, (i - 1) % sp_size) for i in range(sp_size)]
-    recv_first = jax.lax.ppermute(first_tok, "sp", left_perm)
-    targets = jnp.concatenate([tokens[:, 1:], recv_first], axis=1)
-    # The global final position has no target.
-    pos_global = positions
-    valid = pos_global < (sp_size * n_loc - 1)
-
-    # --- vocab-sharded cross entropy (pmax/psum logsumexp) ---
-    tp_idx = jax.lax.axis_index("tp")
-    v_local = logits.shape[-1]
-    # The logsumexp pivot is gradient-invariant, so stop_gradient around the
-    # (non-differentiable) pmax is mathematically exact.
-    m_local = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
-    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, "tp"))
-    sumexp = jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
-    lse = jnp.log(jax.lax.psum(sumexp, "tp")) + m
-
-    local_idx = targets - tp_idx * v_local
-    in_shard = (local_idx >= 0) & (local_idx < v_local)
-    gathered = jnp.take_along_axis(
-        logits, jnp.clip(local_idx, 0, v_local - 1)[..., None], axis=-1
-    )[..., 0]
-    target_logit = jax.lax.psum(jnp.where(in_shard, gathered, 0.0), "tp")
-
-    nll = jnp.where(valid, lse - target_logit, 0.0)
-    total = jax.lax.psum(jnp.sum(nll), ("dp", "sp"))
-    count = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)), ("dp", "sp"))
-    return total / count
+    return vocab_sharded_ce(logits, tokens, sp_size)
 
 
 def make_train_step(

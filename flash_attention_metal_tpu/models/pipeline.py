@@ -43,7 +43,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .parallel_train import _tp_attention, _tp_mlp, param_specs
+from .parallel_train import (
+    _tp_attention,
+    _tp_mlp,
+    param_specs,
+    vocab_sharded_ce,
+)
 from .transformer import ModelConfig, Params, rms_norm
 
 AXES = ("dp", "pp", "tp", "sp")
@@ -175,40 +180,17 @@ def _pp_loss(
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
 
-    # Next-token targets across the sp boundary (ring ppermute), same as
-    # parallel_train._sharded_loss.
-    first_tok = tokens[:, :1]
-    left_perm = [(i, (i - 1) % sp_size) for i in range(sp_size)]
-    recv_first = jax.lax.ppermute(first_tok, "sp", left_perm)
-    targets = jnp.concatenate([tokens[:, 1:], recv_first], axis=1)
-    pos_global = sp_idx * n_loc + jnp.broadcast_to(
-        jnp.arange(n_loc), tokens.shape
-    )
-    valid = pos_global < (sp_size * n_loc - 1)
-
-    tp_idx = jax.lax.axis_index("tp")
-    v_local = logits.shape[-1]
-    m_local = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
-    m = jax.lax.stop_gradient(jax.lax.pmax(m_local, "tp"))
-    sumexp = jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
-    lse = jnp.log(jax.lax.psum(sumexp, "tp")) + m
-
-    local_idx = targets - tp_idx * v_local
-    in_shard = (local_idx >= 0) & (local_idx < v_local)
-    gathered = jnp.take_along_axis(
-        logits, jnp.clip(local_idx, 0, v_local - 1)[..., None], axis=-1
-    )[..., 0]
-    target_logit = jax.lax.psum(jnp.where(in_shard, gathered, 0.0), "tp")
-
-    # Only the last stage's NLL is real — mask, then psum over pp too,
-    # which makes the per-spec replica-sum rule exact for every param.
+    # Only the last stage's NLL is real — weight by the stage mask and
+    # psum over pp too, which makes the per-spec replica-sum rule exact
+    # for every param.
     is_last = (pp_idx == pp_size - 1).astype(jnp.float32)
-    nll = jnp.where(valid, lse - target_logit, 0.0) * is_last
-    total = jax.lax.psum(jnp.sum(nll), ("dp", "pp", "sp"))
-    count = jax.lax.psum(
-        jnp.sum(valid.astype(jnp.float32)) * is_last, ("dp", "pp", "sp")
+    return vocab_sharded_ce(
+        logits,
+        tokens,
+        sp_size,
+        reduce_axes=("dp", "pp", "sp"),
+        nll_weight=is_last,
     )
-    return total / count
 
 
 def make_pp_train_step(
