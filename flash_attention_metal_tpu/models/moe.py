@@ -171,6 +171,39 @@ def topk_dispatch(probs: jax.Array, k: int, capacity: int):
     return dispatch, combine, (f_sum, p_sum, jnp.float32(t))
 
 
+def moe_mlp_dense(layer, x, cfg: MoEConfig) -> jax.Array:
+    """Drop-free routed MoE MLP — the serving / teacher-forcing path.
+
+    Exact top-k routing with NO capacity buckets: every expert runs over
+    the full token set and the combine weight zeroes the unrouted pairs,
+    so no token ever drops and decode matches the teacher-forced forward
+    token-for-token.  Costs ``E×`` the dense-MLP FLOPs with no ``[T,E,C]``
+    dispatch tensor — the right trade at decode batch sizes (attention +
+    cache traffic dominate) and in oracles; training uses the
+    capacity-bucketed ``_moe_mlp`` instead.  Equal to ``_moe_mlp`` at
+    non-dropping capacity (same renormalized gates).
+    """
+    dt = cfg.dtype
+    shape = x.shape
+    h = rms_norm(x, layer["mlp_norm"]).reshape(-1, shape[-1])
+
+    logits = h.astype(jnp.float32) @ layer["w_router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate_vals, idx = jax.lax.top_k(probs, cfg.top_k)
+    gate_vals = gate_vals / jnp.maximum(
+        jnp.sum(gate_vals, axis=-1, keepdims=True), 1e-9
+    )
+    w = jnp.zeros_like(probs)
+    for s in range(cfg.top_k):
+        w = w + jax.nn.one_hot(idx[:, s], cfg.n_experts) * gate_vals[:, s:s + 1]
+
+    gate = jax.nn.silu(jnp.einsum("td,edf->etf", h, layer["w_gate"].astype(dt)))
+    up = jnp.einsum("td,edf->etf", h, layer["w_up"].astype(dt))
+    y = jnp.einsum("etf,efd->etd", gate * up, layer["w_down"].astype(dt))
+    out = jnp.einsum("etd,te->td", y, w.astype(dt))
+    return x + out.reshape(shape)
+
+
 def _moe_mlp(layer, x, cfg: MoEConfig, ep_size: int, tp_size: int):
     """Expert-parallel SwiGLU MoE block (runs inside shard_map).
 

@@ -190,6 +190,13 @@ def attention_block(
 
 
 def mlp_block(layer: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if "w_router" in layer:
+        # MoE layer (models/moe.py params): drop-free routed MLP, so the
+        # whole serving stack (forward / prefill / decode) serves MoE
+        # models through this one hook.  Late import breaks the cycle.
+        from .moe import moe_mlp_dense
+
+        return moe_mlp_dense(layer, x, cfg)
     dt = cfg.dtype
     h = rms_norm(x, layer["mlp_norm"])
     gate = jax.nn.silu(h @ layer["w_gate"].astype(dt))

@@ -126,3 +126,88 @@ def test_moe_forward_oracle_finite(fixtures):
 def test_moe_rejects_bad_expert_split(fixtures):
     with pytest.raises(ValueError, match="divisible"):
         make_moe_train_step(moe_mesh(1, 8, 1, 1), CFG)  # 4 experts / 8 ep
+
+
+# ---------------------------------------------------------------------------
+# MoE serving: the dense drop-free path through forward / decode / engine
+# ---------------------------------------------------------------------------
+
+from flash_attention_metal_tpu.models import forward  # noqa: E402
+from flash_attention_metal_tpu.runtime.decode import (  # noqa: E402
+    decode_step,
+    prefill_slot,
+)
+from flash_attention_metal_tpu.runtime.engine import (  # noqa: E402
+    DecodeEngine,
+    Request,
+)
+from flash_attention_metal_tpu.runtime.kv_cache import init_cache  # noqa: E402
+
+
+def test_moe_dense_path_matches_capacity_oracle(fixtures):
+    """forward() (drop-free routed MLP) == the capacity-bucketed shard_map
+    oracle at non-dropping capacity: same gates, same experts."""
+    params, tokens = fixtures
+    want = moe_forward(params, tokens[:2], CFG)
+    got = forward(params, tokens[:2], CFG, remat=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_moe_decode_matches_forward(fixtures):
+    """MoE prefill + stepwise decode == teacher-forced forward logits —
+    routing decisions must be identical with and without the KV cache."""
+    params, _ = fixtures
+    prompt_len, total = 50, 58
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (total,), 0, 512)
+    full_logits = forward(params, tokens[None, :], CFG, remat=False)[0]
+
+    cache = init_cache(
+        CFG.n_layers, 2, CFG.n_kv_heads, 128, CFG.head_dim, CFG.dtype
+    )
+    padded = jnp.zeros((64,), jnp.int32).at[:prompt_len].set(
+        tokens[:prompt_len]
+    )
+    logits, cache = prefill_slot(
+        params, CFG, cache, padded, jnp.int32(prompt_len), 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        np.asarray(full_logits[prompt_len - 1]),
+        atol=2e-2,
+        rtol=1e-2,
+    )
+    active = jnp.array([True, False])
+    for t in range(prompt_len, total):
+        step_tokens = jnp.array([int(tokens[t]), 0], jnp.int32)
+        step_logits, cache = decode_step(
+            params, CFG, cache, step_tokens, active
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[0]),
+            np.asarray(full_logits[t]),
+            atol=2e-2,
+            rtol=1e-2,
+        )
+
+
+def test_moe_engine_matches_manual_greedy(fixtures):
+    """The continuous-batching engine serves the MoE model: greedy
+    generations == a manual teacher-forced greedy loop."""
+    params, _ = fixtures
+    prompt = [7, 3, 11, 5]
+    n_new = 6
+
+    seq = list(prompt)
+    for _ in range(n_new):
+        logits = forward(
+            params, jnp.asarray(seq)[None, :], CFG, remat=False
+        )[0, -1]
+        seq.append(int(jnp.argmax(logits)))
+    want = seq[len(prompt):]
+
+    eng = DecodeEngine(params, CFG, max_batch=2, max_len=128)
+    eng.submit(Request(uid=0, prompt=prompt, max_new_tokens=n_new))
+    got = eng.run()[0]
+    assert got == want, (got, want)
