@@ -334,6 +334,69 @@ def make_moe_train_step(
     return jax.jit(sharded)
 
 
+def make_moe_optax_step(
+    mesh: Mesh,
+    cfg: MoEConfig,
+    optimizer,
+    sp_attn: str = "allgather",
+):
+    """Sharded optax step over the (dp, ep, tp, sp) MoE mesh.
+
+    Optimizer state shards like the params (expert moments live with
+    their experts on the ep axis); returns
+    ``step(params, opt_state, tokens) -> (params, opt_state, loss)``.
+    """
+    from .parallel_train import _opt_state_specs_from
+
+    ep_size = mesh.shape["ep"]
+    tp_size = mesh.shape["tp"]
+    sp_size = mesh.shape["sp"]
+    if cfg.n_experts % ep_size:
+        raise ValueError(
+            f"n_experts={cfg.n_experts} not divisible by ep={ep_size}"
+        )
+    p_specs = moe_param_specs(cfg)
+    data_spec = P(("dp", "ep"), "sp")
+    example = jax.eval_shape(
+        lambda: init_moe_params(jax.random.PRNGKey(0), cfg)
+    )
+    o_specs = _opt_state_specs_from(optimizer, example, p_specs)
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda p: _moe_loss(
+                p, tokens, cfg, ep_size, tp_size, sp_size, sp_attn
+            )
+        )(params)
+        grads = jax.tree_util.tree_map(
+            lambda g, s: jax.lax.psum(g, _replicated_axes(s))
+            if _replicated_axes(s)
+            else g,
+            grads,
+            p_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(p_specs, o_specs, data_spec),
+        out_specs=(p_specs, o_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def moe_opt_state_specs(optimizer, params: Params, cfg: MoEConfig):
+    """PartitionSpecs for ``optimizer.init(moe_params)``."""
+    from .parallel_train import _opt_state_specs_from
+
+    return _opt_state_specs_from(optimizer, params, moe_param_specs(cfg))
+
+
 def moe_forward(params, tokens, cfg: MoEConfig):
     """Single-device MoE forward to logits — the ep oracle.
 

@@ -245,3 +245,69 @@ def make_pp_train_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_pp_optax_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    n_micro: int,
+    sp_attn: str = "allgather",
+):
+    """Sharded optax step over the 4-axis pipeline mesh.
+
+    Same contract as ``make_pp_train_step`` but applying an optax
+    optimizer (state sharded like the stacked params via
+    ``pp_opt_state_specs``); returns
+    ``step(params, opt_state, tokens) -> (params, opt_state, loss)``.
+    """
+    from .parallel_train import _opt_state_specs_from
+    from .transformer import init_params
+
+    pp_size = mesh.shape["pp"]
+    tp_size = mesh.shape["tp"]
+    sp_size = mesh.shape["sp"]
+    if cfg.n_layers % pp_size:
+        raise ValueError(
+            f"n_layers={cfg.n_layers} not divisible by pp={pp_size}"
+        )
+    p_specs = pp_param_specs(cfg)
+    data_spec = P("dp", "sp")
+    example = jax.eval_shape(
+        lambda: stack_layer_params(init_params(jax.random.PRNGKey(0), cfg))
+    )
+    o_specs = _opt_state_specs_from(optimizer, example, p_specs)
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda p: _pp_loss(
+                p, tokens, cfg, pp_size, tp_size, sp_size, n_micro, sp_attn
+            )
+        )(params)
+        grads = jax.tree_util.tree_map(
+            lambda g, s: jax.lax.psum(g, _replicated_axes(s))
+            if _replicated_axes(s)
+            else g,
+            grads,
+            p_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(p_specs, o_specs, data_spec),
+        out_specs=(p_specs, o_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def pp_opt_state_specs(optimizer, params: Params, cfg: ModelConfig):
+    """PartitionSpecs for ``optimizer.init(stacked_params)``."""
+    from .parallel_train import _opt_state_specs_from
+
+    return _opt_state_specs_from(optimizer, params, pp_param_specs(cfg))

@@ -211,3 +211,26 @@ def test_moe_engine_matches_manual_greedy(fixtures):
     eng.submit(Request(uid=0, prompt=prompt, max_new_tokens=n_new))
     got = eng.run()[0]
     assert got == want, (got, want)
+
+
+def test_moe_optax_adamw_converges(fixtures):
+    """Sharded AdamW over the (dp,ep,tp,sp) MoE mesh converges; expert
+    moments shard with their experts."""
+    import optax
+
+    from flash_attention_metal_tpu.models.moe import (
+        make_moe_optax_step,
+        moe_opt_state_specs,
+    )
+
+    params, tokens = fixtures
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-2))
+    opt_state = opt.init(params)
+    jax.tree_util.tree_structure(moe_opt_state_specs(opt, params, CFG))
+
+    step = make_moe_optax_step(moe_mesh(1, 2, 2, 2), CFG, opt)
+    p, losses = params, []
+    for _ in range(3):
+        p, opt_state, loss = step(p, opt_state, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses[0]) and losses[-1] < losses[0]

@@ -127,3 +127,27 @@ def test_pp_rejects_bad_layer_split(fixtures):
     mesh = pp_mesh(1, 8, 1, 1)  # 8 stages over 4 layers
     with pytest.raises(ValueError, match="divisible"):
         make_pp_train_step(mesh, CFG, n_micro=2)
+
+
+def test_pp_optax_adamw_converges(fixtures):
+    """Sharded AdamW over the 4-axis pipeline mesh converges."""
+    import optax
+
+    from flash_attention_metal_tpu.models.pipeline import (
+        make_pp_optax_step,
+        pp_opt_state_specs,
+    )
+
+    params, tokens = fixtures
+    sp_ = stack_layer_params(params)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-2))
+    opt_state = opt.init(sp_)
+    jax.tree_util.tree_structure(pp_opt_state_specs(opt, sp_, CFG))
+
+    mesh = pp_mesh(1, 2, 2, 2)
+    step = make_pp_optax_step(mesh, CFG, opt, n_micro=2)
+    losses = []
+    for _ in range(3):
+        sp_, opt_state, loss = step(sp_, opt_state, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses[0]) and losses[-1] < losses[0]
