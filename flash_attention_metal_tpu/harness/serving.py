@@ -35,6 +35,7 @@ def build_engine(
     d_ff: int = 2048,
     vocab: int = 32768,
     seed: int = 0,
+    weight_quant: bool = False,
     **engine_kwargs,
 ) -> tuple:
     cfg = ModelConfig(
@@ -49,6 +50,12 @@ def build_engine(
         dtype=jnp.bfloat16,
     )
     params = init_params(jax.random.PRNGKey(seed), cfg)
+    if weight_quant:
+        # Weight-only int8 serving (models/wquant.py): int8 HBM traffic
+        # for every dense matmul weight incl. lm_head.
+        from ..models import quantize_weights
+
+        params = quantize_weights(params)
     eng = DecodeEngine(
         params, cfg, max_batch=max_batch, max_len=max_len, **engine_kwargs
     )
@@ -64,6 +71,7 @@ def run_serving_bench(
     paged: bool = False,
     shared_prefix: int = 0,
     multi_step: int = 1,
+    weight_quant: bool = False,
     log=print,
 ) -> dict:
     """One steady-state decode run.
@@ -76,6 +84,7 @@ def run_serving_bench(
     """
     eng, cfg = build_engine(
         max_batch=max_batch,
+        weight_quant=weight_quant,
         paged=paged,
         prefix_share=paged and shared_prefix > 0,
         multi_step=multi_step,
@@ -168,6 +177,9 @@ def main() -> int:
         )
         result["multi_step_8"] = run_serving_bench(
             **{**common, "multi_step": 8}
+        )
+        result["weight_int8"] = run_serving_bench(
+            **common, weight_quant=True
         )
     with open("serving_bench.json", "w") as f:
         json.dump(result, f, indent=2)

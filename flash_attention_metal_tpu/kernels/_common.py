@@ -1,7 +1,76 @@
 """Shared kernel helpers."""
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def _i32(x: int) -> np.int32:
+    """A uint32 literal as its two's-complement int32 bit pattern."""
+    return np.int32(np.uint32(x))
+
+
+# Mixing constants: golden-ratio increment + murmur3/lowbias32 multipliers.
+_MIX_A = _i32(0x9E3779B9)
+_MIX_B = _i32(0x85EBCA6B)
+_MIX_C = _i32(0x7FEB352D)
+_MIX_D = _i32(0x846CA68B)
+_MASK31 = np.int32(0x7FFFFFFF)
+
+
+def _mix32(x: jax.Array) -> jax.Array:
+    """'lowbias32'-style avalanche finalizer on int32 (wraparound mul).
+
+    int32 two's-complement multiply/xor/shift produce the same bits as
+    the canonical uint32 formulation, and every op here lowers on the
+    TPU VPU, inside Pallas kernels, and in interpret mode identically —
+    which is the whole point: the dropout mask must be reproducible
+    bit-for-bit across the forward kernel, both backward kernels, and
+    the pure-jnp oracle, regardless of block sizes.
+    """
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * _MIX_C
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * _MIX_D
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def dropout_keep(
+    seed: jax.Array,
+    bh: jax.Array,
+    rows: jax.Array,
+    cols: jax.Array,
+    rate: float,
+) -> jax.Array:
+    """Counter-based attention-dropout keep mask: {0, 1/(1-rate)} fp32.
+
+    A stateless Philox-style construction: the mask at score position
+    ``(bh, row, col)`` is a pure function of the int32 seed and the
+    *absolute* coordinates, so the forward and the two FA-2 backward
+    kernels regenerate identical masks from nothing but their grid
+    indices — no mask tensor is ever materialized in HBM, and the
+    kernels' block sizes don't have to agree (the reference's backward
+    has no dropout at all; this mirrors FlashAttention-2's in-kernel
+    dropout capability on TPU terms).
+
+    All arguments broadcast: kernels pass scalar ``bh`` with (bq, 1) /
+    (1, bk) iotas; the oracle passes (B, H, 1, 1) / (1, 1, N, 1) /
+    (1, 1, 1, N) arrays.  ``rate`` is trace-time; keep probability is
+    ``1 - rate`` on a 31-bit uniform lattice.
+    """
+    seed = jnp.asarray(seed, jnp.int32)
+    bh = jnp.asarray(bh, jnp.int32)
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    threshold = np.int32(min(int(round(rate * 2.0**31)), 2**31 - 1))
+    inv_keep = np.float32(1.0 / (1.0 - rate))
+    h = _mix32(seed ^ (bh * _MIX_A))
+    h = _mix32(h + rows * _MIX_B)
+    h = _mix32(h + cols * _MIX_A)
+    keep = (h & _MASK31) >= threshold
+    return jnp.where(keep, inv_keep, np.float32(0.0))
 
 
 def mxu_precision(dtype):

@@ -34,11 +34,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
-from ._common import mxu_dot_general
+from ._common import dropout_keep, mxu_dot_general
+
+
+def _dropout_keep_tile(seed_ref, bh, q_idx, kv_idx, block_q, block_kv, rate):
+    """Regenerate the forward's dropout keep mask for this block pair.
+
+    Absolute tensor coordinates + the scalar-prefetched seed reproduce
+    the exact mask the forward applied (``_common.dropout_keep``) — the
+    FA-2 trick of never materializing the dropout mask, without the
+    CUDA version's philox-offset bookkeeping (the hash is stateless).
+    ``bh`` must be computed at kernel top level (program_id is not
+    available inside pl.when bodies under interpret mode).
+    """
+    rows = q_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0
+    )
+    cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_kv), 1
+    )
+    return dropout_keep(seed_ref[0], bh, rows, cols, rate)
 
 
 def _dkv_kernel(
     off_ref,
+    seed_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -59,9 +79,12 @@ def _dkv_kernel(
     num_q_blocks: int,
     window,
     sinks,
+    dropout_rate: float = 0.0,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
+    if dropout_rate:
+        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(q_idx == 0)
     def _init():
@@ -130,13 +153,28 @@ def _dkv_kernel(
             ks = kvseg_ref[0, :1, :]
             p = jnp.where(qs == ks, p, 0.0)
 
+        if dropout_rate:
+            # o = (dropout(P)/l) V, so dV sees the dropped P and dP is
+            # masked before entering dS = P*(m*dP - delta)*scale; delta
+            # already equals rowsum(dropout(P)*dP) since it came from
+            # sum(dO*O).  P itself (the softmax Jacobian) stays undropped.
+            keep = _dropout_keep_tile(
+                seed_ref, dropout_bh, q_idx, kv_idx, block_q, block_kv,
+                dropout_rate,
+            )
+            pd = p * keep
+        else:
+            pd = p
+
         # dV += P^T dO  (``kernels.metal:1101-1126``, minus the transposes —
         # the MXU contracts either operand dimension natively).
-        dv_acc[...] += mxu_dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
+        dv_acc[...] += mxu_dot_general(pd.astype(do.dtype), do, (((0,), (0,)), ((), ())))
 
         # dP = dO V^T ; dS = P * (dP - delta) * scale
         # (``kernels.metal:1128-1169``).
         dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
+        if dropout_rate:
+            dp = dp * keep
         ds = p * (dp - delta) * sm_scale
 
         # dK += dS^T Q  (``kernels.metal:1189-1214``).
@@ -150,6 +188,7 @@ def _dkv_kernel(
 
 def _dq_kernel(
     off_ref,
+    seed_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -168,9 +207,12 @@ def _dq_kernel(
     num_kv_blocks: int,
     window,
     sinks,
+    dropout_rate: float = 0.0,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    if dropout_rate:
+        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -231,6 +273,13 @@ def _dq_kernel(
             p = jnp.where(qs == ks, p, 0.0)
 
         dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
+        if dropout_rate:
+            # Mask dP with the forward's regenerated keep mask (see
+            # _dkv_kernel); P in the dS bracket stays undropped.
+            dp = dp * _dropout_keep_tile(
+                seed_ref, dropout_bh, q_idx, kv_idx, block_q, block_kv,
+                dropout_rate,
+            )
         ds = p * (dp - delta) * sm_scale
 
         # dQ += dS K  (``kernels.metal:1176-1187``).
@@ -247,7 +296,7 @@ _AUTOTUNE_BWD_WARNED = False
 def flash_attention_bwd_auto(
     q, k, v, o, do, lse_lanes, q_offset=None, dlse=None, *,
     sm_scale=None, causal=False, window=None, sinks=0, segment_ids=None,
-    block_sizes=None, interpret=False,
+    block_sizes=None, dropout_rate=0.0, dropout_seed=None, interpret=False,
 ):
     """Backward dispatcher: consult the autotuner's persisted decision
     (impl + blocks) for this shape; FA-2 two-kernel defaults otherwise.
@@ -277,6 +326,16 @@ def flash_attention_bwd_auto(
                     "using heuristic blocks"
                 )
             block_sizes = None
+    if dropout_rate:
+        # Dropout lives in the split kernels only (the fused variant is
+        # already measured slower on v5e and was not extended).
+        return flash_attention_bwd(
+            q, k, v, o, do, lse_lanes, q_offset, dlse,
+            sm_scale=sm_scale, causal=causal, window=window, sinks=sinks,
+            segment_ids=segment_ids, block_sizes=block_sizes,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            interpret=interpret,
+        )
     kern = flash_attention_bwd_fused if impl == "fused" else flash_attention_bwd
     return kern(
         q, k, v, o, do, lse_lanes, q_offset, dlse,
@@ -484,7 +543,7 @@ def flash_attention_bwd_fused(
         # Q blocks entirely above the diagonal are compute-skipped; clamp
         # their index so the pipeline elides the Q/dO/LSE/delta DMAs
         # (same as _dkv_kernel's map).
-        def q_block_map(b, h, j, i, off_ref):
+        def q_block_map(b, h, j, i, off_ref, *_):
             i_min = (j * bkv - off_ref[b]) // bq
             i_eff = jnp.maximum(i, i_min)
             if window is not None and not sinks:
@@ -595,6 +654,7 @@ def flash_attention_bwd_fused(
         "window",
         "sinks",
         "block_sizes",
+        "dropout_rate",
         "interpret",
     ),
 )
@@ -614,6 +674,8 @@ def flash_attention_bwd(
     sinks: int = 0,
     segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(dQ, dK, dV) given saved output + lane-replicated logsumexp.
@@ -644,6 +706,8 @@ def flash_attention_bwd(
             sinks=sinks,
             segment_ids=segment_ids,
             block_sizes=block_sizes,
+            dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed,
             interpret=interpret,
         )
         return (
@@ -675,6 +739,15 @@ def flash_attention_bwd(
         if not causal:
             raise ValueError("window requires causal=True")
         window = int(window)
+
+    has_dropout = dropout_rate > 0.0
+    if has_dropout and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    scalar_args = [q_offset]
+    if has_dropout:
+        # int32 dropout seed as a second scalar-prefetch operand (mirrors
+        # the forward); index maps tolerate the extra trailing ref.
+        scalar_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
 
     has_seg = segment_ids is not None
     if has_seg:
@@ -711,7 +784,7 @@ def flash_attention_bwd(
         # contributing Q block makes consecutive index_map results identical
         # so the pipeline elides their Q/dO/LSE/delta DMAs (same trick as
         # the forward's KV clamp).  i_min = floor((j*bkv - off) / bq).
-        def q_block_map(b, h, j, i, off_ref):
+        def q_block_map(b, h, j, i, off_ref, *_):
             i_min = (j * bkv - off_ref[b]) // bq
             i_eff = jnp.maximum(i, i_min)
             if window is not None and not sinks:
@@ -741,14 +814,23 @@ def flash_attention_bwd(
         num_q_blocks=num_q_blocks,
         window=window,
         sinks=int(sinks),
+        dropout_rate=dropout_rate,
     )
-    if has_seg:
-        dkv_kernel = dkv_bound
-    else:
-        def dkv_kernel(off_r, q_r, k_r, v_r, do_r, lse_r, d_r, *rest):
-            return dkv_bound(
-                off_r, q_r, k_r, v_r, do_r, lse_r, d_r, None, None, *rest
-            )
+
+    def dkv_kernel(off_r, *rest):
+        seed_r = None
+        if has_dropout:
+            seed_r, rest = rest[0], rest[1:]
+        q_r, k_r, v_r, do_r, lse_r, d_r = rest[:6]
+        rest = rest[6:]
+        if has_seg:
+            qs_r, ks_r = rest[:2]
+            rest = rest[2:]
+        else:
+            qs_r = ks_r = None
+        return dkv_bound(
+            off_r, seed_r, q_r, k_r, v_r, do_r, lse_r, d_r, qs_r, ks_r, *rest
+        )
 
     dkv_in_specs = [
         pl.BlockSpec((1, 1, bq, head_dim), q_block_map),
@@ -781,7 +863,7 @@ def flash_attention_bwd(
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         grid_spec=pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalar_args),
         grid=dkv_grid,
         in_specs=dkv_in_specs,
         out_specs=[
@@ -804,7 +886,7 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q_offset, *dkv_inputs)
+    )(*scalar_args, *dkv_inputs)
 
     # ---------------- dQ kernel ----------------
     bq = min(block_sizes.block_q_dq, n_q)
@@ -817,7 +899,7 @@ def flash_attention_bwd(
     if causal:
         # Mirror of the forward's clamp: above-diagonal KV blocks re-map to
         # the diagonal block so their K/V DMAs are elided.
-        def kv_block_map(b, h, i, j, off_ref):
+        def kv_block_map(b, h, i, j, off_ref, *_):
             diag = ((i + 1) * bq - 1 + off_ref[b]) // bkv
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
@@ -839,14 +921,23 @@ def flash_attention_bwd(
         num_kv_blocks=num_kv_blocks,
         window=window,
         sinks=int(sinks),
+        dropout_rate=dropout_rate,
     )
-    if has_seg:
-        dq_kernel = dq_bound
-    else:
-        def dq_kernel(off_r, q_r, k_r, v_r, do_r, lse_r, d_r, *rest):
-            return dq_bound(
-                off_r, q_r, k_r, v_r, do_r, lse_r, d_r, None, None, *rest
-            )
+
+    def dq_kernel(off_r, *rest):
+        seed_r = None
+        if has_dropout:
+            seed_r, rest = rest[0], rest[1:]
+        q_r, k_r, v_r, do_r, lse_r, d_r = rest[:6]
+        rest = rest[6:]
+        if has_seg:
+            qs_r, ks_r = rest[:2]
+            rest = rest[2:]
+        else:
+            qs_r = ks_r = None
+        return dq_bound(
+            off_r, seed_r, q_r, k_r, v_r, do_r, lse_r, d_r, qs_r, ks_r, *rest
+        )
 
     dq_in_specs = [
         pl.BlockSpec((1, 1, bq, head_dim), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -875,7 +966,7 @@ def flash_attention_bwd(
         dq_kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalar_args),
         grid=dq_grid,
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
@@ -894,6 +985,6 @@ def flash_attention_bwd(
             transcendentals=batch * heads * n_q * n_kv,
         ),
         interpret=interpret,
-    )(q_offset, *dq_inputs)
+    )(*scalar_args, *dq_inputs)
 
     return dq, dk, dv

@@ -56,7 +56,7 @@ from ..config import (
     BlockSizes,
     default_scale,
 )
-from ._common import mxu_dot_general
+from ._common import dropout_keep, mxu_dot_general
 
 # Softmax in base-2: exp(x) = 2^(x*log2(e)).  log2(e) is folded into the
 # one-off Q scaling, so every per-score transcendental is a raw ``exp2`` —
@@ -83,6 +83,7 @@ _AUTOTUNE_WARNED = False
 
 def _fwd_kernel(
     off_ref,
+    seed_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -107,6 +108,7 @@ def _fwd_kernel(
     window,
     sinks,
     softcap,
+    dropout_rate: float = 0.0,
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
@@ -212,6 +214,29 @@ def _fwd_kernel(
             return s
         return jnp.where(visible, s, DEFAULT_MASK_VALUE)
 
+    if dropout_rate:
+        # Computed at kernel top level: program_id is not available inside
+        # pl.when bodies under interpret mode.
+        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    def _keepf(shape, start):
+        # Attention-dropout keep mask {0, 1/(1-rate)} regenerated from the
+        # ABSOLUTE score coordinates (``kernels._common.dropout_keep``):
+        # the backward kernels rebuild the identical mask from their own
+        # grid indices, so no mask tensor ever touches HBM and block
+        # shapes need not match across kernels (FA-2's in-kernel dropout,
+        # TPU-style).  Tensor-index space, deliberately independent of
+        # q_offset/position maps.
+        rows = q_idx * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (shape[0], 1), 0
+        )
+        cols = (
+            kv_major * block_k_major
+            + start
+            + jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+        )
+        return dropout_keep(seed_ref[0], dropout_bh, rows, cols, dropout_rate)
+
     def _scaled_q():
         # Fold sm_scale AND log2(e) into Q once per tile: (bq, D) elements
         # instead of a (bq, bk) pass over every score sub-tile, and the
@@ -236,7 +261,8 @@ def _fwd_kernel(
             p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
+            pd = p * _keepf(p.shape, 0) if dropout_rate else p
+            o = mxu_dot_general(pd.astype(v.dtype), v, (((1,), (0,)), ((), ())))
             o_ref[0, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
             if save_lse:
                 lse = jnp.where(
@@ -313,7 +339,10 @@ def _fwd_kernel(
                 # units above the running base (see flash_attention_fwd).
                 b_prev = m_scratch[...]
                 p = jnp.exp2(jnp.minimum(s - b_prev[:, :1], _EXP2_CLAMP))
-                pv = _pv(p)
+                # Dropout zeroes entries of the P.V accumulation only; l
+                # keeps summing the undropped p, so the final 1/l applies
+                # the dropout to the NORMALIZED probabilities.
+                pv = _pv(p * _keepf(p.shape, start) if dropout_rate else p)
                 m_curr = jnp.max(s, axis=-1, keepdims=True)
                 b_next = jnp.maximum(b_prev, m_curr)
                 alpha = jnp.exp2(b_prev - b_next)
@@ -337,7 +366,9 @@ def _fwd_kernel(
                 )
                 m_scratch[...] = m_next
                 acc_scratch[...] *= alpha[:, :1]
-                acc_scratch[...] += _pv(p)
+                acc_scratch[...] += _pv(
+                    p * _keepf(p.shape, start) if dropout_rate else p
+                )
 
             # NOTE: no per-step pl.when between the two variants — a
             # runtime branch inside this body was measured to destroy
@@ -499,9 +530,10 @@ def _fwd_lean(
         "save_lse",
         "lazy_softmax",
         "softcap",
+        "dropout_rate",
         "interpret",
     ),
-    # segment_ids is a traced pytree argument
+    # segment_ids and dropout_seed are traced arguments
 )
 def flash_attention_fwd(
     q: jax.Array,
@@ -520,9 +552,19 @@ def flash_attention_fwd(
     lazy_softmax: bool = True,
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
+
+    ``dropout_rate`` / ``dropout_seed``: in-kernel attention-probability
+    dropout (FA-2 capability; the reference has no dropout).  The keep
+    mask is a counter-based hash of the int32 seed and the absolute
+    (batch*head, row, col) coordinates — never materialized in HBM, and
+    bit-identical in the backward kernels and the jnp oracle.  The seed
+    is a traced scalar (new seed every train step, no recompile).
+    Training-path only: not composable with ``kv_positions``.
 
     ``segment_ids``: optional ``config.SegmentIds`` (``q: [B, N_q]``,
     ``kv: [B, N_kv]`` int32) for packed sequences — tokens attend only
@@ -598,6 +640,8 @@ def flash_attention_fwd(
             lazy_softmax=lazy_softmax,
             softcap=softcap,
             alibi_slopes=alibi_slopes,
+            dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed,
             interpret=interpret,
         )
         if save_lse:
@@ -662,8 +706,21 @@ def flash_attention_fwd(
     if kv_positions is not None and not causal:
         raise ValueError("kv_positions requires causal=True")
 
+    has_dropout = dropout_rate > 0.0
+    if has_dropout:
+        if not 0.0 < dropout_rate < 1.0:
+            raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        if kv_positions is not None:
+            raise NotImplementedError(
+                "dropout is a training-path feature; rolling-cache "
+                "(kv_positions) serving does not support it"
+            )
+
     if (
-        num_kv_major == 1
+        not has_dropout
+        and num_kv_major == 1
         and block_k_major == block_k
         and window is None
         and segment_ids is None
@@ -707,6 +764,7 @@ def flash_attention_fwd(
         window=window,
         sinks=int(sinks),
         softcap=softcap,
+        dropout_rate=dropout_rate,
     )
     has_seg = segment_ids is not None
     has_pos = kv_positions is not None
@@ -716,6 +774,9 @@ def flash_attention_fwd(
         # Optional-arg shim: segment-id / kv-position / ALiBi-slope inputs
         # and the LSE output are only present in the pallas_call signature
         # when requested.
+        seed_ref = None
+        if has_dropout:
+            seed_ref, rest = rest[0], rest[1:]
         q_ref, k_ref, v_ref = rest[:3]
         i = 3
         qseg_ref = kvseg_ref = kvpos_ref = slopes_ref = None
@@ -737,6 +798,7 @@ def flash_attention_fwd(
         m_s, l_s, acc_s = rest[i : i + 3]
         return bound(
             off_ref,
+            seed_ref,
             q_ref,
             k_ref,
             v_ref,
@@ -782,7 +844,7 @@ def flash_attention_fwd(
         # B16 H8 N2048 — the true block-skip fraction).  ``off_ref`` is the
         # scalar-prefetched per-batch q_offset, so this works with traced
         # offsets (ring shards, ragged decode).
-        def kv_block_map(b, h, i, j, off_ref):
+        def kv_block_map(b, h, i, j, off_ref, *_):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k_major
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
@@ -865,8 +927,14 @@ def flash_attention_fwd(
         )
         inputs.append(slopes)
 
+    scalar_args = [q_offset]
+    if has_dropout:
+        # int32 dropout seed rides as a second scalar-prefetch operand;
+        # index maps all tolerate the extra trailing ref.
+        scalar_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalar_args),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -895,7 +963,7 @@ def flash_attention_fwd(
             transcendentals=transcendentals,
         ),
         interpret=interpret,
-    )(q_offset, *inputs)
+    )(*scalar_args, *inputs)
 
     if save_lse:
         o, lse_lanes = results

@@ -146,7 +146,7 @@ def flash_attention_paged(
             slopes_r, rest = rest[0], rest[1:]
         o_ref, m_s, l_s, a_s = rest
         return bound(
-            off_ref, q_ref, k_ref, v_ref, None, None, None, slopes_r,
+            off_ref, None, q_ref, k_ref, v_ref, None, None, None, slopes_r,
             o_ref, None, m_s, l_s, a_s,
         )
 

@@ -1,5 +1,13 @@
 """Model families built on the kernel ladder."""
 
+from .lora import (
+    LoRAConfig,
+    init_lora,
+    lora_loss_fn,
+    lora_num_params,
+    make_lora_train_step,
+    merge_lora,
+)
 from .transformer import (
     ModelConfig,
     data_sharding,
@@ -9,13 +17,22 @@ from .transformer import (
     param_shardings,
     sgd_train_step,
 )
+from .wquant import WEIGHT_QUANT_TARGETS, quantize_weights
 
 __all__ = [
+    "LoRAConfig",
     "ModelConfig",
     "data_sharding",
     "forward",
+    "init_lora",
     "init_params",
+    "lora_loss_fn",
+    "lora_num_params",
     "loss_fn",
+    "make_lora_train_step",
+    "merge_lora",
     "param_shardings",
+    "quantize_weights",
     "sgd_train_step",
+    "WEIGHT_QUANT_TARGETS",
 ]

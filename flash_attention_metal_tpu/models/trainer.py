@@ -75,11 +75,17 @@ class Trainer:
 
         @jax.jit
         def _step(state_tuple, tokens):
-            params, opt_state, step = state_tuple
-            loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg_)
+            params, opt_state, step, key = state_tuple
+            key, sub = jax.random.split(key)
+            # Attention dropout draws a fresh key per step when configured;
+            # the seed is traced, so no recompile across steps.
+            dk = sub if cfg_.attn_dropout > 0.0 else None
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, tokens, cfg_, dk
+            )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, step + 1), loss
+            return (params, opt_state, step + 1, key), loss
 
         self._step = _step
         key = jax.random.PRNGKey(seed)
@@ -95,11 +101,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def step(self, tokens: jax.Array) -> float:
         """One optimizer step on a ``[B, N]`` int32 token batch."""
-        (params, opt_state, step), loss = self._step(
-            (self.state.params, self.state.opt_state, self.state.step), tokens
+        (params, opt_state, step, key), loss = self._step(
+            (
+                self.state.params,
+                self.state.opt_state,
+                self.state.step,
+                self.state.key,
+            ),
+            tokens,
         )
         self.state = TrainState(
-            params=params, opt_state=opt_state, step=step, key=self.state.key
+            params=params, opt_state=opt_state, step=step, key=key
         )
         return float(loss)
 

@@ -52,6 +52,10 @@ class ModelConfig:
     # ALiBi linear position bias instead of RoPE ("Train Short, Test
     # Long"): per-head slopes 2^(-8i/n_heads), RoPE disabled.
     attn_alibi: bool = False
+    # Attention-probability dropout rate (training only; applied when a
+    # dropout key is passed to ``forward``/``loss_fn``).  In-kernel
+    # deterministic mask — see ``ops.attention.flash_attention``.
+    attn_dropout: float = 0.0
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -100,6 +104,19 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         "final_norm": jnp.ones((d,), jnp.float32),
         "lm_head": dense(keys[-1], d, (d, cfg.vocab_size)),
     }
+
+
+def weight(w, dt) -> jax.Array:
+    """Fetch a dense weight in compute dtype.
+
+    Accepts either a plain fp32 master array or a weight-only int8 dict
+    ``{"qw", "scale"}`` from ``models.wquant.quantize_weights``; the
+    dequant multiply fuses into the consuming matmul's operand load, so
+    HBM traffic for quantized weights is int8.
+    """
+    if isinstance(w, dict):
+        return w["qw"].astype(dt) * w["scale"].astype(dt)
+    return w.astype(dt)
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -154,24 +171,28 @@ def attention_block(
     positions: jax.Array,
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     q_offset: Optional[jax.Array] = None,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Self-attention with optional external KV (decode).
 
     Training: ``kv_cache=None`` -> causal self-attention over x.
     Decode: ``kv_cache=(k_cache, v_cache)`` already containing this step's
     keys/values; ``q_offset`` carries per-sequence lengths.
+    ``dropout_seed``: int32 scalar enabling ``cfg.attn_dropout`` for this
+    call (training passes one per layer per step; serving passes None).
     """
     dt = cfg.dtype
     h = rms_norm(x, layer["attn_norm"])
-    q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
-    k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
-    v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    q = _split_heads(h @ weight(layer["wq"], dt), cfg.n_heads, cfg.head_dim)
+    k = _split_heads(h @ weight(layer["wk"], dt), cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(h @ weight(layer["wv"], dt), cfg.n_kv_heads, cfg.head_dim)
     q = _maybe_rope(q, positions, cfg)
     k = _maybe_rope(k, positions, cfg)
 
     new_kv = (k, v)
     if kv_cache is not None:
         k, v = kv_cache
+    use_dropout = cfg.attn_dropout > 0.0 and dropout_seed is not None
     o = flash_attention(
         q,
         k,
@@ -183,9 +204,11 @@ def attention_block(
         softcap=cfg.attn_softcap,
         alibi_slopes=alibi_slopes(cfg.n_heads) if cfg.attn_alibi else None,
         block_sizes=cfg.block_sizes,
+        dropout_rate=cfg.attn_dropout if use_dropout else 0.0,
+        dropout_seed=dropout_seed if use_dropout else None,
         impl=cfg.attn_impl,
     )
-    out = _merge_heads(o) @ layer["wo"].astype(dt)
+    out = _merge_heads(o) @ weight(layer["wo"], dt)
     return x + out, new_kv
 
 
@@ -199,9 +222,9 @@ def mlp_block(layer: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
         return moe_mlp_dense(layer, x, cfg)
     dt = cfg.dtype
     h = rms_norm(x, layer["mlp_norm"])
-    gate = jax.nn.silu(h @ layer["w_gate"].astype(dt))
-    up = h @ layer["w_up"].astype(dt)
-    return x + (gate * up) @ layer["w_down"].astype(dt)
+    gate = jax.nn.silu(h @ weight(layer["w_gate"], dt))
+    up = h @ weight(layer["w_up"], dt)
+    return x + (gate * up) @ weight(layer["w_down"], dt)
 
 
 def forward(
@@ -211,29 +234,48 @@ def forward(
     *,
     positions: Optional[jax.Array] = None,
     remat: bool = True,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Training/prefill forward: ``[B, N]`` tokens -> ``[B, N, V]`` logits."""
+    """Training/prefill forward: ``[B, N]`` tokens -> ``[B, N, V]`` logits.
+
+    ``dropout_key``: PRNG key enabling ``cfg.attn_dropout`` for this call
+    (train mode); None (the default) runs deterministically (eval/serve).
+    """
     if positions is None:
         positions = jnp.broadcast_to(
             jnp.arange(tokens.shape[1]), tokens.shape
         )
     x = params["embed"][tokens].astype(cfg.dtype)
 
-    def block(x, layer):
-        x, _ = attention_block(layer, x, cfg, positions)
+    seeds = None
+    if dropout_key is not None and cfg.attn_dropout > 0.0:
+        # One traced int32 seed per layer per step; the kernel hash does
+        # the per-(head, position) diversification.
+        seeds = jax.random.randint(
+            dropout_key, (cfg.n_layers,), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+
+    def block(x, layer, seed):
+        x, _ = attention_block(layer, x, cfg, positions, dropout_seed=seed)
         return mlp_block(layer, x, cfg)
 
     if remat:
         block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(x, layer)
+    for i, layer in enumerate(params["layers"]):
+        x = block(x, layer, None if seeds is None else seeds[i])
     x = rms_norm(x, params["final_norm"])
-    return (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    return (x @ weight(params["lm_head"], cfg.dtype)).astype(jnp.float32)
 
 
-def loss_fn(params: Params, tokens: jax.Array, cfg: ModelConfig) -> jax.Array:
+def loss_fn(
+    params: Params,
+    tokens: jax.Array,
+    cfg: ModelConfig,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
     """Next-token cross entropy over ``[B, N]`` tokens."""
-    logits = forward(params, tokens, cfg)
+    logits = forward(params, tokens, cfg, dropout_key=dropout_key)
     targets = tokens[:, 1:]
     logits = logits[:, :-1]
     logp = jax.nn.log_softmax(logits, axis=-1)

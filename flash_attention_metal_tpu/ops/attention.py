@@ -84,7 +84,7 @@ def _flash_fwd_rule(
 
 def _grads_from_residuals(
     residuals, do, dlse, *, causal, window, sinks, sm_scale, block_sizes,
-    interpret,
+    interpret, dropout_rate=0.0, dropout_seed=None,
 ):
     """Shared FA-2 backward: GQA broadcast, kernel call, group-reduce."""
     q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
@@ -109,6 +109,8 @@ def _grads_from_residuals(
         sinks=sinks,
         segment_ids=segment_ids,
         block_sizes=block_sizes,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
         interpret=interpret,
     )
     if reps > 1:
@@ -145,6 +147,85 @@ def _flash_bwd_rule(
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
+def _flash_dropout(
+    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
+    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
+):
+    """Attention with in-kernel dropout (FA-2 capability; reference has
+    none).  The keep mask is a counter-based hash of the traced int32
+    seed and absolute coordinates, regenerated inside the FA-2 backward
+    kernels — no mask tensor in HBM, new seed per step, no recompile."""
+    return flash_attention_fwd(
+        q,
+        k,
+        v,
+        q_offset,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        segment_ids=segment_ids,
+        block_sizes=block_sizes,
+        save_lse=False,
+        lazy_softmax=lazy_softmax,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        interpret=interpret,
+    )
+
+
+def _flash_dropout_fwd_rule(
+    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
+    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
+):
+    o, lse_lanes = flash_attention_fwd(
+        q,
+        k,
+        v,
+        q_offset,
+        sm_scale=sm_scale,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        segment_ids=segment_ids,
+        block_sizes=block_sizes,
+        save_lse=True,
+        lazy_softmax=lazy_softmax,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        interpret=interpret,
+    )
+    return o, (q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes)
+
+
+def _flash_dropout_bwd_rule(
+    causal, window, sinks, sm_scale, dropout_rate, block_sizes,
+    lazy_softmax, interpret, residuals, do,
+):
+    q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes = residuals
+    dq, dk, dv, d_off, d_seg = _grads_from_residuals(
+        (q, k, v, q_offset, segment_ids, o, lse_lanes),
+        do,
+        None,
+        causal=causal,
+        window=window,
+        sinks=sinks,
+        sm_scale=sm_scale,
+        block_sizes=block_sizes,
+        interpret=interpret,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+    )
+    d_seed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+    return dq, dk, dv, d_off, d_seed, d_seg
+
+
+_flash_dropout.defvjp(_flash_dropout_fwd_rule, _flash_dropout_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
@@ -350,6 +431,8 @@ def flash_attention(
     block_sizes: Optional[BlockSizes] = None,
     save_lse: bool = False,
     lazy_softmax: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
     impl: str = "auto",
     interpret: Optional[bool] = None,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
@@ -387,6 +470,15 @@ def flash_attention(
       lazy_softmax: use the lagged-base online softmax (faster; see
         ``flash_fwd.flash_attention_fwd``).  Set False for the classic
         eager variant, exact at any score magnitude.
+      dropout_rate: attention-probability dropout (FA-2 capability the
+        reference lacks).  The keep mask {0, 1/(1-rate)} is a stateless
+        hash of ``dropout_seed`` (traced int32 scalar — new seed each
+        step, no recompile) and absolute coordinates; the backward
+        kernels regenerate it bit-exactly, so no mask tensor ever hits
+        HBM.  Training-path feature: composes with causal/window/GQA/
+        segment_ids; NOT with kv_positions, save_lse, or (on the pallas
+        path) softcap/alibi — use ``impl="xla"`` for those combinations.
+      dropout_seed: int32 scalar; required when ``dropout_rate > 0``.
       impl: "pallas" | "xla" | "auto".
       interpret: force Pallas interpreter mode (default: auto-detect
         non-TPU backends).
@@ -412,6 +504,16 @@ def flash_attention(
     if interpret is None:
         interpret = _use_interpret()
 
+    if dropout_rate:
+        if dropout_seed is None:
+            raise ValueError("dropout_rate > 0 requires dropout_seed")
+        if kv_positions is not None:
+            raise NotImplementedError(
+                "dropout is a training-path feature; rolling-cache "
+                "(kv_positions) serving does not support it"
+            )
+        dropout_seed = jnp.asarray(dropout_seed, jnp.int32)
+
     if kv_positions is not None:
         # Rolling-cache serving path: forward-only, straight to the kernel.
         return flash_attention_fwd(
@@ -434,6 +536,8 @@ def flash_attention(
     if impl == "xla":
         k, v = _broadcast_kv_heads(q, k, v)
         if save_lse:
+            if dropout_rate:
+                raise NotImplementedError("save_lse with dropout")
             return attention_reference_with_lse(
                 q,
                 k,
@@ -459,9 +563,34 @@ def flash_attention(
             segment_ids=segment_ids,
             softcap=softcap,
             alibi_slopes=alibi_slopes,
+            dropout_rate=dropout_rate,
+            dropout_seed=dropout_seed,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
+
+    if dropout_rate:
+        if softcap is not None or alibi_slopes is not None or save_lse:
+            raise NotImplementedError(
+                "dropout with softcap/alibi_slopes/save_lse is not "
+                "supported on the pallas path; use impl='xla'"
+            )
+        return _flash_dropout(
+            q,
+            k,
+            v,
+            q_offset,
+            dropout_seed,
+            segment_ids,
+            causal,
+            window,
+            sinks,
+            sm_scale,
+            dropout_rate,
+            block_sizes,
+            lazy_softmax,
+            interpret,
+        )
 
     if softcap is not None or alibi_slopes is not None:
         if save_lse:

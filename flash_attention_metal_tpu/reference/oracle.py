@@ -26,6 +26,30 @@ import jax.numpy as jnp
 from ..config import default_scale
 
 
+def _dropout_probs(
+    p_norm: jax.Array, rate: float, seed: jax.Array
+) -> jax.Array:
+    """Apply the framework's deterministic attention dropout to the
+    normalized probabilities.
+
+    Uses the same counter-based coordinate hash as the Pallas kernels
+    (``kernels._common.dropout_keep``), so oracle and kernel produce the
+    *identical* mask — dropout is testable to fp tolerance, not just
+    statistically.  Requires [B, H, N_q, N_kv] probabilities.
+    """
+    from ..kernels._common import dropout_keep
+
+    if p_norm.ndim != 4:
+        raise ValueError("dropout oracle requires [B, H, N_q, N_kv] scores")
+    b, h, n_q, n_kv = p_norm.shape
+    bh = (jnp.arange(b)[:, None] * h + jnp.arange(h)[None, :]).reshape(
+        b, h, 1, 1
+    )
+    rows = jnp.arange(n_q).reshape(1, 1, n_q, 1)
+    cols = jnp.arange(n_kv).reshape(1, 1, 1, n_kv)
+    return p_norm * dropout_keep(seed, bh, rows, cols, rate)
+
+
 def _softcap_scores(s: jax.Array, softcap: Optional[float]) -> jax.Array:
     """Tanh logit soft-cap: s -> softcap * tanh(s / softcap)."""
     if softcap is None:
@@ -69,6 +93,8 @@ def attention_reference(
     sinks: int = 0,
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
@@ -125,7 +151,12 @@ def attention_reference(
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     l = jnp.where(l == 0.0, 1.0, l)
-    o = jnp.einsum("...qk,...kd->...qd", p / l, vf,
+    probs = p / l
+    if dropout_rate:
+        # Attention-probability dropout (post-normalization, the FA-2
+        # convention), with the kernels' exact deterministic mask.
+        probs = _dropout_probs(probs, dropout_rate, dropout_seed)
+    o = jnp.einsum("...qk,...kd->...qd", probs, vf,
                    precision=jax.lax.Precision.HIGHEST)
     return o.astype(orig_dtype)
 
@@ -197,6 +228,8 @@ def attention_reference_bwd(
     sm_scale: Optional[float] = None,
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-form (dQ, dK, dV) for the attention forward.
 
@@ -213,6 +246,8 @@ def attention_reference_bwd(
         sm_scale=sm_scale,
         softcap=softcap,
         alibi_slopes=alibi_slopes,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
     )
     _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(do.astype(jnp.float32))

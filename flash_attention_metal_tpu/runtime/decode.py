@@ -24,6 +24,7 @@ from ..models.transformer import (
     alibi_slopes,
     mlp_block,
     rms_norm,
+    weight,
 )
 from ..kernels.quant import QuantizedKV, flash_attention_quant
 from ..kernels.paged import flash_attention_paged, flash_attention_paged_quant
@@ -77,9 +78,9 @@ def _attn_with_cache(
     dt = cfg.dtype
     t_new = x.shape[1]
     h = rms_norm(x, layer["attn_norm"])
-    q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
-    k = _split_heads(h @ layer["wk"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
-    v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
+    q = _split_heads(h @ weight(layer["wq"], dt), cfg.n_heads, cfg.head_dim)
+    k = _split_heads(h @ weight(layer["wk"], dt), cfg.n_kv_heads, cfg.head_dim)
+    v = _split_heads(h @ weight(layer["wv"], dt), cfg.n_kv_heads, cfg.head_dim)
     q = _maybe_rope(q, positions, cfg)
     k = _maybe_rope(k, positions, cfg)
 
@@ -218,7 +219,7 @@ def _attn_with_cache(
             impl=cfg.attn_impl,
             **_transforms,
         )
-    out = _merge_heads(o) @ layer["wo"].astype(dt)
+    out = _merge_heads(o) @ weight(layer["wo"], dt)
     return x + out, cache
 
 
@@ -243,7 +244,7 @@ def decode_step(
         x, cache = _attn_with_cache(layer, x, cfg, cache, i, positions)
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
-    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    logits = (x @ weight(params["lm_head"], cfg.dtype)).astype(jnp.float32)
     if isinstance(cache, (RollingKVCache, RollingQuantKVCache)):
         cache = bump_rolling_positions(cache, 1, active)
     else:
@@ -298,7 +299,7 @@ def prefill_chunk(
         )
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
-    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    logits = (x @ weight(params["lm_head"], cfg.dtype)).astype(jnp.float32)
     new_len = jnp.minimum(prompt_len, start_len + n_chunk).astype(jnp.int32)
     if isinstance(slot_cache, (RollingKVCache, RollingQuantKVCache)):
         # Record only the true prompt tokens' positions (padded rows past
