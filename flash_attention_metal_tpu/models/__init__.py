@@ -1,5 +1,6 @@
 """Model families built on the kernel ladder."""
 
+from .losses import blockwise_softmax_xent, loss_fn_blockwise
 from .lora import (
     LoRAConfig,
     init_lora,
@@ -22,6 +23,8 @@ from .wquant import WEIGHT_QUANT_TARGETS, quantize_weights
 __all__ = [
     "LoRAConfig",
     "ModelConfig",
+    "blockwise_softmax_xent",
+    "loss_fn_blockwise",
     "data_sharding",
     "forward",
     "init_lora",

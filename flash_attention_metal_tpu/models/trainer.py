@@ -66,23 +66,60 @@ class Trainer:
         *,
         optimizer: Optional[optax.GradientTransformation] = None,
         seed: int = 0,
+        grad_accum: int = 1,
+        loss: Optional[Callable] = None,
     ):
+        """``grad_accum > 1`` splits each ``step()`` batch into that many
+        microbatches, accumulating gradients in a rematerializing
+        ``lax.scan`` — one optimizer step per call with the effective
+        batch, at the activation memory of one microbatch.
+
+        ``loss``: alternative loss with the ``loss_fn`` signature
+        ``(params, tokens, cfg, dropout_key)`` — e.g.
+        ``models.losses.loss_fn_blockwise`` for chunked-vocab CE.
+        """
         self.cfg = cfg
         self.opt = optimizer if optimizer is not None else make_optimizer()
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
         cfg_ = cfg
         opt = self.opt
+        loss_f = loss if loss is not None else loss_fn
 
         @jax.jit
         def _step(state_tuple, tokens):
             params, opt_state, step, key = state_tuple
             key, sub = jax.random.split(key)
-            # Attention dropout draws a fresh key per step when configured;
-            # the seed is traced, so no recompile across steps.
-            dk = sub if cfg_.attn_dropout > 0.0 else None
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, tokens, cfg_, dk
-            )
+            # Attention dropout draws fresh keys per step when configured;
+            # the seeds are traced, so no recompile across steps.
+            if grad_accum == 1:
+                loss, grads = jax.value_and_grad(loss_f)(
+                    params, tokens, cfg_, sub
+                )
+            else:
+                b = tokens.shape[0]
+                if b % grad_accum:
+                    raise ValueError(
+                        f"batch {b} not divisible by grad_accum {grad_accum}"
+                    )
+                micro = tokens.reshape(grad_accum, b // grad_accum, -1)
+                subs = jax.random.split(sub, grad_accum)
+
+                def body(carry, xs):
+                    g_acc, l_acc = carry
+                    tb, kb = xs
+                    l, g = jax.value_and_grad(loss_f)(params, tb, cfg_, kb)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, l_sum), _ = jax.lax.scan(
+                    body, (zeros, jnp.float32(0.0)), (micro, subs)
+                )
+                inv = 1.0 / grad_accum
+                grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+                loss = l_sum * inv
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, step + 1, key), loss

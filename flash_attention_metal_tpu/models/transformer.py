@@ -227,7 +227,7 @@ def mlp_block(layer: Params, x: jax.Array, cfg: ModelConfig) -> jax.Array:
     return x + (gate * up) @ weight(layer["w_down"], dt)
 
 
-def forward(
+def forward_hidden(
     params: Params,
     tokens: jax.Array,
     cfg: ModelConfig,
@@ -236,10 +236,11 @@ def forward(
     remat: bool = True,
     dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Training/prefill forward: ``[B, N]`` tokens -> ``[B, N, V]`` logits.
+    """Transformer stack up to the final norm: ``[B, N, d]`` hidden.
 
-    ``dropout_key``: PRNG key enabling ``cfg.attn_dropout`` for this call
-    (train mode); None (the default) runs deterministically (eval/serve).
+    The pre-``lm_head`` activations — consumed by :func:`forward` and by
+    the blockwise cross-entropy (``models/losses.py``), which never
+    materializes full logits.
     """
     if positions is None:
         positions = jnp.broadcast_to(
@@ -264,7 +265,31 @@ def forward(
         block = jax.checkpoint(block)
     for i, layer in enumerate(params["layers"]):
         x = block(x, layer, None if seeds is None else seeds[i])
-    x = rms_norm(x, params["final_norm"])
+    return rms_norm(x, params["final_norm"])
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,
+    cfg: ModelConfig,
+    *,
+    positions: Optional[jax.Array] = None,
+    remat: bool = True,
+    dropout_key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Training/prefill forward: ``[B, N]`` tokens -> ``[B, N, V]`` logits.
+
+    ``dropout_key``: PRNG key enabling ``cfg.attn_dropout`` for this call
+    (train mode); None (the default) runs deterministically (eval/serve).
+    """
+    x = forward_hidden(
+        params,
+        tokens,
+        cfg,
+        positions=positions,
+        remat=remat,
+        dropout_key=dropout_key,
+    )
     return (x @ weight(params["lm_head"], cfg.dtype)).astype(jnp.float32)
 
 
