@@ -1,6 +1,7 @@
 """Minimal training example: AdamW trainer with checkpoint/resume.
 
     timeout 590 python examples/train.py [--steps 30] [--ckpt /tmp/flashlm]
+                 [--grad-accum 2] [--blockwise-ce] [--dropout 0.1]
 """
 
 import os
@@ -24,6 +25,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument(
+        "--blockwise-ce", action="store_true",
+        help="chunked-vocab cross entropy (no [B,N,V] logit tensor)",
+    )
+    ap.add_argument("--dropout", type=float, default=0.0)
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -36,12 +43,20 @@ def main() -> int:
         d_ff=2048,
         max_seq_len=1024,
         dtype=jnp.bfloat16,
+        attn_dropout=args.dropout,
     )
+    loss = None
+    if args.blockwise_ce:
+        from flash_attention_metal_tpu.models import loss_fn_blockwise
+
+        loss = loss_fn_blockwise
     tr = Trainer(
         cfg,
         optimizer=make_optimizer(
             peak_lr=3e-4, warmup_steps=10, total_steps=args.steps
         ),
+        grad_accum=args.grad_accum,
+        loss=loss,
     )
     out = tr.train(
         synthetic_batches(cfg, batch=8, seq=1024),

@@ -304,6 +304,37 @@ def run_ladder(
     )
     rung("flash paged-KV softcap+ALiBi vs oracle", otp, oracle_tc, TOL_HALF)
 
+    # Rungs 24-25: in-kernel attention dropout, forward AND backward.
+    # The keep mask is a stateless coordinate hash shared bit-exactly by
+    # the kernels and the oracle (kernels/_common.py::dropout_keep), so
+    # dropout verifies at full fp32 tolerance — not just statistically.
+    seed = jnp.int32(424242)
+    odr = flash_attention_fwd(
+        q, k, v, causal=True, dropout_rate=0.2, dropout_seed=seed,
+        interpret=interpret,
+    )
+    oracle_dr = attention_reference(
+        q, k, v, causal=True, dropout_rate=0.2, dropout_seed=seed
+    )
+    rung("flash dropout (p=0.2) causal vs oracle", odr, oracle_dr, TOL_FP32)
+    od_f, lse_dr = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, dropout_rate=0.2,
+        dropout_seed=seed, interpret=interpret,
+    )
+    dq_d, dk_d, dv_d = flash_attention_bwd(
+        q, k, v, od_f, do, lse_dr, causal=True, dropout_rate=0.2,
+        dropout_seed=seed, interpret=interpret,
+    )
+    dq_dr, dk_dr, dv_dr = attention_reference_bwd(
+        q, k, v, do, causal=True, dropout_rate=0.2, dropout_seed=seed
+    )
+    rung(
+        "flash dropout backward (dQ,dK,dV) vs oracle",
+        jnp.stack([dq_d, dk_d, dv_d]),
+        jnp.stack([dq_dr, dk_dr, dv_dr]),
+        TOL_FP32,
+    )
+
     return results
 
 

@@ -479,6 +479,9 @@ def flash_attention(
         segment_ids; NOT with kv_positions, save_lse, or (on the pallas
         path) softcap/alibi — use ``impl="xla"`` for those combinations.
       dropout_seed: int32 scalar; required when ``dropout_rate > 0``.
+        The mask hash uses shard-local coordinates, so under shard_map
+        fold ``jax.lax.axis_index(...)`` into the seed to decorrelate
+        masks across shards.
       impl: "pallas" | "xla" | "auto".
       interpret: force Pallas interpreter mode (default: auto-detect
         non-TPU backends).
