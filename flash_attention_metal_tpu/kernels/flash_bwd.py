@@ -740,6 +740,8 @@ def flash_attention_bwd(
             raise ValueError("window requires causal=True")
         window = int(window)
 
+    if dropout_rate and not 0.0 < dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
     has_dropout = dropout_rate > 0.0
     if has_dropout and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")

@@ -706,10 +706,12 @@ def flash_attention_fwd(
     if kv_positions is not None and not causal:
         raise ValueError("kv_positions requires causal=True")
 
+    if dropout_rate and not 0.0 < dropout_rate < 1.0:
+        # Checked before the truthiness gates below: a negative rate must
+        # not slip past `rate > 0.0` and hit the kernels' `if rate:`.
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
     has_dropout = dropout_rate > 0.0
     if has_dropout:
-        if not 0.0 < dropout_rate < 1.0:
-            raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
         if dropout_seed is None:
             raise ValueError("dropout_rate > 0 requires dropout_seed")
         if kv_positions is not None:

@@ -159,7 +159,11 @@ def _flash_dropout(
     """Attention with in-kernel dropout (FA-2 capability; reference has
     none).  The keep mask is a counter-based hash of the traced int32
     seed and absolute coordinates, regenerated inside the FA-2 backward
-    kernels — no mask tensor in HBM, new seed per step, no recompile."""
+    kernels — no mask tensor in HBM, new seed per step, no recompile.
+
+    NOTE: this trio mirrors _flash/_flash_fwd_rule/_flash_bwd_rule with
+    the seed threaded through; changes to the residual layout or the
+    GQA group-reduce must be made in BOTH wirings."""
     return flash_attention_fwd(
         q,
         k,
@@ -508,6 +512,10 @@ def flash_attention(
         interpret = _use_interpret()
 
     if dropout_rate:
+        if not 0.0 < dropout_rate < 1.0:
+            raise ValueError(
+                f"dropout_rate must be in [0, 1), got {dropout_rate}"
+            )
         if dropout_seed is None:
             raise ValueError("dropout_rate > 0 requires dropout_seed")
         if kv_positions is not None:

@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.transformer import ModelConfig, Params, mlp_block, rms_norm
+from ..models.transformer import (
+    ModelConfig,
+    Params,
+    mlp_block,
+    rms_norm,
+    weight,
+)
 from .decode import _attn_with_cache, decode_step, prefill_slot, sample
 from .kv_cache import KVCache, init_cache
 
@@ -60,7 +66,7 @@ def _forward_chunk(
         x, cache = _attn_with_cache(layer, x, cfg, cache, i, positions)
         x = mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"])
-    logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
+    logits = (x @ weight(params["lm_head"], cfg.dtype)).astype(jnp.float32)
     return logits, cache
 
 

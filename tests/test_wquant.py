@@ -98,6 +98,40 @@ def test_quantized_engine_greedy_serves():
         assert pred == out_q[0][t], (t, pred, out_q[0][t])
 
 
+def test_quantized_speculative_engine():
+    # The wquant tree must also serve through the speculative path (its
+    # chunked target-verify forward has its own lm_head matmul).
+    from flash_attention_metal_tpu.runtime import DecodeEngine, Request
+
+    params, _ = _fixtures()
+    qparams = quantize_weights(params)
+    eng = DecodeEngine(
+        qparams, CFG, max_batch=2, max_len=256,
+        draft=(qparams, CFG), spec_gamma=3,
+    )
+    eng.submit(Request(uid=0, prompt=[3, 1, 4, 1, 5], max_new_tokens=8))
+    out = eng.run()
+    assert len(out[0]) == 8
+
+    # A perfect draft (same model) must equal plain greedy decoding.
+    eng2 = DecodeEngine(qparams, CFG, max_batch=2, max_len=256)
+    eng2.submit(Request(uid=0, prompt=[3, 1, 4, 1, 5], max_new_tokens=8))
+    assert out[0] == eng2.run()[0]
+
+
+def test_dropout_rate_validation():
+    import pytest
+    from flash_attention_metal_tpu.ops import flash_attention
+    from flash_attention_metal_tpu.reference import make_qkv
+
+    q, k, v = make_qkv(jax.random.PRNGKey(0), (1, 1, 128, 64))
+    with pytest.raises(ValueError, match="dropout_rate"):
+        flash_attention(
+            q, k, v, causal=True, dropout_rate=-0.1,
+            dropout_seed=jnp.int32(1),
+        )
+
+
 def test_quantize_is_idempotent_and_selective():
     params, _ = _fixtures()
     q1 = quantize_weights(params)
