@@ -12,6 +12,7 @@ from .paged_kv import (
 )
 from .decode import decode_step, prefill_slot, sample
 from .engine import DecodeEngine, Request
+from .beam import beam_search_generate
 from .speculative import speculative_generate, speculative_step
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "Request",
     "speculative_generate",
     "speculative_step",
+    "beam_search_generate",
 ]
