@@ -438,6 +438,9 @@ def sample_batch(
     temperatures: jax.Array,
     top_ks: Optional[jax.Array] = None,
     top_ps: Optional[jax.Array] = None,
+    pen_counts: Optional[jax.Array] = None,
+    presences: Optional[jax.Array] = None,
+    frequencies: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-slot greedy/temperature/top-k/top-p sampling in ONE device
     program.
@@ -447,7 +450,19 @@ def sample_batch(
     loop at a single host<->device round trip per decode step —
     per-slot host-side sampling costs one transfer each, which dominates
     end-to-end latency on dispatch-bound links.
+
+    ``pen_counts [B, V]`` int32 (per-slot counts of previously generated
+    tokens) enables OpenAI-style repetition control:
+    ``logits -= presences * (counts > 0) + frequencies * counts``.
+    Elementwise on [B, V] — cheap enough to run unconditionally (no
+    sort, unlike the lax.cond-gated top-k/top-p filter); zero penalties
+    are an exact no-op, greedy decoding is penalized too.
     """
+    if pen_counts is not None:
+        pen = presences[:, None] * (pen_counts > 0).astype(
+            logits.dtype
+        ) + frequencies[:, None] * pen_counts.astype(logits.dtype)
+        logits = logits - pen
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temps = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits / temps
@@ -487,17 +502,33 @@ def decode_and_sample(
     temperatures: jax.Array,
     top_ks: Optional[jax.Array] = None,
     top_ps: Optional[jax.Array] = None,
+    pen_counts: Optional[jax.Array] = None,
+    presences: Optional[jax.Array] = None,
+    frequencies: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One fused device program per serving step: decode + batched sample.
 
     The KV cache is donated (updated in place -- no per-step copy of the
     whole cache) and the sampled tokens stay on device, so the serving
     loop costs exactly one dispatch plus one result fetch per step.
+
+    With ``pen_counts`` (presence/frequency penalties, see
+    ``sample_batch``) the emitted token is counted device-side and the
+    updated counts are returned as a third output.
     """
     logits, cache = decode_step.__wrapped__(params, cfg, cache, tokens, active)
-    toks = sample_batch.__wrapped__(logits, key, temperatures, top_ks, top_ps)
+    toks = sample_batch.__wrapped__(
+        logits, key, temperatures, top_ks, top_ps,
+        pen_counts, presences, frequencies,
+    )
     # Inactive slots keep feeding token 0; their cache does not advance.
     toks = jnp.where(active, toks, 0)
+    if pen_counts is not None:
+        b = toks.shape[0]
+        pen_counts = pen_counts.at[jnp.arange(b), toks].add(
+            active.astype(jnp.int32)
+        )
+        return toks, cache, pen_counts
     return toks, cache
 
 
@@ -516,6 +547,9 @@ def decode_and_sample_multi(
     temperatures: jax.Array,
     top_ks: Optional[jax.Array] = None,
     top_ps: Optional[jax.Array] = None,
+    pen_counts: Optional[jax.Array] = None,
+    presences: Optional[jax.Array] = None,
+    frequencies: Optional[jax.Array] = None,
     *,
     n_steps: int,
 ) -> Tuple[jax.Array, KVCache]:
@@ -532,14 +566,23 @@ def decode_and_sample_multi(
     """
 
     def body(carry, k_i):
-        tok, c = carry
+        tok, c, counts = carry
         logits, c = decode_step.__wrapped__(params, cfg, c, tok, active)
         toks = sample_batch.__wrapped__(
-            logits, k_i, temperatures, top_ks, top_ps
+            logits, k_i, temperatures, top_ks, top_ps,
+            counts, presences, frequencies,
         )
         toks = jnp.where(active, toks, 0)
-        return (toks, c), toks
+        if counts is not None:
+            counts = counts.at[jnp.arange(toks.shape[0]), toks].add(
+                active.astype(jnp.int32)
+            )
+        return (toks, c, counts), toks
 
     keys = jax.random.split(key, n_steps)
-    (_, cache), all_toks = jax.lax.scan(body, (tokens, cache), keys)
+    (_, cache, pen_counts), all_toks = jax.lax.scan(
+        body, (tokens, cache, pen_counts), keys
+    )
+    if pen_counts is not None:
+        return all_toks, cache, pen_counts
     return all_toks, cache

@@ -46,6 +46,10 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0  # <= 0: disabled
     top_p: float = 1.0  # >= 1: disabled
+    # OpenAI-style repetition control over GENERATED tokens (prompt
+    # tokens are not counted): logits -= presence*(count>0) + freq*count.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
@@ -323,6 +327,13 @@ class DecodeEngine:
         self.temps = jnp.zeros((max_batch,), jnp.float32)
         self.top_ks = jnp.zeros((max_batch,), jnp.int32)
         self.top_ps = jnp.ones((max_batch,), jnp.float32)
+        self.presences = jnp.zeros((max_batch,), jnp.float32)
+        self.frequencies = jnp.zeros((max_batch,), jnp.float32)
+        # Per-slot generated-token counts for the presence/frequency
+        # penalties; updated device-side inside the fused step.
+        self.pen_counts = jnp.zeros(
+            (max_batch, cfg.vocab_size), jnp.int32
+        )
         self.queue: deque[Request] = deque()
         self.key = jax.random.PRNGKey(seed)
         self.steps = 0
@@ -393,6 +404,15 @@ class DecodeEngine:
             self.temps = jax.device_put(self.temps, shard_for(self.temps))
             self.top_ks = jax.device_put(self.top_ks, shard_for(self.top_ks))
             self.top_ps = jax.device_put(self.top_ps, shard_for(self.top_ps))
+            self.presences = jax.device_put(
+                self.presences, shard_for(self.presences)
+            )
+            self.frequencies = jax.device_put(
+                self.frequencies, shard_for(self.frequencies)
+            )
+            self.pen_counts = jax.device_put(
+                self.pen_counts, shard_for(self.pen_counts)
+            )
             self._active_dev = jax.device_put(
                 self._active_dev, shard_for(self._active_dev)
             )
@@ -419,6 +439,14 @@ class DecodeEngine:
             raise ValueError(
                 "speculative serving supports greedy/temperature requests "
                 "only (top-k/top-p acceptance is not implemented)"
+            )
+        if (request.presence_penalty or request.frequency_penalty) and (
+            self._draft is not None or self._sp is not None
+        ):
+            raise NotImplementedError(
+                "presence/frequency penalties are wired through the plain "
+                "and multi-step decode paths only (not speculative or "
+                "sp/tp-sharded decode)"
             )
         self.queue.append(request)
 
@@ -549,6 +577,17 @@ class DecodeEngine:
             self.temps = self.temps.at[slot].set(req.temperature)
             self.top_ks = self.top_ks.at[slot].set(req.top_k)
             self.top_ps = self.top_ps.at[slot].set(req.top_p)
+            self.presences = self.presences.at[slot].set(
+                req.presence_penalty
+            )
+            self.frequencies = self.frequencies.at[slot].set(
+                req.frequency_penalty
+            )
+            # Fresh counts for the new occupant; the admission token is
+            # already emitted, so it counts toward the penalties.
+            self.pen_counts = self.pen_counts.at[slot].set(0).at[
+                slot, tok
+            ].set(1)
             self._occupancy_dirty = True
             self._maybe_finish(req)
 
@@ -670,21 +709,26 @@ class DecodeEngine:
                 toks_dev = (out, n_emit)
                 self.next_token = new_tok
             elif self._multi_step > 1:
-                toks_dev, self.cache = decode_and_sample_multi(
-                    self.params,
-                    self.cfg,
-                    self.cache,
-                    self.next_token,
-                    active,
-                    sub,
-                    self.temps,
-                    self.top_ks,
-                    self.top_ps,
-                    n_steps=self._multi_step,
+                toks_dev, self.cache, self.pen_counts = (
+                    decode_and_sample_multi(
+                        self.params,
+                        self.cfg,
+                        self.cache,
+                        self.next_token,
+                        active,
+                        sub,
+                        self.temps,
+                        self.top_ks,
+                        self.top_ps,
+                        self.pen_counts,
+                        self.presences,
+                        self.frequencies,
+                        n_steps=self._multi_step,
+                    )
                 )  # [multi_step, B]
                 self.next_token = toks_dev[-1]
             else:
-                toks_dev, self.cache = decode_and_sample(
+                toks_dev, self.cache, self.pen_counts = decode_and_sample(
                     self.params,
                     self.cfg,
                     self.cache,
@@ -694,6 +738,9 @@ class DecodeEngine:
                     self.temps,
                     self.top_ks,
                     self.top_ps,
+                    self.pen_counts,
+                    self.presences,
+                    self.frequencies,
                 )
             if self._draft is None and (
                 self._multi_step == 1 or self._sp is not None
@@ -753,6 +800,9 @@ class DecodeEngine:
             "temps": self.temps,
             "top_ks": self.top_ks,
             "top_ps": self.top_ps,
+            "presences": self.presences,
+            "frequencies": self.frequencies,
+            "pen_counts": self.pen_counts,
             "key": self.key,
             "steps": self.steps,
             "slots": [
@@ -765,6 +815,8 @@ class DecodeEngine:
                     "temperature": r.temperature,
                     "top_k": r.top_k,
                     "top_p": r.top_p,
+                    "presence_penalty": r.presence_penalty,
+                    "frequency_penalty": r.frequency_penalty,
                     "generated": list(r.generated),
                     "slot": r.slot,
                 }
@@ -778,6 +830,8 @@ class DecodeEngine:
                     "temperature": r.temperature,
                     "top_k": r.top_k,
                     "top_p": r.top_p,
+                    "presence_penalty": r.presence_penalty,
+                    "frequency_penalty": r.frequency_penalty,
                 }
                 for r in self.queue
             ],
@@ -796,6 +850,10 @@ class DecodeEngine:
         self.top_ps = jnp.asarray(
             snap.get("top_ps", jnp.ones_like(self.temps))
         )
+        if snap.get("presences") is not None:
+            self.presences = jnp.asarray(snap["presences"])
+            self.frequencies = jnp.asarray(snap["frequencies"])
+            self.pen_counts = jnp.asarray(snap["pen_counts"])
         self.key = jnp.asarray(snap["key"])
         self.steps = int(snap["steps"])
         self.slots = [
@@ -808,6 +866,8 @@ class DecodeEngine:
                 temperature=meta["temperature"],
                 top_k=meta.get("top_k", 0),
                 top_p=meta.get("top_p", 1.0),
+                presence_penalty=meta.get("presence_penalty", 0.0),
+                frequency_penalty=meta.get("frequency_penalty", 0.0),
                 generated=list(meta["generated"]),
                 slot=meta["slot"],
             )
@@ -821,6 +881,8 @@ class DecodeEngine:
                 temperature=meta["temperature"],
                 top_k=meta.get("top_k", 0),
                 top_p=meta.get("top_p", 1.0),
+                presence_penalty=meta.get("presence_penalty", 0.0),
+                frequency_penalty=meta.get("frequency_penalty", 0.0),
             )
             for meta in snap["queue"]
         )
