@@ -514,7 +514,12 @@ def decode_and_sample(
 
     With ``pen_counts`` (presence/frequency penalties, see
     ``sample_batch``) the emitted token is counted device-side and the
-    updated counts are returned as a third output.
+    updated counts are returned as an extra output.
+
+    Returns ``(toks, logprobs, cache[, pen_counts])`` — ``logprobs [B]``
+    is each emitted token's log-probability under the model's raw
+    softmax (pre-temperature, pre-penalty: the standard serving-API
+    convention), computed in the same fused program.
     """
     logits, cache = decode_step.__wrapped__(params, cfg, cache, tokens, active)
     toks = sample_batch.__wrapped__(
@@ -523,13 +528,14 @@ def decode_and_sample(
     )
     # Inactive slots keep feeding token 0; their cache does not advance.
     toks = jnp.where(active, toks, 0)
+    b = toks.shape[0]
+    logp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(b), toks]
     if pen_counts is not None:
-        b = toks.shape[0]
         pen_counts = pen_counts.at[jnp.arange(b), toks].add(
             active.astype(jnp.int32)
         )
-        return toks, cache, pen_counts
-    return toks, cache
+        return toks, logp, cache, pen_counts
+    return toks, logp, cache
 
 
 @functools.partial(
@@ -573,16 +579,18 @@ def decode_and_sample_multi(
             counts, presences, frequencies,
         )
         toks = jnp.where(active, toks, 0)
+        b = toks.shape[0]
+        logp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(b), toks]
         if counts is not None:
-            counts = counts.at[jnp.arange(toks.shape[0]), toks].add(
+            counts = counts.at[jnp.arange(b), toks].add(
                 active.astype(jnp.int32)
             )
-        return (toks, c, counts), toks
+        return (toks, c, counts), (toks, logp)
 
     keys = jax.random.split(key, n_steps)
-    (_, cache, pen_counts), all_toks = jax.lax.scan(
+    (_, cache, pen_counts), (all_toks, all_logps) = jax.lax.scan(
         body, (tokens, cache, pen_counts), keys
     )
     if pen_counts is not None:
-        return all_toks, cache, pen_counts
-    return all_toks, cache
+        return all_toks, all_logps, cache, pen_counts
+    return all_toks, all_logps, cache

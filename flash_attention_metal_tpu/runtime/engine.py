@@ -52,6 +52,9 @@ class Request:
     frequency_penalty: float = 0.0
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
+    # Log-probability of each generated token under the model's raw
+    # softmax (empty on the speculative and sp/tp-sharded paths).
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
 
@@ -572,6 +575,16 @@ class DecodeEngine:
             )
             req.slot = slot
             req.generated.append(tok)
+            if self._draft is None and self._sp is None:
+                # Admission token's logprob under the raw prefill softmax
+                # (the paths below produce logprobs for every later token).
+                req.logprobs.append(
+                    float(
+                        jax.nn.log_softmax(
+                            jnp.asarray(logits, jnp.float32).reshape(-1)
+                        )[tok]
+                    )
+                )
             self.slots[slot] = req
             self.next_token = self.next_token.at[slot].set(tok)
             self.temps = self.temps.at[slot].set(req.temperature)
@@ -619,7 +632,7 @@ class DecodeEngine:
     # ------------------------------------------------------------------
     def _harvest_one(self) -> List[Request]:
         """Apply bookkeeping for the oldest in-flight decode step."""
-        toks_dev, uids = self._inflight.popleft()
+        toks_dev, lps_dev, uids = self._inflight.popleft()
         finished: List[Request] = []
         if isinstance(toks_dev, tuple):  # speculative (out, n_emit) round
             out, n_emit = (np.asarray(x) for x in toks_dev)
@@ -637,12 +650,18 @@ class DecodeEngine:
             return finished
         toks = np.asarray(toks_dev)  # async copy usually already landed
         rows = toks if toks.ndim == 2 else toks[None]  # multi-step window
-        for row in rows:
+        lps = None
+        if lps_dev is not None:
+            lps = np.asarray(lps_dev)
+            lps = lps if lps.ndim == 2 else lps[None]
+        for i, row in enumerate(rows):
             for slot, uid in enumerate(uids):
                 req = self.slots[slot]
                 if uid is None or req is None or req.uid != uid or req.done:
                     continue  # retired/reused, or stopped mid-window
                 req.generated.append(int(row[slot]))
+                if lps is not None:
+                    req.logprobs.append(float(lps[i, slot]))
                 self._maybe_finish(req)
                 if req.done:
                     finished.append(req)
@@ -677,6 +696,7 @@ class DecodeEngine:
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.
             self.key, sub = jax.random.split(self.key)
+            lps_dev = None
             if self._sp is not None:
                 toks_dev, self.cache = self._sp.decode_and_sample(
                     self.params,
@@ -709,7 +729,7 @@ class DecodeEngine:
                 toks_dev = (out, n_emit)
                 self.next_token = new_tok
             elif self._multi_step > 1:
-                toks_dev, self.cache, self.pen_counts = (
+                toks_dev, lps_dev, self.cache, self.pen_counts = (
                     decode_and_sample_multi(
                         self.params,
                         self.cfg,
@@ -728,7 +748,7 @@ class DecodeEngine:
                 )  # [multi_step, B]
                 self.next_token = toks_dev[-1]
             else:
-                toks_dev, self.cache, self.pen_counts = decode_and_sample(
+                toks_dev, lps_dev, self.cache, self.pen_counts = decode_and_sample(
                     self.params,
                     self.cfg,
                     self.cache,
@@ -747,13 +767,16 @@ class DecodeEngine:
             ):
                 self.next_token = toks_dev
             leaves = toks_dev if isinstance(toks_dev, tuple) else (toks_dev,)
+            if lps_dev is not None:
+                leaves = leaves + (lps_dev,)
             for leaf in leaves:
                 try:
                     leaf.copy_to_host_async()
                 except AttributeError:  # pragma: no cover - older jax
                     pass
             self._inflight.append(
-                (toks_dev, [r.uid if r else None for r in self.slots])
+                (toks_dev, lps_dev,
+                 [r.uid if r else None for r in self.slots])
             )
             self.steps += 1 if self._draft is not None else self._multi_step
 
@@ -818,6 +841,7 @@ class DecodeEngine:
                     "presence_penalty": r.presence_penalty,
                     "frequency_penalty": r.frequency_penalty,
                     "generated": list(r.generated),
+                    "logprobs": list(r.logprobs),
                     "slot": r.slot,
                 }
                 for r in self.slots
@@ -869,6 +893,7 @@ class DecodeEngine:
                 presence_penalty=meta.get("presence_penalty", 0.0),
                 frequency_penalty=meta.get("frequency_penalty", 0.0),
                 generated=list(meta["generated"]),
+                logprobs=list(meta.get("logprobs", [])),
                 slot=meta["slot"],
             )
             for meta in snap["slots"]
