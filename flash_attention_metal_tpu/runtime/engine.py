@@ -53,7 +53,7 @@ class Request:
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     # Log-probability of each generated token under the model's raw
-    # softmax (empty on the speculative and sp/tp-sharded paths).
+    # softmax (empty on the speculative path).
     logprobs: List[float] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
@@ -444,12 +444,12 @@ class DecodeEngine:
                 "only (top-k/top-p acceptance is not implemented)"
             )
         if (request.presence_penalty or request.frequency_penalty) and (
-            self._draft is not None or self._sp is not None
+            self._draft is not None
         ):
             raise NotImplementedError(
-                "presence/frequency penalties are wired through the plain "
-                "and multi-step decode paths only (not speculative or "
-                "sp/tp-sharded decode)"
+                "presence/frequency penalties are wired through the plain, "
+                "multi-step, and sp/tp-sharded decode paths (not "
+                "speculative serving)"
             )
         self.queue.append(request)
 
@@ -575,9 +575,9 @@ class DecodeEngine:
             )
             req.slot = slot
             req.generated.append(tok)
-            if self._draft is None and self._sp is None:
+            if self._draft is None:
                 # Admission token's logprob under the raw prefill softmax
-                # (the paths below produce logprobs for every later token).
+                # (the decode paths produce logprobs for every later token).
                 req.logprobs.append(
                     float(
                         jax.nn.log_softmax(
@@ -698,15 +698,20 @@ class DecodeEngine:
             self.key, sub = jax.random.split(self.key)
             lps_dev = None
             if self._sp is not None:
-                toks_dev, self.cache = self._sp.decode_and_sample(
-                    self.params,
-                    self.cache,
-                    self.next_token,
-                    active,
-                    sub,
-                    self.temps,
-                    self.top_ks,
-                    self.top_ps,
+                toks_dev, lps_dev, self.cache, self.pen_counts = (
+                    self._sp.decode_and_sample(
+                        self.params,
+                        self.cache,
+                        self.next_token,
+                        active,
+                        sub,
+                        self.temps,
+                        self.top_ks,
+                        self.top_ps,
+                        self.pen_counts,
+                        self.presences,
+                        self.frequencies,
+                    )
                 )
             elif self._draft is not None:
                 from .speculative import speculative_step

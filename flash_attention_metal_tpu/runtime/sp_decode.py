@@ -338,7 +338,7 @@ class SpStepFns:
         dp = PartitionSpec(batch_axis)
 
         def decode_body(params, cache, tokens, active, key, temps,
-                        top_ks, top_ps):
+                        top_ks, top_ps, pen_counts, presences, frequencies):
             my_dp = jax.lax.axis_index(batch_axis)
             positions = cache.lengths[:, None]
             x = params["embed"][tokens[:, None]].astype(cfg.dtype)
@@ -349,23 +349,39 @@ class SpStepFns:
                 )
                 x = _tp_mlp(layer, x, cfg, head_axis)
             x = rms_norm(x, params["final_norm"])
+            # lm_head is replicated (see param_pspecs), so logits — and
+            # therefore penalties/sampling/logprobs — are identical on
+            # every tp/sp shard of a dp group.
             logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
                 jnp.float32
             )[:, 0]
             cache = bump_lengths(cache, 1, active)
             toks = sample_batch.__wrapped__(
                 logits, jax.random.fold_in(key, my_dp), temps,
-                top_ks, top_ps,
+                top_ks, top_ps, pen_counts, presences, frequencies,
             )
             toks = jnp.where(active, toks, 0)
-            return toks, cache
+            b = toks.shape[0]
+            logp = jax.nn.log_softmax(logits, axis=-1)[jnp.arange(b), toks]
+            pen_counts = pen_counts.at[jnp.arange(b), toks].add(
+                active.astype(jnp.int32)
+            )
+            return toks, logp, cache, pen_counts
 
         def _wrap_decode(params, cache, tokens, active, key, temps,
-                         top_ks=None, top_ps=None):
+                         top_ks=None, top_ps=None, pen_counts=None,
+                         presences=None, frequencies=None):
+            b = tokens.shape[0]
             if top_ks is None:
                 top_ks = jnp.zeros(tokens.shape, jnp.int32)
             if top_ps is None:
                 top_ps = jnp.ones(tokens.shape, jnp.float32)
+            if pen_counts is None:
+                pen_counts = jnp.zeros((b, cfg.vocab_size), jnp.int32)
+            if presences is None:
+                presences = jnp.zeros((b,), jnp.float32)
+            if frequencies is None:
+                frequencies = jnp.zeros((b,), jnp.float32)
             spec = jax.tree_util.tree_map(cspec, cache)
             fn = jax.shard_map(
                 decode_body,
@@ -379,12 +395,15 @@ class SpStepFns:
                     dp,
                     dp,
                     dp,
+                    dp,
+                    dp,
+                    dp,
                 ),
-                out_specs=(dp, spec),
+                out_specs=(dp, dp, spec, dp),
                 check_vma=False,
             )
             return fn(params, cache, tokens, active, key, temps,
-                      top_ks, top_ps)
+                      top_ks, top_ps, pen_counts, presences, frequencies)
 
         self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
 

@@ -89,7 +89,7 @@ def test_multi_step_matches_single_step_with_penalties():
     assert plain != one
 
 
-def test_penalties_rejected_on_unsupported_paths():
+def test_penalties_rejected_on_speculative_path():
     import pytest
 
     params = init_params(jax.random.PRNGKey(0), CFG)
@@ -101,3 +101,23 @@ def test_penalties_rejected_on_unsupported_paths():
         eng.submit(
             Request(uid=0, prompt=[1], presence_penalty=1.0)
         )
+
+
+def test_penalties_and_logprobs_on_sharded_engine():
+    from jax.sharding import Mesh
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "sp"))
+    eng = DecodeEngine(
+        params, CFG, max_batch=2, max_len=256, mesh=mesh, seq_axis="sp",
+    )
+    req = Request(
+        uid=0, prompt=[5, 9, 2], max_new_tokens=8, presence_penalty=1e9
+    )
+    eng.submit(req)
+    out = eng.run()[0]
+    # Saturating presence: all-distinct greedy tokens, like the plain
+    # engine; and the sharded path reports logprobs too.
+    assert len(set(out)) == len(out) == 8
+    assert len(req.logprobs) == 8
+    assert out == _run_engine(params, 1e9)
