@@ -416,8 +416,9 @@ def sample(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
 ) -> jax.Array:
-    """Greedy (t=0) / temperature / top-k / nucleus sampling over
+    """Greedy (t=0) / temperature / top-k / nucleus / min-p sampling over
     ``[..., V]`` logits."""
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -428,6 +429,9 @@ def sample(
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
         )
+    if min_p > 0.0:
+        thresh = jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(min_p)
+        scaled = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     return jax.random.categorical(key, scaled[0]).astype(jnp.int32)
 
 
@@ -441,9 +445,10 @@ def sample_batch(
     pen_counts: Optional[jax.Array] = None,
     presences: Optional[jax.Array] = None,
     frequencies: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Per-slot greedy/temperature/top-k/top-p sampling in ONE device
-    program.
+    """Per-slot greedy/temperature/top-k/top-p/min-p sampling in ONE
+    device program.
 
     ``logits [B, V]``, ``temperatures [B]`` (0 = greedy), ``top_ks [B]``
     int32 (<=0 = off), ``top_ps [B]`` (>=1 = off).  Keeps the serving
@@ -466,6 +471,15 @@ def sample_batch(
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temps = jnp.maximum(temperatures, 1e-6)[:, None]
     scaled = logits / temps
+    if min_ps is not None:
+        # min-p (Nguyen et al.): drop tokens whose post-temperature
+        # probability is below ``min_p * max_prob``.  Unlike top-k/top-p
+        # this needs only a row max — elementwise, no [B, V] sort, so it
+        # runs ungated.  min_p <= 0 disables (log(0+) -> -inf threshold).
+        row_max = jnp.max(scaled, axis=-1, keepdims=True)
+        thresh = row_max + jnp.log(jnp.maximum(min_ps, 1e-30))[:, None]
+        keep = (scaled >= thresh) | (min_ps[:, None] <= 0.0)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
     if top_ks is not None or top_ps is not None:
         batch = logits.shape[0]
         if top_ks is None:
@@ -505,6 +519,7 @@ def decode_and_sample(
     pen_counts: Optional[jax.Array] = None,
     presences: Optional[jax.Array] = None,
     frequencies: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One fused device program per serving step: decode + batched sample.
 
@@ -524,7 +539,7 @@ def decode_and_sample(
     logits, cache = decode_step.__wrapped__(params, cfg, cache, tokens, active)
     toks = sample_batch.__wrapped__(
         logits, key, temperatures, top_ks, top_ps,
-        pen_counts, presences, frequencies,
+        pen_counts, presences, frequencies, min_ps,
     )
     # Inactive slots keep feeding token 0; their cache does not advance.
     toks = jnp.where(active, toks, 0)
@@ -556,6 +571,7 @@ def decode_and_sample_multi(
     pen_counts: Optional[jax.Array] = None,
     presences: Optional[jax.Array] = None,
     frequencies: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
     *,
     n_steps: int,
 ) -> Tuple[jax.Array, KVCache]:
@@ -576,7 +592,7 @@ def decode_and_sample_multi(
         logits, c = decode_step.__wrapped__(params, cfg, c, tok, active)
         toks = sample_batch.__wrapped__(
             logits, k_i, temperatures, top_ks, top_ps,
-            counts, presences, frequencies,
+            counts, presences, frequencies, min_ps,
         )
         toks = jnp.where(active, toks, 0)
         b = toks.shape[0]

@@ -50,6 +50,11 @@ class Request:
     # tokens are not counted): logits -= presence*(count>0) + freq*count.
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    min_p: float = 0.0  # <= 0: disabled (post-temperature min-p filter)
+    # Stop sequences: finish (and truncate) when the generation ends
+    # with any of these token lists.  Host-side check at harvest (the
+    # device never needs them), so multi-token stops are exact.
+    stop: List[List[int]] = dataclasses.field(default_factory=list)
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     # Log-probability of each generated token under the model's raw
@@ -332,6 +337,7 @@ class DecodeEngine:
         self.top_ps = jnp.ones((max_batch,), jnp.float32)
         self.presences = jnp.zeros((max_batch,), jnp.float32)
         self.frequencies = jnp.zeros((max_batch,), jnp.float32)
+        self.min_ps = jnp.zeros((max_batch,), jnp.float32)
         # Per-slot generated-token counts for the presence/frequency
         # penalties; updated device-side inside the fused step.
         self.pen_counts = jnp.zeros(
@@ -416,6 +422,7 @@ class DecodeEngine:
             self.pen_counts = jax.device_put(
                 self.pen_counts, shard_for(self.pen_counts)
             )
+            self.min_ps = jax.device_put(self.min_ps, shard_for(self.min_ps))
             self._active_dev = jax.device_put(
                 self._active_dev, shard_for(self._active_dev)
             )
@@ -571,7 +578,10 @@ class DecodeEngine:
                         self._prefix_registry[key] = owned[i]
             self.key, sub = jax.random.split(self.key)
             tok = int(
-                sample(logits, sub, req.temperature, req.top_k, req.top_p)
+                sample(
+                    logits, sub, req.temperature, req.top_k, req.top_p,
+                    req.min_p,
+                )
             )
             req.slot = slot
             req.generated.append(tok)
@@ -596,6 +606,7 @@ class DecodeEngine:
             self.frequencies = self.frequencies.at[slot].set(
                 req.frequency_penalty
             )
+            self.min_ps = self.min_ps.at[slot].set(req.min_p)
             # Fresh counts for the new occupant; the admission token is
             # already emitted, so it counts toward the penalties.
             self.pen_counts = self.pen_counts.at[slot].set(0).at[
@@ -605,6 +616,18 @@ class DecodeEngine:
             self._maybe_finish(req)
 
     def _maybe_finish(self, req: Request) -> None:
+        hit_stop = False
+        for seq in req.stop:
+            n = len(seq)
+            if n and len(req.generated) >= n and req.generated[-n:] == list(
+                seq
+            ):
+                # Truncate the stop sequence itself (vLLM convention);
+                # logprobs stay aligned with the surviving tokens.
+                del req.generated[-n:]
+                del req.logprobs[len(req.generated):]
+                hit_stop = True
+                break
         hit_eos = req.generated and req.generated[-1] == self.eos_id
         # Margin covers the up-to-harvest_lag zombie steps that may still
         # advance this slot's write head before retirement lands.
@@ -612,7 +635,12 @@ class DecodeEngine:
             len(req.prompt) + len(req.generated)
             >= self.max_len - 1 - self._zombie_margin
         )
-        if hit_eos or len(req.generated) >= req.max_new_tokens or full:
+        if (
+            hit_stop
+            or hit_eos
+            or len(req.generated) >= req.max_new_tokens
+            or full
+        ):
             req.done = True
             self.slots[req.slot] = None
             self._occupancy_dirty = True
@@ -711,6 +739,7 @@ class DecodeEngine:
                         self.pen_counts,
                         self.presences,
                         self.frequencies,
+                        self.min_ps,
                     )
                 )
             elif self._draft is not None:
@@ -748,6 +777,7 @@ class DecodeEngine:
                         self.pen_counts,
                         self.presences,
                         self.frequencies,
+                        self.min_ps,
                         n_steps=self._multi_step,
                     )
                 )  # [multi_step, B]
@@ -766,6 +796,7 @@ class DecodeEngine:
                     self.pen_counts,
                     self.presences,
                     self.frequencies,
+                    self.min_ps,
                 )
             if self._draft is None and (
                 self._multi_step == 1 or self._sp is not None
@@ -831,6 +862,7 @@ class DecodeEngine:
             "presences": self.presences,
             "frequencies": self.frequencies,
             "pen_counts": self.pen_counts,
+            "min_ps": self.min_ps,
             "key": self.key,
             "steps": self.steps,
             "slots": [
@@ -845,6 +877,8 @@ class DecodeEngine:
                     "top_p": r.top_p,
                     "presence_penalty": r.presence_penalty,
                     "frequency_penalty": r.frequency_penalty,
+                    "min_p": r.min_p,
+                    "stop": [list(x) for x in r.stop],
                     "generated": list(r.generated),
                     "logprobs": list(r.logprobs),
                     "slot": r.slot,
@@ -861,6 +895,8 @@ class DecodeEngine:
                     "top_p": r.top_p,
                     "presence_penalty": r.presence_penalty,
                     "frequency_penalty": r.frequency_penalty,
+                    "min_p": r.min_p,
+                    "stop": [list(x) for x in r.stop],
                 }
                 for r in self.queue
             ],
@@ -883,6 +919,8 @@ class DecodeEngine:
             self.presences = jnp.asarray(snap["presences"])
             self.frequencies = jnp.asarray(snap["frequencies"])
             self.pen_counts = jnp.asarray(snap["pen_counts"])
+        if snap.get("min_ps") is not None:
+            self.min_ps = jnp.asarray(snap["min_ps"])
         self.key = jnp.asarray(snap["key"])
         self.steps = int(snap["steps"])
         self.slots = [
@@ -897,6 +935,8 @@ class DecodeEngine:
                 top_p=meta.get("top_p", 1.0),
                 presence_penalty=meta.get("presence_penalty", 0.0),
                 frequency_penalty=meta.get("frequency_penalty", 0.0),
+                min_p=meta.get("min_p", 0.0),
+                stop=[list(x) for x in meta.get("stop", [])],
                 generated=list(meta["generated"]),
                 logprobs=list(meta.get("logprobs", [])),
                 slot=meta["slot"],
@@ -913,6 +953,8 @@ class DecodeEngine:
                 top_p=meta.get("top_p", 1.0),
                 presence_penalty=meta.get("presence_penalty", 0.0),
                 frequency_penalty=meta.get("frequency_penalty", 0.0),
+                min_p=meta.get("min_p", 0.0),
+                stop=[list(x) for x in meta.get("stop", [])],
             )
             for meta in snap["queue"]
         )

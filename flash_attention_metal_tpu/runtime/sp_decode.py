@@ -338,7 +338,8 @@ class SpStepFns:
         dp = PartitionSpec(batch_axis)
 
         def decode_body(params, cache, tokens, active, key, temps,
-                        top_ks, top_ps, pen_counts, presences, frequencies):
+                        top_ks, top_ps, pen_counts, presences, frequencies,
+                        min_ps):
             my_dp = jax.lax.axis_index(batch_axis)
             positions = cache.lengths[:, None]
             x = params["embed"][tokens[:, None]].astype(cfg.dtype)
@@ -358,7 +359,7 @@ class SpStepFns:
             cache = bump_lengths(cache, 1, active)
             toks = sample_batch.__wrapped__(
                 logits, jax.random.fold_in(key, my_dp), temps,
-                top_ks, top_ps, pen_counts, presences, frequencies,
+                top_ks, top_ps, pen_counts, presences, frequencies, min_ps,
             )
             toks = jnp.where(active, toks, 0)
             b = toks.shape[0]
@@ -370,7 +371,7 @@ class SpStepFns:
 
         def _wrap_decode(params, cache, tokens, active, key, temps,
                          top_ks=None, top_ps=None, pen_counts=None,
-                         presences=None, frequencies=None):
+                         presences=None, frequencies=None, min_ps=None):
             b = tokens.shape[0]
             if top_ks is None:
                 top_ks = jnp.zeros(tokens.shape, jnp.int32)
@@ -382,6 +383,8 @@ class SpStepFns:
                 presences = jnp.zeros((b,), jnp.float32)
             if frequencies is None:
                 frequencies = jnp.zeros((b,), jnp.float32)
+            if min_ps is None:
+                min_ps = jnp.zeros((b,), jnp.float32)
             spec = jax.tree_util.tree_map(cspec, cache)
             fn = jax.shard_map(
                 decode_body,
@@ -398,12 +401,14 @@ class SpStepFns:
                     dp,
                     dp,
                     dp,
+                    dp,
                 ),
                 out_specs=(dp, dp, spec, dp),
                 check_vma=False,
             )
             return fn(params, cache, tokens, active, key, temps,
-                      top_ks, top_ps, pen_counts, presences, frequencies)
+                      top_ks, top_ps, pen_counts, presences, frequencies,
+                      min_ps)
 
         self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
 
