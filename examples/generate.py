@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--multi-step", type=int, default=1,
                     help="decode K tokens per device dispatch")
     ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--weight-quant", action="store_true",
+                    help="weight-only int8 params (models/wquant.py)")
+    ap.add_argument("--min-p", type=float, default=0.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -47,6 +52,10 @@ def main() -> int:
         attn_window=256 if args.rolling else None,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.weight_quant:
+        from flash_attention_metal_tpu.models import quantize_weights
+
+        params = quantize_weights(params)
     eng = DecodeEngine(
         params,
         cfg,
@@ -67,6 +76,9 @@ def main() -> int:
                 max_new_tokens=args.max_new,
                 temperature=0.8 if uid % 2 else 0.0,
                 top_k=50 if uid % 2 else 0,
+                min_p=args.min_p if uid % 2 else 0.0,
+                presence_penalty=args.presence_penalty,
+                frequency_penalty=args.frequency_penalty,
             )
         )
     out = eng.run()
