@@ -43,6 +43,8 @@ class EncoderConfig:
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # Attention-probability dropout (train mode: pass dropout_key).
+    attn_dropout: float = 0.0
 
     def __post_init__(self):
         if self.n_heads % self.n_kv_heads:
@@ -87,7 +89,7 @@ def init_params(key: jax.Array, cfg: EncoderConfig) -> Params:
     }
 
 
-def _encoder_block(layer, x, cfg, positions, segment_ids):
+def _encoder_block(layer, x, cfg, positions, segment_ids, dropout_seed=None):
     dt = cfg.dtype
     h = rms_norm(x, layer["attn_norm"])
     q = _split_heads(h @ layer["wq"].astype(dt), cfg.n_heads, cfg.head_dim)
@@ -95,12 +97,15 @@ def _encoder_block(layer, x, cfg, positions, segment_ids):
     v = _split_heads(h @ layer["wv"].astype(dt), cfg.n_kv_heads, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
+    use_drop = cfg.attn_dropout > 0.0 and dropout_seed is not None
     o = flash_attention(
         q,
         k,
         v,
         causal=False,
         segment_ids=segment_ids,
+        dropout_rate=cfg.attn_dropout if use_drop else 0.0,
+        dropout_seed=dropout_seed if use_drop else None,
         impl=cfg.attn_impl,
     )
     x = x + _merge_heads(o) @ layer["wo"].astype(dt)
@@ -113,6 +118,7 @@ def encode(
     attn_mask: Optional[jax.Array] = None,
     *,
     cfg: EncoderConfig,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Hidden states ``[B, N, d_model]`` for padded token batches.
 
@@ -126,8 +132,17 @@ def encode(
     sids = SegmentIds(q=seg, kv=seg)
     positions = jnp.broadcast_to(jnp.arange(n), (b, n))
     x = params["embed"][tokens].astype(cfg.dtype)
-    for layer in params["layers"]:
-        x = _encoder_block(layer, x, cfg, positions, sids)
+    seeds = None
+    if dropout_key is not None and cfg.attn_dropout > 0.0:
+        seeds = jax.random.randint(
+            dropout_key, (len(params["layers"]),), 0,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        )
+    for i, layer in enumerate(params["layers"]):
+        x = _encoder_block(
+            layer, x, cfg, positions, sids,
+            None if seeds is None else seeds[i],
+        )
     return rms_norm(x, params["final_norm"])
 
 
@@ -147,13 +162,14 @@ def mlm_loss(
     attn_mask: Optional[jax.Array] = None,
     *,
     cfg: EncoderConfig,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked-LM cross entropy over positions where ``loss_mask`` is 1.
 
     ``tokens`` holds the corrupted input (e.g. mask-token ids at the
     selected positions), ``labels`` the originals.
     """
-    hidden = encode(params, tokens, attn_mask, cfg=cfg)
+    hidden = encode(params, tokens, attn_mask, cfg=cfg, dropout_key=dropout_key)
     logits = (hidden @ params["mlm_head"].astype(cfg.dtype)).astype(
         jnp.float32
     )

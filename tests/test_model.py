@@ -689,3 +689,42 @@ def test_transform_rolling_quant_cache():
     assert run(True) == rolled
     common = sum(1 for a, b in zip(rolled, dense) if a == b)
     assert common >= 8, (rolled, dense)
+
+
+def test_encoder_dropout_train_eval():
+    """Encoder attention dropout: eval deterministic, train key-dependent,
+    grads finite through the dropout path."""
+    from flash_attention_metal_tpu.models.encoder import (
+        EncoderConfig,
+        encode,
+        init_params as enc_init,
+        mlm_loss,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=256, d_model=128, n_layers=2, n_heads=2, n_kv_heads=2,
+        head_dim=64, d_ff=256, max_seq_len=256, dtype=jnp.float32,
+        attn_dropout=0.3,
+    )
+    params = enc_init(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 128), 1, 256)
+    a = encode(params, toks, cfg=cfg)
+    b = encode(params, toks, cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = encode(params, toks, cfg=cfg, dropout_key=jax.random.PRNGKey(2))
+    d = encode(params, toks, cfg=cfg, dropout_key=jax.random.PRNGKey(3))
+    assert float(jnp.max(jnp.abs(a - c))) > 0
+    assert float(jnp.max(jnp.abs(c - d))) > 0
+
+    labels = toks
+    loss_mask = jnp.ones_like(toks)
+    g = jax.grad(
+        lambda p: mlm_loss(
+            p, toks, labels, loss_mask, cfg=cfg,
+            dropout_key=jax.random.PRNGKey(4),
+        )
+    )(params)
+    gn = jax.tree_util.tree_reduce(
+        lambda s, x: s + float(jnp.sum(jnp.abs(x))), g, 0.0
+    )
+    assert np.isfinite(gn) and gn > 0
