@@ -295,3 +295,105 @@ def greedy_generate(
             break
         out.append(int(tok))
     return out
+
+
+def beam_generate(
+    params: Params,
+    cfg: Seq2SeqConfig,
+    src_tokens: List[int],
+    *,
+    beam_width: int = 4,
+    bos_id: int = 1,
+    eos_id: int = -1,
+    max_new_tokens: int = 32,
+    length_penalty: float = 0.0,
+    return_all: bool = False,
+):
+    """Beam-search decode for one source sequence.
+
+    Shares the generic loop with the FlashLM beam search
+    (``runtime/beam.py``): beams ride the batch axis of the decoder's
+    self-KV cache, the cross-attention memory K/V are broadcast once per
+    source, and one batched step scores every beam per round.
+    """
+    from ..runtime.beam import beam_search_loop
+
+    dt = cfg.dtype
+    s_pad = max(((len(src_tokens) + 127) // 128) * 128, 128)
+    src = jnp.zeros((1, s_pad), jnp.int32).at[0, : len(src_tokens)].set(
+        jnp.asarray(src_tokens, jnp.int32)
+    )
+    src_mask1 = (jnp.arange(s_pad) < len(src_tokens)).astype(jnp.int32)[None]
+    memory = encode_src(params, src, src_mask1, cfg)
+    src_mask = jnp.broadcast_to(src_mask1, (beam_width, s_pad))
+    mem_kv = [
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                x, (beam_width,) + x.shape[1:]
+            ),
+            _memory_kv(layer, memory, cfg),
+        )
+        for layer in params["layers"]
+    ]
+
+    t_cap = max(((max_new_tokens + 1 + 127) // 128) * 128, 128)
+    kc = jnp.zeros(
+        (cfg.dec_layers, beam_width, cfg.n_kv_heads, t_cap, cfg.head_dim),
+        dt,
+    )
+    vc = jnp.zeros_like(kc)
+    lengths = jnp.zeros((beam_width,), jnp.int32)
+
+    def step_fn(state, tokens, finished):
+        kc, vc, lengths = state
+        active = jnp.logical_not(finished)
+        pos = lengths[:, None]
+        x = params["embed"][tokens[:, None]].astype(dt)
+        for i, layer in enumerate(params["layers"]):
+            h = rms_norm(x, layer["attn_norm"])
+            q = _split_heads(
+                h @ weight(layer["wq"], dt), cfg.n_heads, cfg.head_dim
+            )
+            k = _split_heads(
+                h @ weight(layer["wk"], dt), cfg.n_kv_heads, cfg.head_dim
+            )
+            v = _split_heads(
+                h @ weight(layer["wv"], dt), cfg.n_kv_heads, cfg.head_dim
+            )
+            q = rope(q, pos, cfg.rope_theta)
+            k = rope(k, pos, cfg.rope_theta)
+
+            def put(buf, new, ln):
+                return jax.lax.dynamic_update_slice(buf, new, (0, ln, 0))
+
+            kc = kc.at[i].set(jax.vmap(put)(kc[i], k, lengths))
+            vc = vc.at[i].set(jax.vmap(put)(vc[i], v, lengths))
+            o = flash_attention(
+                q, kc[i], vc[i], q_offset=lengths, causal=True,
+                impl=cfg.attn_impl,
+            )
+            x = x + _merge_heads(o) @ weight(layer["wo"], dt)
+            x = _cross_attention(layer, x, mem_kv[i], src_mask, cfg)
+            x = mlp_block(layer, x, cfg)
+        x = rms_norm(x, params["final_norm"])
+        logits = (x @ weight(params["lm_head"], dt)).astype(jnp.float32)
+        lengths = lengths + active.astype(jnp.int32)
+        return logits[:, 0], (kc, vc, lengths)
+
+    # Seed: the BOS step run over all (identical) beams gives the first
+    # expansion distribution; the loop then starts from those states.
+    logits0, state = step_fn(
+        (kc, vc, lengths),
+        jnp.full((beam_width,), bos_id, jnp.int32),
+        jnp.zeros((beam_width,), bool),
+    )
+    return beam_search_loop(
+        step_fn,
+        state,
+        logits0[0],
+        beam_width=beam_width,
+        max_new_tokens=max_new_tokens,
+        eos_id=eos_id,
+        length_penalty=length_penalty,
+        return_all=return_all,
+    )

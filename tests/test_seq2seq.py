@@ -101,3 +101,37 @@ def test_masked_target_loss():
     half = all_ones.at[:, 32:].set(0)
     masked = float(s2s.loss_fn(params, src, tgt, CFG, tgt_mask=half))
     assert np.isfinite(masked) and masked != full
+
+
+def test_beam_width1_equals_greedy():
+    params = _params()
+    greedy = s2s.greedy_generate(
+        params, CFG, SRC, bos_id=1, max_new_tokens=8
+    )
+    seq, score = s2s.beam_generate(
+        params, CFG, SRC, beam_width=1, bos_id=1, max_new_tokens=8
+    )
+    assert seq == greedy
+    assert np.isfinite(score)
+
+
+def test_beam_scores_match_teacher_forced():
+    params = _params()
+    beams = s2s.beam_generate(
+        params, CFG, SRC, beam_width=3, bos_id=1, max_new_tokens=5,
+        return_all=True,
+    )
+    s_pad = 128
+    src = jnp.zeros((1, s_pad), jnp.int32).at[0, : len(SRC)].set(
+        jnp.asarray(SRC)
+    )
+    mask = (jnp.arange(s_pad) < len(SRC)).astype(jnp.int32)[None]
+    assert len({tuple(s) for s, _ in beams}) == 3
+    for seq, score in beams:
+        tgt = jnp.asarray([[1] + seq], jnp.int32)
+        logits = s2s.forward(params, src, tgt, CFG, mask)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        want = sum(
+            float(logp[0, t, tok]) for t, tok in enumerate(seq)
+        )
+        np.testing.assert_allclose(score, want, atol=1e-3)
