@@ -68,6 +68,7 @@ class Trainer:
         seed: int = 0,
         grad_accum: int = 1,
         loss: Optional[Callable] = None,
+        ema_decay: float = 0.0,
     ):
         """``grad_accum > 1`` splits each ``step()`` batch into that many
         microbatches, accumulating gradients in a rematerializing
@@ -77,6 +78,12 @@ class Trainer:
         ``loss``: alternative loss with the ``loss_fn`` signature
         ``(params, tokens, cfg, dropout_key)`` — e.g.
         ``models.losses.loss_fn_blockwise`` for chunked-vocab CE.
+
+        ``ema_decay > 0`` maintains an exponential moving average of the
+        parameters inside the jitted step (``ema = d*ema + (1-d)*p``,
+        with the standard warmup cap ``d_t = min(d, (1+t)/(10+t))``);
+        read it via ``self.ema_params`` for evaluation/serving — EMA
+        weights are a plain param tree, so they drop into the engine.
         """
         self.cfg = cfg
         self.opt = optimizer if optimizer is not None else make_optimizer()
@@ -134,6 +141,26 @@ class Trainer:
             step=jnp.int32(0),
             key=key,
         )
+        self.ema_params = None
+        self._ema_update = None
+        if ema_decay:
+            if not 0.0 < ema_decay < 1.0:
+                raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.array, self.state.params
+            )
+
+            @jax.jit
+            def _ema_update(ema, params, step):
+                # Warmup cap: early steps track the params closely.
+                d = jnp.minimum(
+                    ema_decay, (1.0 + step) / (10.0 + step)
+                ).astype(jnp.float32)
+                return jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p, ema, params
+                )
+
+            self._ema_update = _ema_update
 
     # ------------------------------------------------------------------
     def step(self, tokens: jax.Array) -> float:
@@ -150,6 +177,10 @@ class Trainer:
         self.state = TrainState(
             params=params, opt_state=opt_state, step=step, key=key
         )
+        if self.ema_params is not None:
+            self.ema_params = self._ema_update(
+                self.ema_params, params, step
+            )
         return float(loss)
 
     def train(
@@ -180,15 +211,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
-        save_pytree(
-            path,
-            {
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-                "key": self.state.key,
-            },
-        )
+        snap = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "key": self.state.key,
+        }
+        if self.ema_params is not None:
+            snap["ema_params"] = self.ema_params
+        save_pytree(path, snap)
 
     def load(self, path: str) -> None:
         like = {
@@ -197,7 +228,11 @@ class Trainer:
             "step": self.state.step,
             "key": self.state.key,
         }
+        if self.ema_params is not None:
+            like["ema_params"] = self.ema_params
         snap = restore_pytree(path, like=like)
+        if self.ema_params is not None:
+            self.ema_params = snap["ema_params"]
         self.state = TrainState(
             params=snap["params"],
             opt_state=snap["opt_state"],

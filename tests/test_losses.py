@@ -128,3 +128,44 @@ def test_trainer_blockwise_loss_trains():
     _, tokens = _fixtures(batch=4, seq=64)
     losses = [tr.step(tokens) for _ in range(6)]
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_ema_tracks_and_roundtrips(tmp_path):
+    from flash_attention_metal_tpu.models.trainer import Trainer
+
+    tr = Trainer(CFG, seed=0, ema_decay=0.9)
+    _, tokens = _fixtures(batch=2, seq=64)
+    for _ in range(3):
+        tr.step(tokens)
+    # EMA differs from the live params but stays close (warmup-capped
+    # decay keeps it tracking early on).
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.max(jnp.abs(e - p))),
+        tr.ema_params,
+        tr.state.params,
+    )
+    flat = jax.tree_util.tree_leaves(diffs)
+    assert max(flat) > 0
+    rel = jax.tree_util.tree_map(
+        lambda e, p: float(
+            jnp.linalg.norm(e - p) / (jnp.linalg.norm(p) + 1e-9)
+        ),
+        tr.ema_params,
+        tr.state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(rel)) < 0.05
+    # Checkpoint round-trip includes the EMA tree.
+    tr.save(str(tmp_path / "ck"))
+    tr2 = Trainer(CFG, seed=1, ema_decay=0.9)
+    tr2.load(str(tmp_path / "ck"))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tr.ema_params,
+        tr2.ema_params,
+    )
+    # EMA weights are a plain tree: they evaluate through the loss.
+    from flash_attention_metal_tpu.models import loss_fn as dense_loss
+
+    assert np.isfinite(float(dense_loss(tr.ema_params, tokens, CFG)))
