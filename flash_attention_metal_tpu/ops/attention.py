@@ -38,11 +38,18 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def _flash(
-    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, lazy_softmax, interpret,
+    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
+    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
 ):
+    """Differentiable attention, with or without in-kernel dropout.
+
+    ``dropout_seed`` is None when ``dropout_rate == 0`` (an empty-pytree
+    arg whose cotangent is None); with dropout it is a traced int32
+    scalar, so a new seed every train step costs no recompile — the
+    backward kernels regenerate the identical mask from it (FA-2
+    capability; the reference has none)."""
     return flash_attention_fwd(
         q,
         k,
@@ -56,13 +63,15 @@ def _flash(
         block_sizes=block_sizes,
         save_lse=False,
         lazy_softmax=lazy_softmax,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
         interpret=interpret,
     )
 
 
 def _flash_fwd_rule(
-    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, lazy_softmax, interpret,
+    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
+    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -77,9 +86,11 @@ def _flash_fwd_rule(
         block_sizes=block_sizes,
         save_lse=True,
         lazy_softmax=lazy_softmax,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
         interpret=interpret,
     )
-    return o, (q, k, v, q_offset, segment_ids, o, lse_lanes)
+    return o, (q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes)
 
 
 def _grads_from_residuals(
@@ -130,84 +141,6 @@ def _grads_from_residuals(
 
 
 def _flash_bwd_rule(
-    causal, window, sinks, sm_scale, block_sizes, lazy_softmax, interpret,
-    residuals, do,
-):
-    return _grads_from_residuals(
-        residuals,
-        do,
-        None,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        sm_scale=sm_scale,
-        block_sizes=block_sizes,
-        interpret=interpret,
-    )
-
-
-_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
-)
-def _flash_dropout(
-    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
-):
-    """Attention with in-kernel dropout (FA-2 capability; reference has
-    none).  The keep mask is a counter-based hash of the traced int32
-    seed and absolute coordinates, regenerated inside the FA-2 backward
-    kernels — no mask tensor in HBM, new seed per step, no recompile.
-
-    NOTE: this trio mirrors _flash/_flash_fwd_rule/_flash_bwd_rule with
-    the seed threaded through; changes to the residual layout or the
-    GQA group-reduce must be made in BOTH wirings."""
-    return flash_attention_fwd(
-        q,
-        k,
-        v,
-        q_offset,
-        sm_scale=sm_scale,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        segment_ids=segment_ids,
-        block_sizes=block_sizes,
-        save_lse=False,
-        lazy_softmax=lazy_softmax,
-        dropout_rate=dropout_rate,
-        dropout_seed=dropout_seed,
-        interpret=interpret,
-    )
-
-
-def _flash_dropout_fwd_rule(
-    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
-):
-    o, lse_lanes = flash_attention_fwd(
-        q,
-        k,
-        v,
-        q_offset,
-        sm_scale=sm_scale,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        segment_ids=segment_ids,
-        block_sizes=block_sizes,
-        save_lse=True,
-        lazy_softmax=lazy_softmax,
-        dropout_rate=dropout_rate,
-        dropout_seed=dropout_seed,
-        interpret=interpret,
-    )
-    return o, (q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes)
-
-
-def _flash_dropout_bwd_rule(
     causal, window, sinks, sm_scale, dropout_rate, block_sizes,
     lazy_softmax, interpret, residuals, do,
 ):
@@ -225,11 +158,15 @@ def _flash_dropout_bwd_rule(
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
     )
-    d_seed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+    d_seed = (
+        None
+        if dropout_seed is None
+        else np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+    )
     return dq, dk, dv, d_off, d_seed, d_seg
 
 
-_flash_dropout.defvjp(_flash_dropout_fwd_rule, _flash_dropout_bwd_rule)
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
@@ -580,27 +517,12 @@ def flash_attention(
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
 
-    if dropout_rate:
-        if softcap is not None or alibi_slopes is not None or save_lse:
-            raise NotImplementedError(
-                "dropout with softcap/alibi_slopes/save_lse is not "
-                "supported on the pallas path; use impl='xla'"
-            )
-        return _flash_dropout(
-            q,
-            k,
-            v,
-            q_offset,
-            dropout_seed,
-            segment_ids,
-            causal,
-            window,
-            sinks,
-            sm_scale,
-            dropout_rate,
-            block_sizes,
-            lazy_softmax,
-            interpret,
+    if dropout_rate and (
+        softcap is not None or alibi_slopes is not None or save_lse
+    ):
+        raise NotImplementedError(
+            "dropout with softcap/alibi_slopes/save_lse is not "
+            "supported on the pallas path; use impl='xla'"
         )
 
     if softcap is not None or alibi_slopes is not None:
@@ -650,11 +572,13 @@ def flash_attention(
         k,
         v,
         q_offset,
+        dropout_seed if dropout_rate else None,
         segment_ids,
         causal,
         window,
         sinks,
         sm_scale,
+        dropout_rate,
         block_sizes,
         lazy_softmax,
         interpret,
