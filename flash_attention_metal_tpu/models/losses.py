@@ -88,6 +88,39 @@ def blockwise_softmax_xent(
     return jnp.mean(nll)
 
 
+def perplexity(
+    params: Params,
+    batches,
+    cfg: ModelConfig,
+    *,
+    n_batches: int,
+    vocab_chunk: int = 4096,
+) -> float:
+    """Token-weighted eval perplexity over ``n_batches`` from an
+    iterator of ``[B, N]`` token batches.
+
+    Uses the blockwise loss (no [B, N, V] logits), jitted once; batches
+    may vary in B/N (each shape compiles once).  Deterministic — no
+    dropout at eval.
+    """
+    import functools
+
+    eval_loss = jax.jit(
+        functools.partial(loss_fn_blockwise, vocab_chunk=vocab_chunk),
+        static_argnames=("cfg",),
+    )
+    total_nll = 0.0
+    total_tok = 0
+    for _ in range(n_batches):
+        tokens = next(batches)
+        n_tok = tokens.shape[0] * (tokens.shape[1] - 1)
+        total_nll += float(eval_loss(params, tokens, cfg)) * n_tok
+        total_tok += n_tok
+    import math
+
+    return math.exp(total_nll / max(total_tok, 1))
+
+
 def loss_fn_blockwise(
     params: Params,
     tokens: jax.Array,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import time
 from collections import OrderedDict, deque
 from typing import Dict, List, Optional
 
@@ -346,6 +347,10 @@ class DecodeEngine:
         self.queue: deque[Request] = deque()
         self.key = jax.random.PRNGKey(seed)
         self.steps = 0
+        # Throughput accounting (host wall clock around step()).
+        self._t_started = None
+        self._step_seconds = 0.0
+        self._tokens_emitted = 0
         self.finished: Dict[int, Request] = {}
         # Fetch-behind pipeline: device->host token transfers are issued
         # asynchronously and bookkeeping runs ``harvest_lag`` steps behind
@@ -697,6 +702,9 @@ class DecodeEngine:
 
     def step(self) -> List[Request]:
         """Admit, enqueue one decode step, harvest lagged bookkeeping."""
+        t0 = time.perf_counter()
+        if self._t_started is None:
+            self._t_started = t0
         self._admit()
         active_reqs = [r for r in self.slots if r is not None]
         if active_reqs:
@@ -821,7 +829,32 @@ class DecodeEngine:
             len(self._inflight) > self.harvest_lag or not active_reqs
         ):
             finished.extend(self._harvest_one())
+        self._step_seconds += time.perf_counter() - t0
+        self._tokens_emitted = sum(
+            len(r.generated) for r in self.finished.values()
+        ) + sum(
+            len(r.generated) for r in self.slots if r is not None
+        )
         return finished
+
+    def stats(self) -> Dict[str, float]:
+        """Serving throughput counters (host wall clock).
+
+        ``tokens``: emitted so far (finished + in-flight);
+        ``tokens_per_s``: tokens / cumulative step() seconds;
+        ``ms_per_step``: mean dispatch cadence.  The tunnel's dispatch
+        floor and fetch costs are included — these are end-to-end
+        numbers, matching harness/serving.py's methodology.
+        """
+        steps = max(self.steps, 1)
+        secs = max(self._step_seconds, 1e-9)
+        return {
+            "steps": float(self.steps),
+            "seconds": self._step_seconds,
+            "tokens": float(self._tokens_emitted),
+            "tokens_per_s": self._tokens_emitted / secs,
+            "ms_per_step": 1e3 * self._step_seconds / steps,
+        }
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue; returns {uid: generated tokens}."""

@@ -169,3 +169,48 @@ def test_ema_tracks_and_roundtrips(tmp_path):
     from flash_attention_metal_tpu.models import loss_fn as dense_loss
 
     assert np.isfinite(float(dense_loss(tr.ema_params, tokens, CFG)))
+
+
+def test_perplexity_matches_dense_loss():
+    import math
+    from flash_attention_metal_tpu.models.losses import perplexity
+
+    params, tokens = _fixtures()
+    want = math.exp(float(loss_fn(params, tokens, CFG)))
+    got = perplexity(params, iter([tokens]), CFG, n_batches=1,
+                     vocab_chunk=128)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # Token-weighted across two differently-sized batches.
+    t2 = tokens[:2]
+    got2 = perplexity(
+        params, iter([tokens, t2]), CFG, n_batches=2, vocab_chunk=128
+    )
+    n1 = tokens.shape[0] * (tokens.shape[1] - 1)
+    n2 = t2.shape[0] * (t2.shape[1] - 1)
+    want2 = math.exp(
+        (float(loss_fn(params, tokens, CFG)) * n1
+         + float(loss_fn(params, t2, CFG)) * n2) / (n1 + n2)
+    )
+    np.testing.assert_allclose(got2, want2, rtol=1e-5)
+
+
+def test_engine_stats():
+    from flash_attention_metal_tpu.models import init_params as lm_init
+    from flash_attention_metal_tpu.models.transformer import (
+        ModelConfig as LMConfig,
+    )
+    from flash_attention_metal_tpu.runtime import DecodeEngine, Request
+
+    lm_cfg = LMConfig(
+        vocab_size=256, d_model=128, n_layers=2, n_heads=2, n_kv_heads=2,
+        head_dim=64, d_ff=128, max_seq_len=256, dtype=jnp.float32,
+    )
+    params = lm_init(jax.random.PRNGKey(0), lm_cfg)
+    eng = DecodeEngine(params, lm_cfg, max_batch=2, max_len=256)
+    eng.submit(Request(uid=0, prompt=[1, 2, 3], max_new_tokens=6))
+    eng.submit(Request(uid=1, prompt=[4, 5], max_new_tokens=4))
+    eng.run()
+    st = eng.stats()
+    assert st["tokens"] == 10.0, st
+    assert st["tokens_per_s"] > 0 and st["ms_per_step"] > 0
+    assert st["steps"] >= 1
