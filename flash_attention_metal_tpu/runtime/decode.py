@@ -423,15 +423,18 @@ def sample(
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = (logits / temperature).reshape(1, -1)
+    if min_p > 0.0:
+        # Before the top-k/p filter — same order as sample_batch (the
+        # min-p keep set only depends on the row max, but top-p's
+        # cumulative set depends on what min-p already removed).
+        thresh = jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(min_p)
+        scaled = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     if top_k > 0 or top_p < 1.0:
         scaled = _filter_top_kp(
             scaled,
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
         )
-    if min_p > 0.0:
-        thresh = jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(min_p)
-        scaled = jnp.where(scaled >= thresh, scaled, -jnp.inf)
     return jax.random.categorical(key, scaled[0]).astype(jnp.int32)
 
 
