@@ -879,6 +879,11 @@ def flash_attention_bwd(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # The in-kernel dropout mask regeneration adds ~2MB of live
+            # intermediates; the 16MB scoped-vmem default OOMs (measured
+            # 17.89M at bkv=1024, d=64).  Without dropout the default is
+            # the measured-fastest setting — leave it alone.
+            vmem_limit_bytes=24 * 1024 * 1024 if has_dropout else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * batch * heads * n_q * n_kv * head_dim,
@@ -978,6 +983,9 @@ def flash_attention_bwd(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # See the dKdV kernel: dropout needs headroom over the 16MB
+            # scoped-vmem default; None keeps the measured-best default.
+            vmem_limit_bytes=24 * 1024 * 1024 if has_dropout else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * batch * heads * n_q * n_kv * head_dim,

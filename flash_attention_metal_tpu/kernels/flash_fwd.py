@@ -118,6 +118,13 @@ def _fwd_kernel(
 
     if causal or kvpos_ref is not None or slopes_ref is not None:
         q_offset = off_ref[pl.program_id(0)]
+    if slopes_ref is not None:
+        # Scalar-prefetch (SMEM) [H] vector: a true scalar read — Mosaic
+        # cannot broadcast a (1, 1) VMEM slice into both sublanes and
+        # lanes, but scalar*vector is native.  Read at kernel top level:
+        # program_id inside nested loop bodies is not substituted by the
+        # CPU interpreter.
+        slope2 = slopes_ref[pl.program_id(1)] * _LOG2E
 
     def _transform(s, start):
         # Score transforms applied between the QK^T matmul and masking.
@@ -133,7 +140,6 @@ def _fwd_kernel(
             # row carries the causal q_offset; bias <= 0 for visible keys.
             # (1, 1) slice, not a scalar extract — broadcasts on the VPU
             # without a vector->scalar move.
-            slope2 = slopes_ref[:1, :1] * _LOG2E
             rowpos = (
                 jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                 + q_idx * block_q
@@ -779,17 +785,17 @@ def flash_attention_fwd(
         seed_ref = None
         if has_dropout:
             seed_ref, rest = rest[0], rest[1:]
+        slopes_ref = None
+        if has_alibi:
+            slopes_ref, rest = rest[0], rest[1:]
         q_ref, k_ref, v_ref = rest[:3]
         i = 3
-        qseg_ref = kvseg_ref = kvpos_ref = slopes_ref = None
+        qseg_ref = kvseg_ref = kvpos_ref = None
         if has_seg:
             qseg_ref, kvseg_ref = rest[i : i + 2]
             i += 2
         if has_pos:
             kvpos_ref = rest[i]
-            i += 1
-        if has_alibi:
-            slopes_ref = rest[i]
             i += 1
         o_ref = rest[i]
         i += 1
@@ -916,24 +922,20 @@ def flash_attention_fwd(
             pl.BlockSpec((1, NUM_SUBLANES, block_k_major), kvpos_map)
         )
         inputs.append(kvpos)
-    if has_alibi:
-        # One fp32 slope per q-head, lane-replicated so the kernel reads a
-        # (1, 1) slice (no vector->scalar extract).  Heads sharing a KV
-        # group still get distinct slopes (indexed by q-head h).
-        slopes = jnp.broadcast_to(
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
-            (heads, NUM_LANES),
-        )
-        in_specs.append(
-            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
-        )
-        inputs.append(slopes)
-
     scalar_args = [q_offset]
     if has_dropout:
         # int32 dropout seed rides as a second scalar-prefetch operand;
         # index maps all tolerate the extra trailing ref.
         scalar_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+    if has_alibi:
+        # One fp32 slope per q-head, in SMEM via scalar prefetch: the
+        # kernel reads a true scalar (slopes[h]) — scalar*vector
+        # broadcasts natively, whereas a (1, 1) VMEM slice cannot
+        # broadcast into both sublanes and lanes on Mosaic.  Heads
+        # sharing a KV group still get distinct slopes (q-head indexed).
+        scalar_args.append(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),

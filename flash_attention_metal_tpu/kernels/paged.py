@@ -49,7 +49,7 @@ def _make_page_map(
     re-reference an already-fetched physical page and their DMAs are
     elided), then translates through the scalar-prefetched table."""
 
-    def kv_page_map(b, h, i, j, off_ref, table_ref):
+    def kv_page_map(b, h, i, j, off_ref, table_ref, *_):
         diag = ((i + 1) * block_q - 1 + off_ref[b]) // page_size
         j_eff = jnp.minimum(j, diag)
         if window is not None and not sinks:
@@ -139,12 +139,13 @@ def flash_attention_paged(
         softcap=softcap,
     )
 
-    def kernel(off_ref, table_ref, q_ref, k_ref, v_ref, *rest):
+    def kernel(off_ref, table_ref, *rest):
         del table_ref  # consumed by the index maps only
         slopes_r = None
         if has_alibi:
+            # Scalar-prefetch (SMEM) [H] slopes — third scalar operand.
             slopes_r, rest = rest[0], rest[1:]
-        o_ref, m_s, l_s, a_s = rest
+        q_ref, k_ref, v_ref, o_ref, m_s, l_s, a_s = rest
         return bound(
             off_ref, None, q_ref, k_ref, v_ref, None, None, None, slopes_r,
             o_ref, None, m_s, l_s, a_s,
@@ -162,18 +163,15 @@ def flash_attention_paged(
         pl.BlockSpec((1, 1, page_size, head_dim), kv_page_map),
     ]
     inputs = [q, pool_k, pool_v]
+    scalar_args = [q_offset, table]
     if has_alibi:
-        slopes = jnp.broadcast_to(
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
-            (heads, NUM_LANES),
+        # Per-q-head fp32 slopes via scalar prefetch (flash_fwd analog).
+        scalar_args.append(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads)
         )
-        in_specs.append(
-            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
-        )
-        inputs.append(slopes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalar_args),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -206,7 +204,7 @@ def flash_attention_paged(
             transcendentals=batch * heads * n_q * max_pages * page_size,
         ),
         interpret=interpret,
-    )(q_offset, table, *inputs)
+    )(*scalar_args, *inputs)
     return out[0]
 
 
@@ -287,12 +285,13 @@ def flash_attention_paged_quant(
         softcap=softcap,
     )
 
-    def kernel(off_ref, table_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, *rest):
+    def kernel(off_ref, table_ref, *rest):
         del table_ref  # consumed by the index maps only
         slopes_r = None
         if has_alibi:
+            # Scalar-prefetch (SMEM) [H] slopes — third scalar operand.
             slopes_r, rest = rest[0], rest[1:]
-        o_ref, m_s, l_s, a_s = rest
+        q_ref, kq_ref, vq_ref, ks_ref, vs_ref, o_ref, m_s, l_s, a_s = rest
         return bound(
             off_ref, q_ref, kq_ref, vq_ref, ks_ref, vs_ref, None, slopes_r,
             o_ref, None, m_s, l_s, a_s,
@@ -312,18 +311,15 @@ def flash_attention_paged_quant(
         pl.BlockSpec((1, 1, scale_rows, NUM_LANES), kv_page_map),
     ]
     inputs = [q, pool_k_q, pool_v_q, ks, vs]
+    scalar_args = [q_offset, table]
     if has_alibi:
-        slopes = jnp.broadcast_to(
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
-            (heads, NUM_LANES),
+        # Per-q-head fp32 slopes via scalar prefetch (flash_fwd analog).
+        scalar_args.append(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads)
         )
-        in_specs.append(
-            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
-        )
-        inputs.append(slopes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalar_args),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -356,5 +352,5 @@ def flash_attention_paged_quant(
             transcendentals=batch * heads * n_q * max_pages * page_size,
         ),
         interpret=interpret,
-    )(q_offset, table, *inputs)
+    )(*scalar_args, *inputs)
     return out[0]

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
+    NUM_SUBLANES,
     BlockSizes,
     default_scale,
 )
@@ -142,6 +143,13 @@ def _quant_fwd_kernel(
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    if slopes_ref is not None:
+        # Scalar-prefetch (SMEM) [H] vector: true scalar read — a (1, 1)
+        # VMEM slice cannot broadcast into both sublanes and lanes on
+        # Mosaic, but scalar*vector is native.  Read at kernel top level:
+        # program_id inside pl.when bodies is not substituted by the CPU
+        # interpreter.
+        slope2 = slopes_ref[pl.program_id(1)] * _LOG2E
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -194,7 +202,6 @@ def _quant_fwd_kernel(
             c2 = softcap * _LOG2E
             s = c2 * jnp.tanh(s * (1.0 / c2))
         if slopes_ref is not None:
-            slope2 = slopes_ref[:1, :1] * _LOG2E
             rowpos_a = (
                 jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                 + q_idx * block_q
@@ -373,15 +380,15 @@ def flash_attention_quant(
     )
 
     def kernel(off_ref, *rest):
-        # Optional-arg shim (kv positions / ALiBi slope inputs, LSE output).
+        # Optional-arg shim (ALiBi scalar-prefetch ref, kv positions, LSE).
+        slopes_r = None
+        if has_alibi:
+            slopes_r, rest = rest[0], rest[1:]
         q_r, kq_r, vq_r, ks_r, vs_r = rest[:5]
         i = 5
-        kvpos_r = slopes_r = None
+        kvpos_r = None
         if has_pos:
             kvpos_r = rest[i]
-            i += 1
-        if has_alibi:
-            slopes_r = rest[i]
             i += 1
         o_r = rest[i]
         i += 1
@@ -414,7 +421,7 @@ def flash_attention_quant(
     if causal and not has_pos:
         # Above-diagonal steps re-reference the diagonal block so their
         # HBM->VMEM DMAs are elided (flash_fwd clamp analog).
-        def kv_map(b, h, i, j, off_ref):
+        def kv_map(b, h, i, j, off_ref, *_):
             diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
@@ -438,8 +445,6 @@ def flash_attention_quant(
     ]
     inputs = [q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale]
     if has_pos:
-        from ..config import NUM_SUBLANES
-
         kvpos = jax.lax.broadcast_in_dim(
             kv_positions.astype(jnp.int32),
             (batch, NUM_SUBLANES, n_kv),
@@ -452,23 +457,19 @@ def flash_attention_quant(
 
         in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, block_k), kvpos_map))
         inputs.append(kvpos)
+    scalar_args = [q_offset]
     if has_alibi:
-        # One fp32 slope per q-head, lane-replicated (flash_fwd analog).
-        slopes = jnp.broadcast_to(
-            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads, 1),
-            (heads, NUM_LANES),
+        # Per-q-head fp32 slopes via scalar prefetch (flash_fwd analog).
+        scalar_args.append(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads)
         )
-        in_specs.append(
-            pl.BlockSpec((1, NUM_LANES), lambda b, h, i, j, *_: (h, 0))
-        )
-        inputs.append(slopes)
 
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     results = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalar_args),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -494,7 +495,7 @@ def flash_attention_quant(
             transcendentals=batch * heads * n_q * n_kv // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(q_offset, *inputs)
+    )(*scalar_args, *inputs)
 
     if save_lse:
         return results[0], results[1]
