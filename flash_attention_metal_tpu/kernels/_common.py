@@ -37,6 +37,42 @@ def _mix32(x: jax.Array) -> jax.Array:
     return x
 
 
+def pack_dropout_seed(seed, offsets=None) -> jax.Array:
+    """Pack the dropout seed + global-coordinate offsets into the int32
+    scalar-prefetch vector the kernels consume.
+
+    Layout: ``[seed, row_off, col_off, batch_off, head_off]``.  The
+    offsets translate the kernels' shard-local grid coordinates into
+    GLOBAL logical coordinates, so any mesh factorization (ring/allgather
+    sequence shards, dp batch shards, tp head shards) regenerates the
+    exact single-device mask — sharding-invariant dropout, not just
+    seed-folded decorrelation.  ``offsets`` is a 4-tuple of int scalars
+    (traced OK), default all-zero; a pre-packed length-5 vector passes
+    through untouched (op-layer custom_vjp convenience).
+    """
+    seed = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if seed.shape[0] == 5:
+        if offsets is not None:
+            raise ValueError("pre-packed dropout seed with extra offsets")
+        return seed
+    if seed.shape[0] != 1:
+        raise ValueError(
+            f"dropout_seed must be a scalar or packed [5], got {seed.shape}"
+        )
+    if offsets is None:
+        offs = jnp.zeros((4,), jnp.int32)
+    else:
+        if len(offsets) != 4:
+            raise ValueError(
+                "dropout_offsets must be (row, col, batch, head), got "
+                f"{len(offsets)} entries"
+            )
+        offs = jnp.stack(
+            [jnp.asarray(o, jnp.int32).reshape(()) for o in offsets]
+        )
+    return jnp.concatenate([seed, offs])
+
+
 def dropout_keep(
     seed: jax.Array,
     bh: jax.Array,

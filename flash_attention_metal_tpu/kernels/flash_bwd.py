@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
-from ._common import dropout_keep, mxu_dot_general
+from ._common import dropout_keep, mxu_dot_general, pack_dropout_seed
 
 
 def _dropout_keep_tile(seed_ref, bh, q_idx, kv_idx, block_q, block_kv, rate):
@@ -46,14 +46,29 @@ def _dropout_keep_tile(seed_ref, bh, q_idx, kv_idx, block_q, block_kv, rate):
     CUDA version's philox-offset bookkeeping (the hash is stateless).
     ``bh`` must be computed at kernel top level (program_id is not
     available inside pl.when bodies under interpret mode).
+    ``seed_ref[1]/[2]`` are the shard->global row/col offsets (zero for
+    single-device; see ``_common.pack_dropout_seed``).
     """
-    rows = q_idx * block_q + jax.lax.broadcasted_iota(
+    rows = seed_ref[1] + q_idx * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, 1), 0
     )
-    cols = kv_idx * block_kv + jax.lax.broadcasted_iota(
+    cols = seed_ref[2] + kv_idx * block_kv + jax.lax.broadcasted_iota(
         jnp.int32, (1, block_kv), 1
     )
     return dropout_keep(seed_ref[0], bh, rows, cols, rate)
+
+
+def _dropout_bh(seed_ref, dropout_heads):
+    """Global (batch*heads + head) hash-stream index for this program.
+
+    Mirrors the forward kernel: seed_ref[3]/[4] carry the dp/tp shard
+    offsets and ``dropout_heads`` the static GLOBAL head count (local
+    head count when None).
+    """
+    mul = dropout_heads if dropout_heads is not None else pl.num_programs(1)
+    return (pl.program_id(0) + seed_ref[3]) * mul + (
+        pl.program_id(1) + seed_ref[4]
+    )
 
 
 def _dkv_kernel(
@@ -80,11 +95,12 @@ def _dkv_kernel(
     window,
     sinks,
     dropout_rate: float = 0.0,
+    dropout_heads=None,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
     if dropout_rate:
-        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        dropout_bh = _dropout_bh(seed_ref, dropout_heads)
 
     @pl.when(q_idx == 0)
     def _init():
@@ -208,11 +224,12 @@ def _dq_kernel(
     window,
     sinks,
     dropout_rate: float = 0.0,
+    dropout_heads=None,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     if dropout_rate:
-        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        dropout_bh = _dropout_bh(seed_ref, dropout_heads)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -296,7 +313,8 @@ _AUTOTUNE_BWD_WARNED = False
 def flash_attention_bwd_auto(
     q, k, v, o, do, lse_lanes, q_offset=None, dlse=None, *,
     sm_scale=None, causal=False, window=None, sinks=0, segment_ids=None,
-    block_sizes=None, dropout_rate=0.0, dropout_seed=None, interpret=False,
+    block_sizes=None, dropout_rate=0.0, dropout_seed=None,
+    dropout_offsets=None, dropout_heads=None, interpret=False,
 ):
     """Backward dispatcher: consult the autotuner's persisted decision
     (impl + blocks) for this shape; FA-2 two-kernel defaults otherwise.
@@ -334,6 +352,7 @@ def flash_attention_bwd_auto(
             sm_scale=sm_scale, causal=causal, window=window, sinks=sinks,
             segment_ids=segment_ids, block_sizes=block_sizes,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            dropout_offsets=dropout_offsets, dropout_heads=dropout_heads,
             interpret=interpret,
         )
     kern = flash_attention_bwd_fused if impl == "fused" else flash_attention_bwd
@@ -655,6 +674,7 @@ def flash_attention_bwd_fused(
         "sinks",
         "block_sizes",
         "dropout_rate",
+        "dropout_heads",
         "interpret",
     ),
 )
@@ -676,6 +696,8 @@ def flash_attention_bwd(
     block_sizes: Optional[BlockSizes] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    dropout_offsets=None,
+    dropout_heads: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(dQ, dK, dV) given saved output + lane-replicated logsumexp.
@@ -708,6 +730,8 @@ def flash_attention_bwd(
             block_sizes=block_sizes,
             dropout_rate=dropout_rate,
             dropout_seed=dropout_seed,
+            dropout_offsets=dropout_offsets,
+            dropout_heads=dropout_heads,
             interpret=interpret,
         )
         return (
@@ -747,9 +771,10 @@ def flash_attention_bwd(
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     scalar_args = [q_offset]
     if has_dropout:
-        # int32 dropout seed as a second scalar-prefetch operand (mirrors
-        # the forward); index maps tolerate the extra trailing ref.
-        scalar_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+        # int32 [seed, row_off, col_off, b_off, h_off] as a second
+        # scalar-prefetch operand (mirrors the forward); index maps
+        # tolerate the extra trailing ref.
+        scalar_args.append(pack_dropout_seed(dropout_seed, dropout_offsets))
 
     has_seg = segment_ids is not None
     if has_seg:
@@ -817,6 +842,7 @@ def flash_attention_bwd(
         window=window,
         sinks=int(sinks),
         dropout_rate=dropout_rate,
+        dropout_heads=dropout_heads,
     )
 
     def dkv_kernel(off_r, *rest):
@@ -929,6 +955,7 @@ def flash_attention_bwd(
         window=window,
         sinks=int(sinks),
         dropout_rate=dropout_rate,
+        dropout_heads=dropout_heads,
     )
 
     def dq_kernel(off_r, *rest):

@@ -56,7 +56,7 @@ from ..config import (
     BlockSizes,
     default_scale,
 )
-from ._common import dropout_keep, mxu_dot_general
+from ._common import dropout_keep, mxu_dot_general, pack_dropout_seed
 
 # Softmax in base-2: exp(x) = 2^(x*log2(e)).  log2(e) is folded into the
 # one-off Q scaling, so every per-score transcendental is a raw ``exp2`` —
@@ -109,6 +109,7 @@ def _fwd_kernel(
     sinks,
     softcap,
     dropout_rate: float = 0.0,
+    dropout_heads=None,
 ):
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
@@ -222,8 +223,18 @@ def _fwd_kernel(
 
     if dropout_rate:
         # Computed at kernel top level: program_id is not available inside
-        # pl.when bodies under interpret mode.
-        dropout_bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        # pl.when bodies under interpret mode.  seed_ref[3]/[4] are the
+        # batch/head shard offsets and ``dropout_heads`` the GLOBAL head
+        # count (defaults: 0 / local heads), so dp/tp shards hash the
+        # global (b, h) stream — see ``_common.pack_dropout_seed``.
+        _bh_mul = (
+            dropout_heads
+            if dropout_heads is not None
+            else pl.num_programs(1)
+        )
+        dropout_bh = (pl.program_id(0) + seed_ref[3]) * _bh_mul + (
+            pl.program_id(1) + seed_ref[4]
+        )
 
     def _keepf(shape, start):
         # Attention-dropout keep mask {0, 1/(1-rate)} regenerated from the
@@ -232,12 +243,15 @@ def _fwd_kernel(
         # grid indices, so no mask tensor ever touches HBM and block
         # shapes need not match across kernels (FA-2's in-kernel dropout,
         # TPU-style).  Tensor-index space, deliberately independent of
-        # q_offset/position maps.
-        rows = q_idx * block_q + jax.lax.broadcasted_iota(
+        # q_offset/position maps; sequence-sharded callers (ring/allgather
+        # sp) pass seed_ref[1]/[2] row/col offsets so shard-local indices
+        # hash at their GLOBAL coordinates.
+        rows = seed_ref[1] + q_idx * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (shape[0], 1), 0
         )
         cols = (
-            kv_major * block_k_major
+            seed_ref[2]
+            + kv_major * block_k_major
             + start
             + jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
         )
@@ -537,9 +551,10 @@ def _fwd_lean(
         "lazy_softmax",
         "softcap",
         "dropout_rate",
+        "dropout_heads",
         "interpret",
     ),
-    # segment_ids and dropout_seed are traced arguments
+    # segment_ids, dropout_seed and dropout_offsets are traced arguments
 )
 def flash_attention_fwd(
     q: jax.Array,
@@ -560,6 +575,8 @@ def flash_attention_fwd(
     alibi_slopes: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    dropout_offsets=None,
+    dropout_heads: Optional[int] = None,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
@@ -571,6 +588,15 @@ def flash_attention_fwd(
     bit-identical in the backward kernels and the jnp oracle.  The seed
     is a traced scalar (new seed every train step, no recompile).
     Training-path only: not composable with ``kv_positions``.
+
+    ``dropout_offsets`` / ``dropout_heads``: shard->global coordinate
+    translation for sharded callers.  ``dropout_offsets`` is a 4-tuple
+    ``(row, col, batch, head)`` of int32 scalars (traced OK) added to the
+    kernel's local indices before hashing; ``dropout_heads`` is the
+    static GLOBAL head count used as the (b, h) stream multiplier.  With
+    the right offsets, ring/allgather sequence shards, dp batch shards,
+    and tp head shards all regenerate the exact single-device mask
+    (sharding-invariant dropout; see ``parallel.ring``).
 
     ``segment_ids``: optional ``config.SegmentIds`` (``q: [B, N_q]``,
     ``kv: [B, N_kv]`` int32) for packed sequences — tokens attend only
@@ -648,6 +674,8 @@ def flash_attention_fwd(
             alibi_slopes=alibi_slopes,
             dropout_rate=dropout_rate,
             dropout_seed=dropout_seed,
+            dropout_offsets=dropout_offsets,
+            dropout_heads=dropout_heads,
             interpret=interpret,
         )
         if save_lse:
@@ -773,6 +801,7 @@ def flash_attention_fwd(
         sinks=int(sinks),
         softcap=softcap,
         dropout_rate=dropout_rate,
+        dropout_heads=dropout_heads,
     )
     has_seg = segment_ids is not None
     has_pos = kv_positions is not None
@@ -924,9 +953,10 @@ def flash_attention_fwd(
         inputs.append(kvpos)
     scalar_args = [q_offset]
     if has_dropout:
-        # int32 dropout seed rides as a second scalar-prefetch operand;
-        # index maps all tolerate the extra trailing ref.
-        scalar_args.append(jnp.asarray(dropout_seed, jnp.int32).reshape(1))
+        # int32 [seed, row_off, col_off, b_off, h_off] rides as a second
+        # scalar-prefetch operand; index maps all tolerate the extra
+        # trailing ref.
+        scalar_args.append(pack_dropout_seed(dropout_seed, dropout_offsets))
     if has_alibi:
         # One fp32 slope per q-head, in SMEM via scalar prefetch: the
         # kernel reads a true scalar (slopes[h]) — scalar*vector

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..kernels._common import pack_dropout_seed
 from ..parallel.context import allgather_attention
 from ..parallel.ring import ring_flash_attention_diff
 from .transformer import (
@@ -74,7 +75,9 @@ def _replicated_axes(spec: P) -> Tuple[str, ...]:
     return tuple(a for a in AXES if a not in used)
 
 
-def _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn):
+def _tp_attention(
+    layer, x, cfg, positions, tp_size, sp_size, sp_attn, dropout_seed=None
+):
     dt = cfg.dtype
     h_local = cfg.n_heads // tp_size
     hk_local = max(cfg.n_kv_heads // tp_size, 1)
@@ -86,12 +89,31 @@ def _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn):
     v = _split_heads(h @ layer["wv"].astype(dt), hk_local, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
+    rate = cfg.attn_dropout if dropout_seed is not None else 0.0
+    if rate:
+        # Attention dropout at GLOBAL (b, h, row, col) mask coordinates:
+        # dp/tp shard origins pre-packed here, sequence-shard row/col
+        # origins added inside ring/allgather — so ANY dp x tp x sp
+        # factorization reproduces the single-device mask bit-for-bit
+        # (sharding-invariant dropout; see kernels._common.dropout_keep).
+        seedvec = pack_dropout_seed(
+            dropout_seed,
+            (
+                0,
+                0,
+                jax.lax.axis_index("dp") * x.shape[0],
+                jax.lax.axis_index("tp") * h_local,
+            ),
+        )
+    else:
+        seedvec = jnp.zeros((5,), jnp.int32)
     if sp_attn == "ring":
         # Sequence-parallel attention via the reverse-ring custom VJP:
         # KV (and dK/dV in the backward) rotate over ICI instead of an
         # all-gather -- peak memory O(n_local) instead of O(n_global).
         o = ring_flash_attention_diff(
-            q, k, v, "sp", sp_size, True, None, cfg.block_sizes, None
+            q, k, v, seedvec, "sp", sp_size, True, None, cfg.block_sizes,
+            None, rate, cfg.n_heads if rate else None,
         )
     else:
         # All-gather KV over sp, per-shard causal offset handled inside.
@@ -103,6 +125,9 @@ def _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn):
             causal=True,
             block_sizes=cfg.block_sizes,
             impl=cfg.attn_impl,
+            dropout_rate=rate,
+            dropout_seed=seedvec if rate else None,
+            dropout_heads=cfg.n_heads if rate else None,
         )
     out_partial = _merge_heads(o) @ layer["wo"].astype(dt)
     out = jax.lax.psum(out_partial, "tp")
@@ -177,9 +202,17 @@ def vocab_sharded_ce(
 
 
 def _sharded_loss(
-    params, tokens, cfg: ModelConfig, tp_size: int, sp_size: int, sp_attn: str
+    params, tokens, cfg: ModelConfig, tp_size: int, sp_size: int,
+    sp_attn: str, dropout_key=None,
 ):
-    """Per-shard forward + vocab/sequence-sharded cross entropy."""
+    """Per-shard forward + vocab/sequence-sharded cross entropy.
+
+    ``dropout_key``: optional replicated PRNG key enabling
+    ``cfg.attn_dropout``.  Per-layer seeds are derived exactly like the
+    single-device ``transformer.forward_hidden`` and the masks hash at
+    global coordinates, so the sharded loss with dropout equals the
+    single-device loss for the same key on any mesh factorization.
+    """
     sp_idx = jax.lax.axis_index("sp")
     n_loc = tokens.shape[1]
     positions = sp_idx * n_loc + jnp.broadcast_to(
@@ -188,13 +221,25 @@ def _sharded_loss(
 
     x = params["embed"][tokens].astype(cfg.dtype)
 
-    def block(x, layer):
-        x = _tp_attention(layer, x, cfg, positions, tp_size, sp_size, sp_attn)
+    seeds = None
+    if dropout_key is not None and cfg.attn_dropout > 0.0:
+        # Replicated key -> identical per-layer seeds on every shard
+        # (mirrors transformer.forward_hidden's derivation exactly).
+        seeds = jax.random.randint(
+            dropout_key, (cfg.n_layers,), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+
+    def block(x, layer, seed):
+        x = _tp_attention(
+            layer, x, cfg, positions, tp_size, sp_size, sp_attn,
+            dropout_seed=seed,
+        )
         return _tp_mlp(layer, x, cfg)
 
     block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(x, layer)
+    for i, layer in enumerate(params["layers"]):
+        x = block(x, layer, None if seeds is None else seeds[i])
     x = rms_norm(x, params["final_norm"])
     logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(jnp.float32)
     # logits: [B_loc, n_loc, V/tp]
@@ -202,22 +247,30 @@ def _sharded_loss(
 
 
 def make_train_step(
-    mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2, sp_attn: str = "allgather"
+    mesh: Mesh, cfg: ModelConfig, lr: float = 1e-2,
+    sp_attn: str = "allgather", dropout: bool = False,
 ):
     """jit(shard_map(...)) SGD training step over a (dp, tp, sp) mesh.
 
     Returns ``step(params, tokens) -> (params, loss)`` where ``tokens`` is
     a global ``[B, N]`` int array (B % dp == 0, N % sp == 0) and params
     follow ``param_specs``.
+
+    With ``dropout=True`` (requires ``cfg.attn_dropout > 0``) the step
+    takes ``(params, tokens, dropout_key)`` — the key is replicated and
+    the attention-dropout masks hash at global coordinates, so the loss
+    is invariant to the mesh factorization and equals the single-device
+    ``transformer.loss_fn`` run.
     """
     tp_size = mesh.shape["tp"]
     sp_size = mesh.shape["sp"]
     p_specs = param_specs(cfg)
     data_spec = P("dp", "sp")
 
-    def step(params, tokens):
+    def step(params, tokens, *key):
         grads, loss = _sharded_grads(
-            params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs
+            params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs,
+            dropout_key=key[0] if dropout else None,
         )
         params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return params, loss
@@ -225,17 +278,22 @@ def make_train_step(
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(p_specs, data_spec),
+        in_specs=(p_specs, data_spec) + ((P(),) if dropout else ()),
         out_specs=(p_specs, P()),
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-def _sharded_grads(params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs):
+def _sharded_grads(
+    params, tokens, cfg, tp_size, sp_size, sp_attn, p_specs,
+    dropout_key=None,
+):
     """Per-shard grads with the replica sums applied; runs IN shard_map."""
     loss, grads = jax.value_and_grad(
-        lambda p: _sharded_loss(p, tokens, cfg, tp_size, sp_size, sp_attn)
+        lambda p: _sharded_loss(
+            p, tokens, cfg, tp_size, sp_size, sp_attn, dropout_key
+        )
     )(params)
     # Gradients for replicated params must be summed over the axes the
     # param does not use; sharded params already received their full

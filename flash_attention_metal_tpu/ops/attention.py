@@ -38,18 +38,24 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
+)
 def _flash(
     q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
+    sm_scale, dropout_rate, dropout_heads, block_sizes, lazy_softmax,
+    interpret,
 ):
     """Differentiable attention, with or without in-kernel dropout.
 
     ``dropout_seed`` is None when ``dropout_rate == 0`` (an empty-pytree
-    arg whose cotangent is None); with dropout it is a traced int32
-    scalar, so a new seed every train step costs no recompile — the
-    backward kernels regenerate the identical mask from it (FA-2
-    capability; the reference has none)."""
+    arg whose cotangent is None); with dropout it is the packed
+    ``[seed, row_off, col_off, b_off, h_off]`` int32 vector
+    (``kernels._common.pack_dropout_seed``) — traced, so a new seed every
+    train step costs no recompile — and the backward kernels regenerate
+    the identical mask from it (FA-2 capability; the reference has
+    none).  ``dropout_heads`` is the static global head count for the
+    (b, h) hash stream (None == local heads)."""
     return flash_attention_fwd(
         q,
         k,
@@ -65,13 +71,15 @@ def _flash(
         lazy_softmax=lazy_softmax,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
         interpret=interpret,
     )
 
 
 def _flash_fwd_rule(
     q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, block_sizes, lazy_softmax, interpret,
+    sm_scale, dropout_rate, dropout_heads, block_sizes, lazy_softmax,
+    interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -88,6 +96,7 @@ def _flash_fwd_rule(
         lazy_softmax=lazy_softmax,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
         interpret=interpret,
     )
     return o, (q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes)
@@ -95,7 +104,7 @@ def _flash_fwd_rule(
 
 def _grads_from_residuals(
     residuals, do, dlse, *, causal, window, sinks, sm_scale, block_sizes,
-    interpret, dropout_rate=0.0, dropout_seed=None,
+    interpret, dropout_rate=0.0, dropout_seed=None, dropout_heads=None,
 ):
     """Shared FA-2 backward: GQA broadcast, kernel call, group-reduce."""
     q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
@@ -122,6 +131,7 @@ def _grads_from_residuals(
         block_sizes=block_sizes,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
         interpret=interpret,
     )
     if reps > 1:
@@ -141,8 +151,8 @@ def _grads_from_residuals(
 
 
 def _flash_bwd_rule(
-    causal, window, sinks, sm_scale, dropout_rate, block_sizes,
-    lazy_softmax, interpret, residuals, do,
+    causal, window, sinks, sm_scale, dropout_rate, dropout_heads,
+    block_sizes, lazy_softmax, interpret, residuals, do,
 ):
     q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes = residuals
     dq, dk, dv, d_off, d_seg = _grads_from_residuals(
@@ -157,6 +167,7 @@ def _flash_bwd_rule(
         interpret=interpret,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
     )
     d_seed = (
         None
@@ -374,6 +385,8 @@ def flash_attention(
     lazy_softmax: bool = True,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    dropout_offsets=None,
+    dropout_heads: Optional[int] = None,
     impl: str = "auto",
     interpret: Optional[bool] = None,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
@@ -420,9 +433,15 @@ def flash_attention(
         segment_ids; NOT with kv_positions, save_lse, or (on the pallas
         path) softcap/alibi — use ``impl="xla"`` for those combinations.
       dropout_seed: int32 scalar; required when ``dropout_rate > 0``.
-        The mask hash uses shard-local coordinates, so under shard_map
-        fold ``jax.lax.axis_index(...)`` into the seed to decorrelate
-        masks across shards.
+      dropout_offsets: optional ``(row, col, batch, head)`` int32 scalars
+        (traced OK) translating shard-local coordinates to GLOBAL ones
+        under ``shard_map``: sequence shards pass their row/col origins,
+        dp/tp shards their batch/head origins.  With the right offsets
+        (plus ``dropout_heads``) every mesh factorization regenerates
+        the exact single-device mask — sharding-invariant dropout.
+      dropout_heads: static global head count for the (b, h) hash stream
+        (required for exactness under tp head sharding; defaults to the
+        local head count).
       impl: "pallas" | "xla" | "auto".
       interpret: force Pallas interpreter mode (default: auto-detect
         non-TPU backends).
@@ -460,7 +479,9 @@ def flash_attention(
                 "dropout is a training-path feature; rolling-cache "
                 "(kv_positions) serving does not support it"
             )
-        dropout_seed = jnp.asarray(dropout_seed, jnp.int32)
+        from ..kernels._common import pack_dropout_seed
+
+        dropout_seed = pack_dropout_seed(dropout_seed, dropout_offsets)
 
     if kv_positions is not None:
         # Rolling-cache serving path: forward-only, straight to the kernel.
@@ -513,6 +534,7 @@ def flash_attention(
             alibi_slopes=alibi_slopes,
             dropout_rate=dropout_rate,
             dropout_seed=dropout_seed,
+            dropout_heads=dropout_heads,
         )
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
@@ -579,6 +601,7 @@ def flash_attention(
         sinks,
         sm_scale,
         dropout_rate,
+        dropout_heads if dropout_rate else None,
         block_sizes,
         lazy_softmax,
         interpret,

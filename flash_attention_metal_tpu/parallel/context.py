@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BlockSizes
+from ..kernels._common import pack_dropout_seed
 from ..kernels.flash_fwd import flash_attention_fwd
 from ..ops.attention import flash_attention
 from ..reference.oracle import attention_reference_with_lse
@@ -43,16 +44,34 @@ def allgather_attention(
     sm_scale: Optional[float] = None,
     block_sizes: Optional[BlockSizes] = None,
     impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
+    dropout_heads: Optional[int] = None,
 ) -> jax.Array:
     """Differentiable context-parallel attention via KV all-gather.
 
     ``q, k, v``: local ``[B, H, n_local, D]`` shards, sequence sharded on
     ``axis_name``.  Returns the local output shard.
+
+    ``dropout_*``: in-kernel attention dropout at GLOBAL mask coordinates
+    — the gathered KV columns are already global, and this shard's row
+    origin is added to the (optionally pre-packed, see
+    ``kernels._common.pack_dropout_seed``) seed's row offset, so the
+    sharded run regenerates the exact single-device mask.
     """
     n_loc = q.shape[2]
     my = jax.lax.axis_index(axis_name)
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    drop = {}
+    if dropout_rate:
+        sv = pack_dropout_seed(dropout_seed)
+        drop = dict(
+            dropout_rate=dropout_rate,
+            dropout_seed=sv[0],
+            dropout_offsets=(sv[1] + my * n_loc, sv[2], sv[3], sv[4]),
+            dropout_heads=dropout_heads,
+        )
     return flash_attention(
         q,
         k_full,
@@ -62,6 +81,7 @@ def allgather_attention(
         sm_scale=sm_scale,
         block_sizes=block_sizes,
         impl=impl,
+        **drop,
     )
 
 

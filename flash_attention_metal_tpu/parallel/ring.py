@@ -34,9 +34,11 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
 from ..config import NUM_LANES, BlockSizes
+from ..kernels._common import pack_dropout_seed
 from ..kernels.flash_bwd import flash_attention_bwd
 from ..kernels.flash_fwd import flash_attention_fwd
 from ..reference.oracle import attention_reference_with_lse
@@ -80,24 +82,55 @@ def ring_flash_attention(
     save_lse: bool = False,
     interpret: Optional[bool] = None,
     impl: str = "pallas",
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
+    dropout_heads: Optional[int] = None,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Ring attention over sequence-sharded [B, H, n_local, D] shards.
 
     Call inside ``shard_map`` with the sequence dim sharded on
     ``axis_name``.  Requires equal Q and KV shard lengths (self-attention
     layout).  Returns the local output shard (and local LSE if requested).
+
+    ``dropout_rate``/``dropout_seed``: in-kernel attention dropout.  Each
+    ring step hashes the mask at its GLOBAL score coordinates (rows
+    offset by this device's shard origin, cols by the visiting shard's
+    origin), so the sharded result equals the single-device
+    ``flash_attention(dropout_seed=...)`` run exactly — and the merge is
+    still exact, because the per-step lse sums the *undropped* p (the
+    single-device kernel's own convention: dropout applies to the
+    normalized probabilities).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dropout_rate and impl == "xla":
+        raise NotImplementedError("ring dropout requires impl='pallas'")
     n_loc = q.shape[2]
     if k.shape[2] != n_loc:
         raise ValueError("ring attention expects equal q/kv shard lengths")
     my = jax.lax.axis_index(axis_name)
+    # The caller may pre-pack dp/tp batch-head offsets into the seed
+    # vector (``pack_dropout_seed``); the ring adds its own sequence-shard
+    # row origin and, per step, the visiting shard's column origin.
+    sv = pack_dropout_seed(dropout_seed) if dropout_rate else None
 
-    def local_flash(q_, k_, v_, offset):
+    def local_flash(q_, k_, v_, offset, src):
         if impl == "xla":
             return attention_reference_with_lse(
                 q_, k_, v_, causal=causal, sm_scale=sm_scale, q_offset=offset
+            )
+        drop = {}
+        if dropout_rate:
+            drop = dict(
+                dropout_rate=dropout_rate,
+                dropout_seed=sv[0],
+                dropout_offsets=(
+                    sv[1] + my * n_loc,
+                    sv[2] + src * n_loc,
+                    sv[3],
+                    sv[4],
+                ),
+                dropout_heads=dropout_heads,
             )
         o_, lse_lanes = flash_attention_fwd(
             q_,
@@ -109,6 +142,7 @@ def ring_flash_attention(
             block_sizes=block_sizes,
             save_lse=True,
             interpret=interpret,
+            **drop,
         )
         return o_, lse_lanes[..., 0]
 
@@ -128,7 +162,7 @@ def ring_flash_attention(
 
         src = (my - step) % axis_size
         offset = (my - src) * n_loc  # traced; sign encodes the mask mode
-        o_i, lse_i = local_flash(q, kb, vb, offset)
+        o_i, lse_i = local_flash(q, kb, vb, offset, src)
         o_acc, lse_acc = merge_partials(
             o_acc,
             lse_acc,
@@ -145,17 +179,22 @@ def ring_flash_attention(
     return o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
 def ring_flash_attention_diff(
     q,
     k,
     v,
+    dropout_seed,
     axis_name: str,
     axis_size: int,
     causal: bool,
     sm_scale: Optional[float],
     block_sizes: Optional[BlockSizes],
     interpret: Optional[bool],
+    dropout_rate: float = 0.0,
+    dropout_heads: Optional[int] = None,
 ):
     """Differentiable ring attention (call inside ``shard_map``).
 
@@ -166,6 +205,12 @@ def ring_flash_attention_diff(
     dK/dV lands back on its home device — no all-gather, comm volume
     2x the forward ring (dK and dV ride along), overlapped with the
     backward kernels the same way the forward overlaps ``ppermute``.
+
+    ``dropout_seed`` is a traced int32 scalar (pass 0 when
+    ``dropout_rate == 0``); the forward and the reverse-ring backward
+    regenerate the same mask from GLOBAL score coordinates, so training
+    under ring sequence parallelism with attention dropout matches the
+    single-device run exactly.
     """
     return ring_flash_attention(
         q,
@@ -177,11 +222,15 @@ def ring_flash_attention_diff(
         sm_scale=sm_scale,
         block_sizes=block_sizes,
         interpret=interpret,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
     )
 
 
 def _ring_diff_fwd(
-    q, k, v, axis_name, axis_size, causal, sm_scale, block_sizes, interpret
+    q, k, v, dropout_seed, axis_name, axis_size, causal, sm_scale,
+    block_sizes, interpret, dropout_rate=0.0, dropout_heads=None,
 ):
     o, lse = ring_flash_attention(
         q,
@@ -194,18 +243,23 @@ def _ring_diff_fwd(
         block_sizes=block_sizes,
         save_lse=True,
         interpret=interpret,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        dropout_heads=dropout_heads,
     )
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, dropout_seed, o, lse)
 
 
 def _ring_diff_bwd(
-    axis_name, axis_size, causal, sm_scale, block_sizes, interpret, res, do
+    axis_name, axis_size, causal, sm_scale, block_sizes, interpret,
+    dropout_rate, dropout_heads, res, do,
 ):
-    q, k, v, o, lse = res
+    q, k, v, dropout_seed, o, lse = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_loc = q.shape[2]
     my = jax.lax.axis_index(axis_name)
+    sv = pack_dropout_seed(dropout_seed) if dropout_rate else None
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     # The local LSE (already merged over the whole ring) reconstructs
     # P = exp(S - L) exactly on every ring step, so per-step partials are
@@ -236,6 +290,22 @@ def _ring_diff_bwd(
         offset = (my - src) * n_loc
         kb_full = jnp.repeat(kb.astype(q.dtype), reps, axis=1) if reps > 1 else kb.astype(q.dtype)
         vb_full = jnp.repeat(vb.astype(q.dtype), reps, axis=1) if reps > 1 else vb.astype(q.dtype)
+        drop = {}
+        if dropout_rate:
+            # Same GLOBAL mask coordinates as the forward's ring step that
+            # visited this (my, src) pair, so every gradient partial sees
+            # exactly the mask its forward probabilities used.
+            drop = dict(
+                dropout_rate=dropout_rate,
+                dropout_seed=sv[0],
+                dropout_offsets=(
+                    sv[1] + my * n_loc,
+                    sv[2] + src * n_loc,
+                    sv[3],
+                    sv[4],
+                ),
+                dropout_heads=dropout_heads,
+            )
         dq_i, dk_i, dv_i = flash_attention_bwd(
             q,
             kb_full,
@@ -248,6 +318,7 @@ def _ring_diff_bwd(
             causal=causal,
             block_sizes=block_sizes,
             interpret=interpret,
+            **drop,
         )
         if reps > 1:
             b, _, n_s, d = dk_i.shape
@@ -265,10 +336,16 @@ def _ring_diff_bwd(
         dkb = jax.lax.ppermute(dkb, axis_name, perm)
         dvb = jax.lax.ppermute(dvb, axis_name, perm)
 
+    d_seed = (
+        None
+        if dropout_seed is None
+        else np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+    )
     return (
         dq_acc.astype(q.dtype),
         dkb.astype(k.dtype),
         dvb.astype(v.dtype),
+        d_seed,
     )
 
 
@@ -284,6 +361,7 @@ def make_ring_attention(
     block_sizes: Optional[BlockSizes] = None,
     impl: str = "pallas",
     differentiable: bool = False,
+    dropout_rate: float = 0.0,
 ):
     """shard_map-wrapped ring attention over ``mesh``'s ``axis_name``.
 
@@ -295,20 +373,23 @@ def make_ring_attention(
     """
     axis_size = mesh.shape[axis_name]
     spec = PartitionSpec(None, None, axis_name, None)
+    rate = float(dropout_rate)
+    in_specs = (spec, spec, spec) + ((PartitionSpec(),) if rate else ())
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=in_specs,
         out_specs=spec,
         check_vma=False,
     )
-    def ring(q, k, v):
+    def ring(q, k, v, *seed_arg):
+        seed = seed_arg[0] if rate else jnp.asarray(0, jnp.int32)
         if differentiable:
             return ring_flash_attention_diff(
-                q, k, v, axis_name, axis_size, causal, sm_scale, block_sizes,
-                None,
+                q, k, v, seed, axis_name, axis_size, causal, sm_scale,
+                block_sizes, None, rate,
             )
         return ring_flash_attention(
             q,
@@ -320,6 +401,8 @@ def make_ring_attention(
             sm_scale=sm_scale,
             block_sizes=block_sizes,
             impl=impl,
+            dropout_rate=rate,
+            dropout_seed=seed if rate else None,
         )
 
     return ring

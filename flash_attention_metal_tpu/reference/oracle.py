@@ -27,7 +27,7 @@ from ..config import default_scale
 
 
 def _dropout_probs(
-    p_norm: jax.Array, rate: float, seed: jax.Array
+    p_norm: jax.Array, rate: float, seed: jax.Array, n_heads=None
 ) -> jax.Array:
     """Apply the framework's deterministic attention dropout to the
     normalized probabilities.
@@ -36,18 +36,27 @@ def _dropout_probs(
     (``kernels._common.dropout_keep``), so oracle and kernel produce the
     *identical* mask — dropout is testable to fp tolerance, not just
     statistically.  Requires [B, H, N_q, N_kv] probabilities.
+
+    ``seed`` may be a plain int32 scalar or the packed
+    ``[seed, row_off, col_off, b_off, h_off]`` shard-offset vector
+    (``kernels._common.pack_dropout_seed``); ``n_heads`` overrides the
+    (b, h) stream multiplier for tp-sharded callers (global head count).
     """
-    from ..kernels._common import dropout_keep
+    from ..kernels._common import dropout_keep, pack_dropout_seed
 
     if p_norm.ndim != 4:
         raise ValueError("dropout oracle requires [B, H, N_q, N_kv] scores")
+    sv = pack_dropout_seed(seed)
     b, h, n_q, n_kv = p_norm.shape
-    bh = (jnp.arange(b)[:, None] * h + jnp.arange(h)[None, :]).reshape(
-        b, h, 1, 1
-    )
-    rows = jnp.arange(n_q).reshape(1, 1, n_q, 1)
-    cols = jnp.arange(n_kv).reshape(1, 1, 1, n_kv)
-    return p_norm * dropout_keep(seed, bh, rows, cols, rate)
+    mul = h if n_heads is None else n_heads
+    bh = (
+        (jnp.arange(b)[:, None] + sv[3]) * mul
+        + jnp.arange(h)[None, :]
+        + sv[4]
+    ).reshape(b, h, 1, 1)
+    rows = sv[1] + jnp.arange(n_q).reshape(1, 1, n_q, 1)
+    cols = sv[2] + jnp.arange(n_kv).reshape(1, 1, 1, n_kv)
+    return p_norm * dropout_keep(sv[0], bh, rows, cols, rate)
 
 
 def _softcap_scores(s: jax.Array, softcap: Optional[float]) -> jax.Array:
@@ -95,6 +104,7 @@ def attention_reference(
     alibi_slopes: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    dropout_heads: Optional[int] = None,
 ) -> jax.Array:
     """O = softmax(Q K^T * scale) V, computed naively in fp32.
 
@@ -155,7 +165,9 @@ def attention_reference(
     if dropout_rate:
         # Attention-probability dropout (post-normalization, the FA-2
         # convention), with the kernels' exact deterministic mask.
-        probs = _dropout_probs(probs, dropout_rate, dropout_seed)
+        probs = _dropout_probs(
+            probs, dropout_rate, dropout_seed, n_heads=dropout_heads
+        )
     o = jnp.einsum("...qk,...kd->...qd", probs, vf,
                    precision=jax.lax.Precision.HIGHEST)
     return o.astype(orig_dtype)

@@ -161,3 +161,94 @@ def test_model_dropout_train_and_eval():
         lambda s, x: s + float(jnp.sum(jnp.abs(x))), g, 0.0
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_dropout_offsets_global_coordinates():
+    """A row-sharded slice with ``dropout_offsets`` reproduces the exact
+    mask of the full-tensor run — the mechanism behind sharding-invariant
+    dropout (ring/allgather SP, dp, tp)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(3), (2, 2, 256, 64))
+    ro = 128
+    o_full = attention_reference(
+        q, k, v, dropout_rate=RATE, dropout_seed=SEED
+    )
+    o_shard = flash_attention(
+        q[:, :, ro:], k, v, q_offset=jnp.int32(ro),
+        dropout_rate=RATE, dropout_seed=SEED,
+        dropout_offsets=(ro, 0, 0, 0), block_sizes=BS,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_shard), np.asarray(o_full[:, :, ro:]), atol=5e-5
+    )
+
+
+def test_ring_dropout_matches_single_device():
+    """ROADMAP round-2 edge, closed: attention dropout under ring
+    sequence parallelism.  Every ring step hashes its mask at GLOBAL
+    score coordinates, so the sharded forward AND the reverse-ring
+    backward equal the single-device dropout run exactly."""
+    from flash_attention_metal_tpu.parallel import make_ring_attention
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    q, k, v = make_qkv(jax.random.PRNGKey(4), (1, 2, 512, 64))
+    ring = make_ring_attention(
+        mesh, "sp", causal=True, differentiable=True, dropout_rate=RATE
+    )
+    o_ring = ring(q, k, v, SEED)
+    o_ref = flash_attention(
+        q, k, v, causal=True, dropout_rate=RATE, dropout_seed=SEED
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_ring), np.asarray(o_ref), atol=5e-5
+    )
+
+    def loss_ring(q_, k_, v_):
+        return jnp.sum(ring(q_, k_, v_, SEED) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(
+                q_, k_, v_, causal=True, dropout_rate=RATE,
+                dropout_seed=SEED,
+            )
+            ** 2
+        )
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4, name
+
+
+def test_train_step_dropout_mesh_invariant():
+    """Dropout training is invariant to the mesh factorization: the
+    dp x tp x sp sharded loss (ring AND allgather SP attention) equals
+    the single-device ``transformer.loss_fn`` for the same dropout key —
+    masks hash at global (b, h, row, col), so no seed folding, no
+    divergence."""
+    from jax.sharding import Mesh
+    from flash_attention_metal_tpu.models import (
+        ModelConfig, init_params, loss_fn,
+    )
+    from flash_attention_metal_tpu.models.parallel_train import (
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=128, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
+        head_dim=32, d_ff=256, max_seq_len=256, dtype=jnp.float32,
+        attn_impl="pallas", attn_dropout=0.2,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 256), 0, 128)
+    key = jax.random.PRNGKey(42)
+    l0 = float(loss_fn(params, tokens, cfg, dropout_key=key))
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    for attn in ("allgather", "ring"):
+        step = make_train_step(mesh, cfg, sp_attn=attn, dropout=True)
+        _, loss = step(params, tokens, key)
+        assert abs(float(loss) - l0) < 1e-5, (attn, float(loss), l0)
