@@ -253,7 +253,7 @@ def decode_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "slot"), donate_argnames=("cache",)
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
 )
 def prefill_chunk(
     params: Params,
@@ -262,7 +262,7 @@ def prefill_chunk(
     tokens: jax.Array,
     start_len: jax.Array,
     prompt_len: jax.Array,
-    slot: int,
+    slot: jax.Array,
 ) -> Tuple[jax.Array, KVCache]:
     """Prefill one chunk ``[n_chunk]`` of a slot's prompt.
 
@@ -271,7 +271,13 @@ def prefill_chunk(
     prompt length; positions past it inside this chunk are padding.
     Returns (logits of the prompt's last true token if it falls in this
     chunk, else of the chunk's last row; updated cache).
+
+    ``slot`` is a TRACED int32 scalar (dynamic slices below), so one
+    compilation serves every slot — admission of a fresh request costs
+    zero recompiles regardless of which slot it lands in (measured 8x
+    fewer prefill compiles at max_batch=8 on the tunneled v5e).
     """
+    slot = jnp.asarray(slot, jnp.int32)
     n_chunk = tokens.shape[0]
     positions = (start_len + jnp.arange(n_chunk))[None, :]
     x = params["embed"][tokens[None, :]].astype(cfg.dtype)
@@ -284,13 +290,13 @@ def prefill_chunk(
     paged = isinstance(cache, (PagedKVCache, PagedQuantKVCache))
 
     def view(leaf):
-        if leaf.ndim == 1:  # lengths [B]
-            return leaf[slot : slot + 1] * 0 + start_len.astype(jnp.int32)
+        if leaf.ndim == 1:  # lengths [B]: fresh slot starts at start_len
+            return jnp.full((1,), start_len, jnp.int32)
         if leaf.ndim == 2:  # rolling positions / page table [B, C]
-            return leaf[slot : slot + 1]
+            return jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=0)
         if paged:  # pool [L, P, H, ps, D]
             return leaf
-        return leaf[:, slot : slot + 1]
+        return jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=1)
 
     slot_cache = jax.tree_util.tree_map(view, cache)
     for i, layer in enumerate(params["layers"]):
@@ -321,10 +327,10 @@ def prefill_chunk(
         if buf.ndim == 1:
             return buf.at[slot].set(new_len)
         if buf.ndim == 2:
-            return buf.at[slot : slot + 1].set(new)
+            return jax.lax.dynamic_update_slice_in_dim(buf, new, slot, 0)
         if paged:
             return new
-        return buf.at[:, slot : slot + 1].set(new)
+        return jax.lax.dynamic_update_slice_in_dim(buf, new, slot, 1)
 
     new_cache = jax.tree_util.tree_map(write, cache, slot_cache)
     last_idx = jnp.clip(prompt_len - start_len - 1, 0, n_chunk - 1)
@@ -613,3 +619,60 @@ def decode_and_sample_multi(
     if pen_counts is not None:
         return all_toks, all_logps, cache, pen_counts
     return all_toks, all_logps, cache
+
+
+@functools.partial(jax.jit, donate_argnames=("pen_counts",))
+def admit_update(
+    logits: jax.Array,  # [V] last-prompt-token logits from the prefill
+    key: jax.Array,
+    slot: jax.Array,  # traced int32 — one compilation for every slot
+    temp: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+    min_p: jax.Array,
+    presence: jax.Array,
+    frequency: jax.Array,
+    next_token: jax.Array,
+    temps: jax.Array,
+    top_ks: jax.Array,
+    top_ps: jax.Array,
+    presences: jax.Array,
+    frequencies: jax.Array,
+    min_ps: jax.Array,
+    pen_counts: jax.Array,
+):
+    """One fused device program for request admission.
+
+    Samples the admission token from the prefill logits (same math as
+    ``sample_batch`` — penalties are skipped because the new occupant's
+    counts are zero, an exact no-op), computes its raw-softmax logprob,
+    and installs every per-slot sampling parameter + the reset penalty
+    counts in the same program.  The serving loop's admission used to
+    issue ~8 eager state updates plus two synchronous fetches per
+    request (~0.4 s each over the tunneled link, measured); this is one
+    dispatch plus one (tok, logprob) fetch.
+    """
+    slot = jnp.asarray(slot, jnp.int32)
+    tok = sample_batch.__wrapped__(
+        logits[None], key, temp[None], top_k[None], top_p[None],
+        None, None, None, min_p[None],
+    )[0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))[tok]
+    next_token = next_token.at[slot].set(tok)
+    temps = temps.at[slot].set(temp)
+    top_ks = top_ks.at[slot].set(top_k)
+    top_ps = top_ps.at[slot].set(top_p)
+    presences = presences.at[slot].set(presence)
+    frequencies = frequencies.at[slot].set(frequency)
+    min_ps = min_ps.at[slot].set(min_p)
+    # Fresh counts for the new occupant; the admission token is already
+    # emitted, so it counts toward the penalties.
+    b = pen_counts.shape[0]
+    row = jnp.zeros((pen_counts.shape[1],), pen_counts.dtype).at[tok].set(1)
+    pen_counts = jnp.where(
+        (jnp.arange(b) == slot)[:, None], row[None, :], pen_counts
+    )
+    return (
+        tok, logp, next_token, temps, top_ks, top_ps, presences,
+        frequencies, min_ps, pen_counts,
+    )

@@ -25,10 +25,10 @@ from typing import Tuple
 
 from ..models.transformer import ModelConfig, Params
 from .decode import (
+    admit_update,
     decode_and_sample,
     decode_and_sample_multi,
     prefill_slot,
-    sample,
 )
 from .kv_cache import (
     init_cache,
@@ -346,6 +346,12 @@ class DecodeEngine:
         )
         self.queue: deque[Request] = deque()
         self.key = jax.random.PRNGKey(seed)
+        # Pre-split key block: ``jax.random.split`` costs a ~20 ms
+        # synchronous submit per call on tunneled links (measured); one
+        # 65-way split per 64 consumptions turns that into an async
+        # slice per step.
+        self._key_block = None
+        self._key_idx = 0
         self.steps = 0
         # Throughput accounting (host wall clock around step()).
         self._t_started = None
@@ -472,6 +478,17 @@ class DecodeEngine:
             or bool(self._inflight)
         )
 
+    def _next_key(self) -> jax.Array:
+        """Next PRNG subkey from the pre-split block (see __init__)."""
+        if self._key_block is None or self._key_idx >= 64:
+            keys = jax.random.split(self.key, 65)
+            self.key = keys[0]
+            self._key_block = keys[1:]
+            self._key_idx = 0
+        sub = self._key_block[self._key_idx]
+        self._key_idx += 1
+        return sub
+
     # ------------------------------------------------------------------
     def _admit(self) -> None:
         """Prefill queued requests into free slots."""
@@ -581,44 +598,56 @@ class DecodeEngine:
                     if key not in self._prefix_registry:
                         self._allocator.pin(owned[i])
                         self._prefix_registry[key] = owned[i]
-            self.key, sub = jax.random.split(self.key)
-            tok = int(
-                sample(
-                    logits, sub, req.temperature, req.top_k, req.top_p,
-                    req.min_p,
-                )
+            # One fused device program installs the occupant: admission
+            # sampling + logprob + every per-slot parameter + the penalty
+            # count reset (decode.admit_update) — replaces ~8 eager state
+            # updates and two synchronous fetches per admission (measured
+            # ~0.4 s -> ~10 ms each on the tunneled 1-core host).
+            (
+                tok_dev,
+                logp_dev,
+                self.next_token,
+                self.temps,
+                self.top_ks,
+                self.top_ps,
+                self.presences,
+                self.frequencies,
+                self.min_ps,
+                self.pen_counts,
+            ) = admit_update(
+                jnp.asarray(logits, jnp.float32).reshape(-1),
+                self._next_key(),
+                jnp.int32(slot),
+                jnp.float32(req.temperature),
+                jnp.int32(req.top_k),
+                jnp.float32(req.top_p),
+                jnp.float32(req.min_p),
+                jnp.float32(req.presence_penalty),
+                jnp.float32(req.frequency_penalty),
+                self.next_token,
+                self.temps,
+                self.top_ks,
+                self.top_ps,
+                self.presences,
+                self.frequencies,
+                self.min_ps,
+                self.pen_counts,
             )
+            # The admission token is only needed on the host for
+            # bookkeeping (generated list / stop checks); fetching it here
+            # would block on every in-flight decode step ahead of it in
+            # the device queue (~0.15 s at harvest_lag=16, measured).  The
+            # device-side state is already installed, so defer the fetch
+            # through the same lagged pipeline as decode tokens.
+            for leaf in (tok_dev, logp_dev):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+            self._inflight.append(("admit", tok_dev, logp_dev, req))
             req.slot = slot
-            req.generated.append(tok)
-            if self._draft is None:
-                # Admission token's logprob under the raw prefill softmax
-                # (the decode paths produce logprobs for every later token).
-                req.logprobs.append(
-                    float(
-                        jax.nn.log_softmax(
-                            jnp.asarray(logits, jnp.float32).reshape(-1)
-                        )[tok]
-                    )
-                )
             self.slots[slot] = req
-            self.next_token = self.next_token.at[slot].set(tok)
-            self.temps = self.temps.at[slot].set(req.temperature)
-            self.top_ks = self.top_ks.at[slot].set(req.top_k)
-            self.top_ps = self.top_ps.at[slot].set(req.top_p)
-            self.presences = self.presences.at[slot].set(
-                req.presence_penalty
-            )
-            self.frequencies = self.frequencies.at[slot].set(
-                req.frequency_penalty
-            )
-            self.min_ps = self.min_ps.at[slot].set(req.min_p)
-            # Fresh counts for the new occupant; the admission token is
-            # already emitted, so it counts toward the penalties.
-            self.pen_counts = self.pen_counts.at[slot].set(0).at[
-                slot, tok
-            ].set(1)
             self._occupancy_dirty = True
-            self._maybe_finish(req)
 
     def _maybe_finish(self, req: Request) -> None:
         hit_stop = False
@@ -665,8 +694,21 @@ class DecodeEngine:
     # ------------------------------------------------------------------
     def _harvest_one(self) -> List[Request]:
         """Apply bookkeeping for the oldest in-flight decode step."""
-        toks_dev, lps_dev, uids = self._inflight.popleft()
+        entry = self._inflight.popleft()
         finished: List[Request] = []
+        if isinstance(entry[0], str):  # ("admit", tok, logp, req)
+            # Lagged admission bookkeeping: the occupant was installed
+            # device-side at admission; its first token lands here, in
+            # queue order (before any of its decode tokens).
+            _, tok_dev, logp_dev, req = entry
+            req.generated.append(int(np.asarray(tok_dev)))
+            if self._draft is None:
+                req.logprobs.append(float(np.asarray(logp_dev)))
+            self._maybe_finish(req)
+            if req.done:
+                finished.append(req)
+            return finished
+        toks_dev, lps_dev, uids = entry
         if isinstance(toks_dev, tuple):  # speculative (out, n_emit) round
             out, n_emit = (np.asarray(x) for x in toks_dev)
             for slot, uid in enumerate(uids):
@@ -731,7 +773,7 @@ class DecodeEngine:
             # One fused device program (decode + batched sample, KV cache
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.
-            self.key, sub = jax.random.split(self.key)
+            sub = self._next_key()
             lps_dev = None
             if self._sp is not None:
                 toks_dev, lps_dev, self.cache, self.pen_counts = (
@@ -897,6 +939,8 @@ class DecodeEngine:
             "pen_counts": self.pen_counts,
             "min_ps": self.min_ps,
             "key": self.key,
+            "key_block": self._key_block,
+            "key_idx": self._key_idx,
             "steps": self.steps,
             "slots": [
                 None
@@ -955,6 +999,9 @@ class DecodeEngine:
         if snap.get("min_ps") is not None:
             self.min_ps = jnp.asarray(snap["min_ps"])
         self.key = jnp.asarray(snap["key"])
+        kb = snap.get("key_block")
+        self._key_block = None if kb is None else jnp.asarray(kb)
+        self._key_idx = int(snap.get("key_idx", 0))
         self.steps = int(snap["steps"])
         self.slots = [
             None

@@ -328,7 +328,7 @@ class SpStepFns:
                 f"divide over {head_axis}={self.tp_size}"
             )
         tp_size = self.tp_size
-        self._prefill_jits = {}
+        self._prefill_fn = None
 
         cspec = functools.partial(
             cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis,
@@ -413,7 +413,7 @@ class SpStepFns:
         self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
-    def _build_prefill(self, slot: int):
+    def _build_prefill(self):
         cfg = self.cfg
         mesh = self.mesh
         batch_axis, seq_axis = self.batch_axis, self.seq_axis
@@ -424,7 +424,10 @@ class SpStepFns:
         )
         rep = PartitionSpec()
 
-        def prefill_body(params, cache, tokens, start_len, prompt_len):
+        def prefill_body(params, cache, tokens, start_len, prompt_len, slot):
+            # ``slot`` is traced (replicated int32): ONE compilation
+            # serves every slot (the body below is already dynamic-slice
+            # based — only the closure captured it statically before).
             my_dp = jax.lax.axis_index(batch_axis)
             b_loc = cache.lengths.shape[0]
             slot_local = slot - my_dp * b_loc
@@ -495,7 +498,7 @@ class SpStepFns:
             )
             return last, new_cache
 
-        def _wrap(params, cache, tokens, start_len, prompt_len):
+        def _wrap(params, cache, tokens, start_len, prompt_len, slot):
             spec = jax.tree_util.tree_map(cspec, cache)
             fn = jax.shard_map(
                 prefill_body,
@@ -506,21 +509,23 @@ class SpStepFns:
                     rep,
                     rep,
                     rep,
+                    rep,
                 ),
                 out_specs=(rep, spec),
                 check_vma=False,
             )
-            return fn(params, cache, tokens, start_len, prompt_len)
+            return fn(params, cache, tokens, start_len, prompt_len, slot)
 
         return jax.jit(_wrap, donate_argnums=(1,))
 
     def prefill_chunk(
         self, params, cache, tokens, start_len, prompt_len, slot: int
     ):
-        if slot not in self._prefill_jits:
-            self._prefill_jits[slot] = self._build_prefill(slot)
-        return self._prefill_jits[slot](
-            params, cache, tokens, jnp.int32(start_len), jnp.int32(prompt_len)
+        if self._prefill_fn is None:
+            self._prefill_fn = self._build_prefill()
+        return self._prefill_fn(
+            params, cache, tokens, jnp.int32(start_len),
+            jnp.int32(prompt_len), jnp.int32(slot),
         )
 
     def prefill_slot(
