@@ -110,7 +110,14 @@ def _fwd_kernel(
     softcap,
     dropout_rate: float = 0.0,
     dropout_heads=None,
+    pos_div: int = 1,
 ):
+    # ``pos_div``: rows-per-position — row r sits at logical position
+    # r // pos_div.  The GQA decode head-fold (ops.gqa_decode_attention)
+    # packs the ``group`` q-heads sharing a KV head into adjacent rows of
+    # one tile, so the KV stream is read ONCE per kv-head instead of once
+    # per q-head (bandwidth-bound decode reads group-x less HBM) and the
+    # QK^T matmul gets real sublane tiles instead of single rows.
     q_idx = pl.program_id(2)
     kv_major = pl.program_id(3)
     # One KV tile covers the whole sequence: no online statistics needed —
@@ -195,8 +202,10 @@ def _fwd_kernel(
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                 + q_idx * block_q
-                + q_offset
             )
+            if pos_div != 1:
+                row = row // pos_div
+            row = row + q_offset
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
                 + kv_major * block_k_major
@@ -312,14 +321,15 @@ def _fwd_kernel(
         # be visible to the Q tile's last row (``kernels.metal:682`` analog).
         # (Positional mode runs every block: slot indices carry no order.)
         should_run = (
-            (q_idx + 1) * block_q - 1 + q_offset >= kv_major * block_k_major
+            ((q_idx + 1) * block_q - 1) // pos_div + q_offset
+            >= kv_major * block_k_major
         )
         if window is not None:
             # ...and its last column is inside the first row's window (or
             # the block holds sink positions).
             in_window = (
                 (kv_major + 1) * block_k_major - 1
-                >= q_idx * block_q + q_offset - window + 1
+                >= (q_idx * block_q) // pos_div + q_offset - window + 1
             )
             if sinks:
                 in_window |= kv_major * block_k_major < sinks
@@ -552,6 +562,7 @@ def _fwd_lean(
         "softcap",
         "dropout_rate",
         "dropout_heads",
+        "pos_div",
         "interpret",
     ),
     # segment_ids, dropout_seed and dropout_offsets are traced arguments
@@ -577,9 +588,17 @@ def flash_attention_fwd(
     dropout_seed: Optional[jax.Array] = None,
     dropout_offsets=None,
     dropout_heads: Optional[int] = None,
+    pos_div: int = 1,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash-attention forward over ``[B, H, N, D]`` inputs.
+
+    ``pos_div``: rows-per-position (default 1).  Row ``r`` of the query
+    masks as logical position ``r // pos_div`` — the GQA decode head-fold
+    (``ops.gqa_decode_attention``) packs each KV head's ``group`` query
+    heads into adjacent rows so the KV stream is read once per KV head.
+    Requires ``causal``; not composable with alibi/segment_ids/
+    kv_positions/dropout (serving-path feature).
 
     ``dropout_rate`` / ``dropout_seed``: in-kernel attention-probability
     dropout (FA-2 capability; the reference has no dropout).  The keep
@@ -676,6 +695,7 @@ def flash_attention_fwd(
             dropout_seed=dropout_seed,
             dropout_offsets=dropout_offsets,
             dropout_heads=dropout_heads,
+            pos_div=pos_div,
             interpret=interpret,
         )
         if save_lse:
@@ -740,6 +760,22 @@ def flash_attention_fwd(
     if kv_positions is not None and not causal:
         raise ValueError("kv_positions requires causal=True")
 
+    if pos_div != 1:
+        if pos_div < 1:
+            raise ValueError(f"pos_div must be >= 1, got {pos_div}")
+        if not causal:
+            raise ValueError("pos_div > 1 requires causal=True")
+        if (
+            kv_positions is not None
+            or segment_ids is not None
+            or alibi_slopes is not None
+            or dropout_rate
+        ):
+            raise NotImplementedError(
+                "pos_div > 1 (GQA decode head-fold) does not compose with "
+                "kv_positions/segment_ids/alibi/dropout"
+            )
+
     if dropout_rate and not 0.0 < dropout_rate < 1.0:
         # Checked before the truthiness gates below: a negative rate must
         # not slip past `rate > 0.0` and hit the kernels' `if rate:`.
@@ -756,6 +792,7 @@ def flash_attention_fwd(
 
     if (
         not has_dropout
+        and pos_div == 1
         and num_kv_major == 1
         and block_k_major == block_k
         and window is None
@@ -783,7 +820,7 @@ def flash_attention_fwd(
     grid = (batch, heads, n_q // block_q, num_kv_major)
 
     if q_offset is None:
-        q_offset = n_kv - n_q
+        q_offset = n_kv - n_q // pos_div
     q_offset = jnp.asarray(q_offset, jnp.int32)
     q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
@@ -802,6 +839,7 @@ def flash_attention_fwd(
         softcap=softcap,
         dropout_rate=dropout_rate,
         dropout_heads=dropout_heads,
+        pos_div=pos_div,
     )
     has_seg = segment_ids is not None
     has_pos = kv_positions is not None
@@ -882,7 +920,9 @@ def flash_attention_fwd(
         # scalar-prefetched per-batch q_offset, so this works with traced
         # offsets (ring shards, ragged decode).
         def kv_block_map(b, h, i, j, off_ref, *_):
-            diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k_major
+            diag = (
+                ((i + 1) * block_q - 1) // pos_div + off_ref[b]
+            ) // block_k_major
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
                 # Blocks entirely below the sliding window re-map to the
@@ -890,7 +930,7 @@ def flash_attention_fwd(
                 # clamp).  With sinks the leading blocks stay live, so no
                 # lower clamp applies.
                 j_min = (
-                    i * block_q + off_ref[b] - window + 1
+                    (i * block_q) // pos_div + off_ref[b] - window + 1
                 ) // block_k_major
                 j_eff = jnp.maximum(j_eff, j_min)
             j_eff = jnp.clip(j_eff, 0, num_kv_major - 1)

@@ -625,3 +625,75 @@ def mha(
         o, lse = out
         return o.transpose(0, 2, 1, 3), lse
     return out.transpose(0, 2, 1, 3)
+
+
+def gqa_decode_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_offset: jax.Array,
+    *,
+    window: Optional[int] = None,
+    sinks: int = 0,
+    softcap: Optional[float] = None,
+    sm_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    save_lse: bool = False,
+    interpret: Optional[bool] = None,
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Head-folded GQA/MQA decode attention (forward-only, serving path).
+
+    ``q``: ``[B, H_q, T, D]`` new-token queries at positions
+    ``q_offset[b] + t``; ``k, v``: ``[B, H_kv, N, D]`` cache.  The plain
+    kernel's GQA grid re-reads each KV block once per *q*-head
+    (index-map sharing dedups storage, not traffic), which multiplies
+    the HBM bytes of bandwidth-bound decode by ``group = H_q / H_kv``.
+    This wrapper folds each KV head's ``group`` query heads into
+    adjacent rows of one tile (kernel ``pos_div`` semantics: row ``r``
+    masks at position ``r // group``), so the KV stream is read ONCE per
+    KV head and the QK^T gets real sublane tiles instead of single rows.
+
+    Returns ``o`` shaped like ``q`` (and ``lse [B, H_q, T]``).
+    Not composable with ALiBi (per-head slopes would need per-row
+    slopes), rolling caches, or dropout; use ``flash_attention`` there.
+    """
+    b, hq, t, d = q.shape
+    hkv = k.shape[1]
+    if hq % hkv:
+        raise ValueError(f"q heads ({hq}) not a multiple of kv heads ({hkv})")
+    group = hq // hkv
+    if interpret is None:
+        interpret = _use_interpret()
+    if group == 1:
+        out = flash_attention_fwd(
+            q, k, v, q_offset, causal=True, window=window, sinks=sinks,
+            softcap=softcap, sm_scale=sm_scale, block_sizes=block_sizes,
+            save_lse=save_lse, interpret=interpret,
+        )
+        if save_lse:
+            return out[0], out[1][..., 0]
+        return out
+    # Fold: row = t * group + g, i.e. q-head g of kv-head kv sits at rows
+    # (t*group + g) of folded head kv (q-head index = kv*group + g, the
+    # kernel's h // kv_group convention).
+    qf = (
+        q.reshape(b, hkv, group, t, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, hkv, t * group, d)
+    )
+    out = flash_attention_fwd(
+        qf, k, v, q_offset, causal=True, window=window, sinks=sinks,
+        softcap=softcap, sm_scale=sm_scale, block_sizes=block_sizes,
+        save_lse=save_lse, pos_div=group, interpret=interpret,
+    )
+    o = out[0] if save_lse else out
+
+    def unfold(x):  # [b, hkv, t*group, ...] -> [b, hq, t, ...]
+        tail = x.shape[3:]
+        x = x.reshape(b, hkv, t, group, *tail)
+        perm = (0, 1, 3, 2) + tuple(range(4, x.ndim))
+        return x.transpose(*perm).reshape(b, hq, t, *tail)
+
+    if save_lse:
+        return unfold(o), unfold(out[1][..., 0])
+    return unfold(o)
