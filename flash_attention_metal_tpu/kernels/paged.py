@@ -39,6 +39,7 @@ def _make_page_map(
     page_size: int,
     max_pages: int,
     n_pages: int,
+    pos_div: int,
     kv_group: int,
     window,
     sinks: int,
@@ -50,10 +51,14 @@ def _make_page_map(
     elided), then translates through the scalar-prefetched table."""
 
     def kv_page_map(b, h, i, j, off_ref, table_ref, *_):
-        diag = ((i + 1) * block_q - 1 + off_ref[b]) // page_size
+        diag = (
+            ((i + 1) * block_q - 1) // pos_div + off_ref[b]
+        ) // page_size
         j_eff = jnp.minimum(j, diag)
         if window is not None and not sinks:
-            j_min = (i * block_q + off_ref[b] - window + 1) // page_size
+            j_min = (
+                (i * block_q) // pos_div + off_ref[b] - window + 1
+            ) // page_size
             j_eff = jnp.maximum(j_eff, j_min)
         j_eff = jnp.clip(j_eff, 0, max_pages - 1)
         phys = table_ref[b, j_eff]
@@ -75,6 +80,7 @@ def flash_attention_paged(
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
     block_q: int = 128,
+    pos_div: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Causal flash attention reading KV through a page table.
@@ -107,6 +113,11 @@ def flash_attention_paged(
             f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
         )
     kv_group = heads // kv_heads
+    if pos_div != 1 and alibi_slopes is not None:
+        raise NotImplementedError(
+            "pos_div > 1 (head-fold) needs per-row ALiBi slopes; "
+            "use the unfolded path"
+        )
     max_pages = page_table.shape[1]
     if page_size % NUM_LANES:
         raise ValueError(f"page_size={page_size} must be a multiple of 128")
@@ -137,6 +148,7 @@ def flash_attention_paged(
         window=window,
         sinks=int(sinks),
         softcap=softcap,
+        pos_div=pos_div,
     )
 
     def kernel(off_ref, table_ref, *rest):
@@ -152,7 +164,8 @@ def flash_attention_paged(
         )
 
     kv_page_map = _make_page_map(
-        block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
+        block_q, page_size, max_pages, n_pages, pos_div, kv_group, window,
+        int(sinks),
     )
 
     in_specs = [
@@ -223,6 +236,7 @@ def flash_attention_paged_quant(
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
     block_q: int = 128,
+    pos_div: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Causal flash attention over an 8-bit paged KV pool.
@@ -248,6 +262,11 @@ def flash_attention_paged_quant(
             f"q heads ({heads}) must be a multiple of kv heads ({kv_heads})"
         )
     kv_group = heads // kv_heads
+    if pos_div != 1 and alibi_slopes is not None:
+        raise NotImplementedError(
+            "pos_div > 1 (head-fold) needs per-row ALiBi slopes; "
+            "use the unfolded path"
+        )
     max_pages = page_table.shape[1]
     if page_size % NUM_LANES:
         raise ValueError(f"page_size={page_size} must be a multiple of 128")
@@ -283,6 +302,7 @@ def flash_attention_paged_quant(
         num_kv=max_pages,
         save_lse=False,
         softcap=softcap,
+        pos_div=pos_div,
     )
 
     def kernel(off_ref, table_ref, *rest):
@@ -298,7 +318,8 @@ def flash_attention_paged_quant(
         )
 
     kv_page_map = _make_page_map(
-        block_q, page_size, max_pages, n_pages, kv_group, window, int(sinks)
+        block_q, page_size, max_pages, n_pages, pos_div, kv_group, window,
+        int(sinks),
     )
 
     in_specs = [

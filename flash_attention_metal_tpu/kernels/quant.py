@@ -140,7 +140,10 @@ def _quant_fwd_kernel(
     num_kv: int,
     save_lse: bool,
     softcap=None,
+    pos_div: int = 1,
 ):
+    # ``pos_div``: rows-per-position (GQA decode head-fold; see
+    # flash_fwd._fwd_kernel) — row r masks at position r // pos_div.
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     if slopes_ref is not None:
@@ -163,12 +166,13 @@ def _quant_fwd_kernel(
         q_offset = off_ref[pl.program_id(0)]
     if causal and kvpos_ref is None:
         should_run = (
-            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_k
+            ((q_idx + 1) * block_q - 1) // pos_div + q_offset
+            >= kv_idx * block_k
         )
         if window is not None:
             in_window = (
                 (kv_idx + 1) * block_k - 1
-                >= q_idx * block_q + q_offset - window + 1
+                >= (q_idx * block_q) // pos_div + q_offset - window + 1
             )
             if sinks:
                 in_window |= kv_idx * block_k < sinks
@@ -235,8 +239,10 @@ def _quant_fwd_kernel(
             row = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 + q_idx * block_q
-                + q_offset
             )
+            if pos_div != 1:
+                row = row // pos_div
+            row = row + q_offset
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 + kv_idx * block_k
@@ -296,6 +302,7 @@ def _quant_fwd_kernel(
         "block_sizes",
         "save_lse",
         "softcap",
+        "pos_div",
         "interpret",
     ),
 )
@@ -313,9 +320,15 @@ def flash_attention_quant(
     save_lse: bool = False,
     softcap: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    pos_div: int = 1,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Flash attention against an int8/fp8 KV cache.
+
+    ``pos_div``: rows-per-position for the GQA decode head-fold
+    (``runtime.decode._attn_with_cache`` folds the group q-heads into
+    query rows via ``ops.fold_gqa_rows``); requires ``causal`` and no
+    alibi/kv_positions.
 
     ``q``: ``[B, H, N_q, D]`` bf16/fp16/fp32; returns ``o`` (and the
     lane-replicated LSE when requested, like ``flash_attention_fwd``).
@@ -351,7 +364,7 @@ def flash_attention_quant(
     scale_rows = block_k // NUM_LANES
 
     if q_offset is None:
-        q_offset = n_kv - n_q
+        q_offset = n_kv - n_q // pos_div
     q_offset = jnp.asarray(q_offset, jnp.int32)
     q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
 
@@ -361,6 +374,12 @@ def flash_attention_quant(
         window = int(window)
     if kv_positions is not None and not causal:
         raise ValueError("kv_positions requires causal=True")
+    if pos_div != 1 and (
+        not causal or kv_positions is not None or alibi_slopes is not None
+    ):
+        raise NotImplementedError(
+            "pos_div > 1 requires causal=True without kv_positions/alibi"
+        )
     if alibi_slopes is not None and not causal:
         raise ValueError("alibi_slopes requires causal=True on the quant path")
     has_pos = kv_positions is not None
@@ -377,6 +396,7 @@ def flash_attention_quant(
         num_kv=num_kv,
         save_lse=save_lse,
         softcap=softcap,
+        pos_div=pos_div,
     )
 
     def kernel(off_ref, *rest):
@@ -422,10 +442,14 @@ def flash_attention_quant(
         # Above-diagonal steps re-reference the diagonal block so their
         # HBM->VMEM DMAs are elided (flash_fwd clamp analog).
         def kv_map(b, h, i, j, off_ref, *_):
-            diag = ((i + 1) * block_q - 1 + off_ref[b]) // block_k
+            diag = (
+                ((i + 1) * block_q - 1) // pos_div + off_ref[b]
+            ) // block_k
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
-                j_min = (i * block_q + off_ref[b] - window + 1) // block_k
+                j_min = (
+                    (i * block_q) // pos_div + off_ref[b] - window + 1
+                ) // block_k
                 j_eff = jnp.maximum(j_eff, j_min)
             j_eff = jnp.clip(j_eff, 0, num_kv - 1)
             return (b, h // kv_group, j_eff, 0)

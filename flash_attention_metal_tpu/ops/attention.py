@@ -627,6 +627,31 @@ def mha(
     return out.transpose(0, 2, 1, 3)
 
 
+def fold_gqa_rows(q: jax.Array, kv_heads: int) -> jax.Array:
+    """[B, Hq, T, D] -> [B, Hkv, T*group, D] with row = t*group + g.
+
+    Row-major grouping matches the kernels' ``h // kv_group`` GQA
+    convention (q-head index = kv*group + g) and the ``pos_div`` mask
+    semantics (position = row // group)."""
+    b, hq, t, d = q.shape
+    group = hq // kv_heads
+    return (
+        q.reshape(b, kv_heads, group, t, d)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, kv_heads, t * group, d)
+    )
+
+
+def unfold_gqa_rows(x: jax.Array, q_heads: int, t: int) -> jax.Array:
+    """Inverse of ``fold_gqa_rows`` on outputs (any trailing dims)."""
+    b, hkv = x.shape[:2]
+    group = q_heads // hkv
+    tail = x.shape[3:]
+    x = x.reshape(b, hkv, t, group, *tail)
+    perm = (0, 1, 3, 2) + tuple(range(4, x.ndim))
+    return x.transpose(*perm).reshape(b, q_heads, t, *tail)
+
+
 def gqa_decode_attention(
     q: jax.Array,
     k: jax.Array,
@@ -673,27 +698,16 @@ def gqa_decode_attention(
         if save_lse:
             return out[0], out[1][..., 0]
         return out
-    # Fold: row = t * group + g, i.e. q-head g of kv-head kv sits at rows
-    # (t*group + g) of folded head kv (q-head index = kv*group + g, the
-    # kernel's h // kv_group convention).
-    qf = (
-        q.reshape(b, hkv, group, t, d)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(b, hkv, t * group, d)
-    )
+    qf = fold_gqa_rows(q, hkv)
     out = flash_attention_fwd(
         qf, k, v, q_offset, causal=True, window=window, sinks=sinks,
         softcap=softcap, sm_scale=sm_scale, block_sizes=block_sizes,
         save_lse=save_lse, pos_div=group, interpret=interpret,
     )
     o = out[0] if save_lse else out
-
-    def unfold(x):  # [b, hkv, t*group, ...] -> [b, hq, t, ...]
-        tail = x.shape[3:]
-        x = x.reshape(b, hkv, t, group, *tail)
-        perm = (0, 1, 3, 2) + tuple(range(4, x.ndim))
-        return x.transpose(*perm).reshape(b, hq, t, *tail)
-
     if save_lse:
-        return unfold(o), unfold(out[1][..., 0])
-    return unfold(o)
+        return (
+            unfold_gqa_rows(o, hq, t),
+            unfold_gqa_rows(out[1][..., 0], hq, t),
+        )
+    return unfold_gqa_rows(o, hq, t)
