@@ -438,6 +438,7 @@ def _fwd_kernel_lean(
     block_q: int,
     q_offset: int,
     save_lse: bool,
+    fold: int = 1,
 ):
     """Single-KV-block fast path with a *static* causal offset.
 
@@ -445,33 +446,65 @@ def _fwd_kernel_lean(
     general kernel — measured ~0.5-1us of fixed overhead, which dominates
     at reference-sweep sizes N<=1024 (the regime where the reference's own
     kernels were dispatch-bound, ``README.md`` N=128 rows).
+
+    ``fold``: batch elements per grid step.  Small-N batched sweeps
+    (B=128 at N=128) otherwise pay the per-grid-step overhead once per
+    batch element; folding ``fold`` independent (N, D) attention problems
+    into one statically-unrolled body amortizes that overhead and gives
+    Mosaic independent MXU/VPU chains to interleave.  Same FLOPs, same
+    outputs — only the grid packing changes.
     """
-    q = q_ref[0, 0]
-    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-    if causal:
-        row = (
-            jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
-            + pl.program_id(2) * block_q
-            + q_offset
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-        s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
-    o_ref[0, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
-    if save_lse:
-        lse = jnp.where(
-            l == 0.0,
-            -jnp.inf,
-            m * _LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l)),
-        )
-        lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+    for i in range(fold):
+        q = q_ref[i, 0]
+        q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+                + pl.program_id(2) * block_q
+                + q_offset
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+            s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
+        o_ref[i, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            lse = jnp.where(
+                l == 0.0,
+                -jnp.inf,
+                m * _LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l)),
+            )
+            lse_ref[i, 0, :, :] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _lean_batch_fold(batch: int, n_q: int, n_kv: int) -> int:
+    """Batch elements per lean-path grid step.
+
+    Fold until each step carries ~``_FOLD_ROWS`` total KV rows of work —
+    enough to amortize the ~0.3-0.4us per-grid-step overhead that
+    dominates small-N batched shapes (the N=128 B=128 sweep point spent
+    ~75% of its time on step overhead before folding).  Folding is a pure
+    grid repack: identical FLOPs and outputs.
+    """
+    fold = 1
+    while (
+        batch % (fold * 2) == 0
+        and fold * 2 * max(n_q, n_kv) <= _FOLD_ROWS
+    ):
+        fold *= 2
+    return fold
+
+
+# Tuned on v5e (see docs/optimization_narrative.md): 1024 rows/step was
+# the paired-measurement winner at N=128/256; 2048 regressed (VMEM
+# pressure narrows the pipeline) and 512 left step overhead on the table.
+_FOLD_ROWS = 1024
 
 
 def _fwd_lean(
@@ -489,6 +522,11 @@ def _fwd_lean(
 ):
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
+    fold = 1
+    if block_q == n_q and kv_group == 1:
+        # Whole sequence per step and no KV dedup across q-heads to
+        # preserve: fold several batch elements into each grid step.
+        fold = _lean_batch_fold(batch, n_q, n_kv)
     kernel = functools.partial(
         _fwd_kernel_lean,
         sm_scale=sm_scale,
@@ -496,6 +534,7 @@ def _fwd_lean(
         block_q=block_q,
         q_offset=q_offset,
         save_lse=save_lse,
+        fold=fold,
     )
     if not save_lse:
         bound = kernel
@@ -505,14 +544,16 @@ def _fwd_lean(
 
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
+        pl.BlockSpec((fold, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
     ]
     if save_lse:
         out_shapes.append(
             jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, i: (b, h, i, 0))
+            pl.BlockSpec(
+                (fold, 1, block_q, NUM_LANES), lambda b, h, i: (b, h, i, 0)
+            )
         )
     flops = 4 * batch * heads * n_q * n_kv * head_dim
     transcendentals = batch * heads * n_q * n_kv
@@ -522,14 +563,18 @@ def _fwd_lean(
     results = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        grid=(batch, heads, n_q // block_q),
+        grid=(batch // fold, heads, n_q // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec(
-                (1, 1, n_kv, head_dim), lambda b, h, i: (b, h // kv_group, 0, 0)
+                (fold, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
             ),
             pl.BlockSpec(
-                (1, 1, n_kv, head_dim), lambda b, h, i: (b, h // kv_group, 0, 0)
+                (fold, 1, n_kv, head_dim),
+                lambda b, h, i: (b, h // kv_group, 0, 0),
+            ),
+            pl.BlockSpec(
+                (fold, 1, n_kv, head_dim),
+                lambda b, h, i: (b, h // kv_group, 0, 0),
             ),
         ],
         out_specs=out_specs,

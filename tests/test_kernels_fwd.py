@@ -116,6 +116,28 @@ def test_flash_mxu_causal_lse(rng_key):
     )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("batch,n", [(16, 128), (8, 256), (6, 128), (3, 128)])
+def test_lean_batch_fold_vs_oracle(rng_key, batch, n, causal):
+    """The lean path's batch-fold (several batch elements per grid step)
+    must be a pure grid repack: outputs and LSE match the oracle for
+    power-of-two folds, non-dividing batches (fold clamps to a divisor),
+    and both causal modes."""
+    from flash_attention_metal_tpu.kernels.flash_fwd import _lean_batch_fold
+
+    q, k, v = make_qkv(rng_key, (batch, 1, n, 64), dtype=jnp.bfloat16)
+    o, lse_lanes = flash_attention_mxu(
+        q, k, v, causal=causal, save_lse=True, interpret=INTERPRET
+    )
+    want_o, want_lse = attention_reference_with_lse(q, k, v, causal=causal)
+    assert max_abs_diff(o, want_o) < TOL_HALF
+    np.testing.assert_allclose(
+        np.asarray(lse_lanes[..., 0]), np.asarray(want_lse), atol=2e-2
+    )
+    fold = _lean_batch_fold(batch, n, n)
+    assert batch % fold == 0 and fold * n <= 1024
+
+
 def test_head_dim_128(rng_key):
     q, k, v = make_qkv(rng_key, (1, 2, 256, 128))
     got = flash_attention_fwd(q, k, v, interpret=INTERPRET)
