@@ -39,6 +39,13 @@ DEFAULT_CACHE = "autotune_cache.json"
 _FWD_TILES = (128, 256, 512, 1024, 2048)
 _BWD_TILES = (128, 256, 512, 1024)
 
+# Errors that mean "this candidate doesn't compile/fit" (VMEM overflow
+# surfaces as XlaRuntimeError/RESOURCE_EXHAUSTED under
+# jax.errors.JaxRuntimeError; Mosaic lowering rejections raise
+# NotImplementedError/ValueError).  Config typos (TypeError/KeyError/
+# AttributeError) must propagate, not masquerade as skips.
+_COMPILE_ERRORS = (jax.errors.JaxRuntimeError, ValueError, NotImplementedError)
+
 
 def _key(kind: str, b, h, n_q, n_kv, d, causal, dtype) -> str:
     chip = detect_chip().name
@@ -170,8 +177,14 @@ def autotune_fwd(
         )
         try:
             t = measure_kernel_stable(fn, (q, k, v), **mcfg)["median_s"]
-        except Exception as e:  # compile failure (e.g. VMEM) -> skip
-            log(f"  {bs.block_q}x{bs.block_k_major}: FAIL {type(e).__name__}")
+        except _COMPILE_ERRORS as e:
+            # Compile/lowering failure (VMEM overflow, unsupported Mosaic
+            # op) — a legitimate "candidate doesn't fit" skip.  Anything
+            # else (config typo -> TypeError/KeyError) propagates.
+            log(
+                f"  {bs.block_q}x{bs.block_k_major}: SKIP "
+                f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
+            )
             continue
         log(f"  fwd {key} {bs.block_q}x{bs.block_k_major}x{bs.block_k}: "
             f"{t*1e6:.1f} us")
@@ -237,8 +250,11 @@ def autotune_bwd(
             t = measure_kernel_stable(
                 fn, (q, k, v, o, do, lse), **mcfg
             )["median_s"]
-        except Exception as e:
-            log(f"  {tag}: FAIL {type(e).__name__}")
+        except _COMPILE_ERRORS as e:
+            log(
+                f"  {tag}: SKIP {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:100]}"
+            )
             continue
         log(f"  bwd {key} {tag}: {t*1e6:.1f} us")
         if t < best_t:

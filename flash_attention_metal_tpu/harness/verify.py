@@ -304,6 +304,95 @@ def run_ladder(
     )
     rung("flash paged-KV softcap+ALiBi vs oracle", otp, oracle_tc, TOL_HALF)
 
+    # Rung 16: in-kernel softcap backward — the dS path chains through
+    # the tanh-cap derivative inside the FA-2 kernels (the dS-transform
+    # site of the reference backward, kernels.metal:1160-1169); no O(N^2)
+    # score tensor is materialized (round-3's oracle-VJP fallback is gone).
+    def loss_sc(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(
+                q_, k_, v_, causal=True, softcap=cap, interpret=interpret
+            )
+            * do
+        )
+
+    g_sc = jax.grad(loss_sc, argnums=(0, 1, 2))(q, k, v)
+    g_sc_r = jax.grad(
+        lambda q_, k_, v_: jnp.sum(
+            attention_reference(q_, k_, v_, causal=True, softcap=cap) * do
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    rung(
+        "softcap backward (dQ,dK,dV) vs oracle",
+        jnp.stack(g_sc),
+        jnp.stack(g_sc_r),
+        TOL_FP32,
+    )
+
+    # Rung 17: in-kernel ALiBi backward including d/d(slopes) (a masked
+    # in-kernel reduce of dS * distance); slope grads compared relatively
+    # (they are O(N^2) sums).
+    def loss_al(q_, k_, v_, s_):
+        return jnp.sum(
+            flash_attention(
+                q_, k_, v_, causal=True, alibi_slopes=s_, interpret=interpret
+            )
+            * do
+        )
+
+    g_al = jax.grad(loss_al, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+    g_al_r = jax.grad(
+        lambda q_, k_, v_, s_: jnp.sum(
+            attention_reference(q_, k_, v_, causal=True, alibi_slopes=s_)
+            * do
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, slopes)
+    rung(
+        "ALiBi backward (dQ,dK,dV) vs oracle",
+        jnp.stack(g_al[:3]),
+        jnp.stack(g_al_r[:3]),
+        TOL_FP32,
+    )
+    rung(
+        "ALiBi backward d_slopes vs oracle (relative)",
+        g_al[3] / (jnp.abs(g_al_r[3]) + 1.0),
+        g_al_r[3] / (jnp.abs(g_al_r[3]) + 1.0),
+        TOL_FP32,
+    )
+
+    # Rung 18: native-GQA backward (row-fold; K/V read once per KV head,
+    # no jnp.repeat broadcast) vs the broadcast oracle gradient.
+    kg2, vg2 = k[:, :1], v[:, :1]
+
+    def loss_gqa(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(q_, k_, v_, causal=True, interpret=interpret)
+            * do
+        )
+
+    g_gq = jax.grad(loss_gqa, argnums=(0, 1, 2))(q, kg2, vg2)
+    g_gq_r = jax.grad(
+        lambda q_, k_, v_: jnp.sum(
+            attention_reference(
+                q_,
+                jnp.broadcast_to(k_, q_.shape),
+                jnp.broadcast_to(v_, q_.shape),
+                causal=True,
+            )
+            * do
+        ),
+        argnums=(0, 1, 2),
+    )(q, kg2, vg2)
+    rung("GQA-fold backward dQ vs oracle", g_gq[0], g_gq_r[0], TOL_FP32)
+    rung(
+        "GQA-fold backward dK,dV (group-summed in-kernel) vs oracle",
+        jnp.stack(g_gq[1:]),
+        jnp.stack(g_gq_r[1:]),
+        TOL_FP32,
+    )
+
     # Rungs 24-25: in-kernel attention dropout, forward AND backward.
     # The keep mask is a stateless coordinate hash shared bit-exactly by
     # the kernels and the oracle (kernels/_common.py::dropout_keep), so

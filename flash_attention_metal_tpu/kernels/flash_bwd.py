@@ -74,6 +74,7 @@ def _dropout_bh(seed_ref, dropout_heads):
 def _dkv_kernel(
     off_ref,
     seed_ref,
+    slopes_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -84,8 +85,10 @@ def _dkv_kernel(
     kvseg_ref,
     dk_ref,
     dv_ref,
+    dslope_ref,
     dk_acc,
     dv_acc,
+    dslope_acc,
     *,
     sm_scale: float,
     causal: bool,
@@ -94,32 +97,49 @@ def _dkv_kernel(
     num_q_blocks: int,
     window,
     sinks,
+    softcap=None,
+    pos_div: int = 1,
     dropout_rate: float = 0.0,
     dropout_heads=None,
 ):
+    # ``pos_div``: rows-per-position for the GQA head-fold (see
+    # ``flash_fwd._fwd_kernel``): row r masks at logical position
+    # r // pos_div, so each KV head's ``group`` query heads share one
+    # tile and the KV stream is read ONCE per KV head — the backward
+    # analog of the round-3 decode fold, replacing the jnp.repeat
+    # broadcast (group-x HBM on K/V reads and dK/dV stores).
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
+    has_alibi = slopes_ref is not None
     if dropout_rate:
         dropout_bh = _dropout_bh(seed_ref, dropout_heads)
+    if has_alibi:
+        # Scalar-prefetched [H] fp32 slopes; natural-log units here (the
+        # backward reconstructs p with exp, not exp2).
+        slope = slopes_ref[pl.program_id(1)]
 
     @pl.when(q_idx == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
+        if has_alibi:
+            dslope_acc[...] = jnp.zeros_like(dslope_acc)
 
-    if causal:
+    if causal or has_alibi:
         q_offset = off_ref[pl.program_id(0)]
+    if causal:
         # A Q block contributes to this KV block only if some of its rows
         # lie on/below the diagonal within the block's columns.
         should_run = (
-            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
+            ((q_idx + 1) * block_q - 1) // pos_div + q_offset
+            >= kv_idx * block_kv
         )
         if window is not None:
             # ...and the block's last column is inside some row's window
             # (or the block holds sink positions).
             in_window = (
                 (kv_idx + 1) * block_kv - 1
-                >= q_idx * block_q + q_offset - window + 1
+                >= (q_idx * block_q) // pos_div + q_offset - window + 1
             )
             if sinks:
                 in_window |= kv_idx * block_kv < sinks
@@ -140,23 +160,36 @@ def _dkv_kernel(
         lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
+        if causal or has_alibi:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + (
+                q_idx * block_q
+            )
+            if pos_div != 1:
+                row = row // pos_div
+            row = row + q_offset
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+                + kv_idx * block_kv
+            )
+
         # Recompute S and reconstruct P from the saved logsumexp
-        # (``kernels.metal:1081-1089``).
+        # (``kernels.metal:1081-1089``).  The forward's score transforms
+        # (tanh softcap, ALiBi bias — the dS-transform site the reference
+        # kernel owns at ``kernels.metal:1160-1169``) are replayed here so
+        # p matches the saved lse exactly.
         s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-        p = jnp.exp(s * sm_scale - lse)
+        t = s * sm_scale
+        if softcap is not None:
+            u = jnp.tanh(t * (1.0 / softcap))
+            t = softcap * u
+        if has_alibi:
+            dist = (col - row).astype(jnp.float32)
+            t = t + slope * dist
+        p = jnp.exp(t - lse)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
             # variant measured 2x slower — it breaks Mosaic's scheduling).
-            row = (
-                jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
-                + q_idx * block_q
-                + q_offset
-            )
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
-                + kv_idx * block_kv
-            )
             visible = col <= row
             if window is not None:
                 keep = col > row - window
@@ -186,12 +219,22 @@ def _dkv_kernel(
         # the MXU contracts either operand dimension natively).
         dv_acc[...] += mxu_dot_general(pd.astype(do.dtype), do, (((0,), (0,)), ((), ())))
 
-        # dP = dO V^T ; dS = P * (dP - delta) * scale
-        # (``kernels.metal:1128-1169``).
+        # dP = dO V^T ; dS2 = P * (dP - delta): the cotangent of the
+        # TRANSFORMED score (``kernels.metal:1128-1169``).
         dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
         if dropout_rate:
             dp = dp * keep
-        ds = p * (dp - delta) * sm_scale
+        ds = p * (dp - delta)
+        if has_alibi:
+            # d/d(slope_h) of (slope_h * dist) summed over this block pair;
+            # masked positions contribute 0 through p.  Scalar accumulate,
+            # lane-broadcast into the (1, LANES) scratch.
+            dslope_acc[...] += jnp.sum(ds * dist)
+        if softcap is not None:
+            # Chain through the cap: d(cap*tanh(t/cap))/dt = 1 - tanh^2.
+            ds = ds * ((1.0 - u * u) * sm_scale)
+        else:
+            ds = ds * sm_scale
 
         # dK += dS^T Q  (``kernels.metal:1189-1214``).
         dk_acc[...] += mxu_dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
@@ -200,11 +243,14 @@ def _dkv_kernel(
     def _store():
         dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
+        if has_alibi:
+            dslope_ref[0, 0, :, :] = dslope_acc[...]
 
 
 def _dq_kernel(
     off_ref,
     seed_ref,
+    slopes_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -223,27 +269,34 @@ def _dq_kernel(
     num_kv_blocks: int,
     window,
     sinks,
+    softcap=None,
+    pos_div: int = 1,
     dropout_rate: float = 0.0,
     dropout_heads=None,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    has_alibi = slopes_ref is not None
     if dropout_rate:
         dropout_bh = _dropout_bh(seed_ref, dropout_heads)
+    if has_alibi:
+        slope = slopes_ref[pl.program_id(1)]
 
     @pl.when(kv_idx == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    if causal:
+    if causal or has_alibi:
         q_offset = off_ref[pl.program_id(0)]
+    if causal:
         should_run = (
-            (q_idx + 1) * block_q - 1 + q_offset >= kv_idx * block_kv
+            ((q_idx + 1) * block_q - 1) // pos_div + q_offset
+            >= kv_idx * block_kv
         )
         if window is not None:
             in_window = (
                 (kv_idx + 1) * block_kv - 1
-                >= q_idx * block_q + q_offset - window + 1
+                >= (q_idx * block_q) // pos_div + q_offset - window + 1
             )
             if sinks:
                 in_window |= kv_idx * block_kv < sinks
@@ -262,21 +315,32 @@ def _dq_kernel(
         lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
+        if causal or has_alibi:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + (
+                q_idx * block_q
+            )
+            if pos_div != 1:
+                row = row // pos_div
+            row = row + q_offset
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
+                + kv_idx * block_kv
+            )
+
+        # Score recompute + forward transforms (see _dkv_kernel).
         s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-        p = jnp.exp(s * sm_scale - lse)
+        t = s * sm_scale
+        if softcap is not None:
+            u = jnp.tanh(t * (1.0 / softcap))
+            t = softcap * u
+        if has_alibi:
+            dist = (col - row).astype(jnp.float32)
+            t = t + slope * dist
+        p = jnp.exp(t - lse)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
             # variant measured 2x slower — it breaks Mosaic's scheduling).
-            row = (
-                jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
-                + q_idx * block_q
-                + q_offset
-            )
-            col = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, p.shape[1]), 1)
-                + kv_idx * block_kv
-            )
             visible = col <= row
             if window is not None:
                 keep = col > row - window
@@ -297,7 +361,11 @@ def _dq_kernel(
                 seed_ref, dropout_bh, q_idx, kv_idx, block_q, block_kv,
                 dropout_rate,
             )
-        ds = p * (dp - delta) * sm_scale
+        ds = p * (dp - delta)
+        if softcap is not None:
+            ds = ds * ((1.0 - u * u) * sm_scale)
+        else:
+            ds = ds * sm_scale
 
         # dQ += dS K  (``kernels.metal:1176-1187``).
         dq_acc[...] += mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
@@ -313,7 +381,8 @@ _AUTOTUNE_BWD_WARNED = False
 def flash_attention_bwd_auto(
     q, k, v, o, do, lse_lanes, q_offset=None, dlse=None, *,
     sm_scale=None, causal=False, window=None, sinks=0, segment_ids=None,
-    block_sizes=None, dropout_rate=0.0, dropout_seed=None,
+    block_sizes=None, softcap=None, alibi_slopes=None, pos_div=1,
+    dropout_rate=0.0, dropout_seed=None,
     dropout_offsets=None, dropout_heads=None, interpret=False,
 ):
     """Backward dispatcher: consult the autotuner's persisted decision
@@ -344,13 +413,17 @@ def flash_attention_bwd_auto(
                     "using heuristic blocks"
                 )
             block_sizes = None
-    if dropout_rate:
-        # Dropout lives in the split kernels only (the fused variant is
-        # already measured slower on v5e and was not extended).
+    if dropout_rate or softcap is not None or alibi_slopes is not None or (
+        pos_div != 1
+    ):
+        # Dropout, score transforms and the GQA row-fold live in the split
+        # kernels only (the fused variant is already measured slower on v5e
+        # and was not extended).
         return flash_attention_bwd(
             q, k, v, o, do, lse_lanes, q_offset, dlse,
             sm_scale=sm_scale, causal=causal, window=window, sinks=sinks,
             segment_ids=segment_ids, block_sizes=block_sizes,
+            softcap=softcap, alibi_slopes=alibi_slopes, pos_div=pos_div,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             dropout_offsets=dropout_offsets, dropout_heads=dropout_heads,
             interpret=interpret,
@@ -673,6 +746,8 @@ def flash_attention_bwd_fused(
         "window",
         "sinks",
         "block_sizes",
+        "softcap",
+        "pos_div",
         "dropout_rate",
         "dropout_heads",
         "interpret",
@@ -694,12 +769,15 @@ def flash_attention_bwd(
     sinks: int = 0,
     segment_ids=None,
     block_sizes: Optional[BlockSizes] = None,
+    softcap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    pos_div: int = 1,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
     dropout_offsets=None,
     dropout_heads: Optional[int] = None,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, ...]:
     """(dQ, dK, dV) given saved output + lane-replicated logsumexp.
 
     ``lse_lanes`` is the ``[B, H, N_q, 128]`` residual produced by
@@ -709,11 +787,24 @@ def flash_attention_bwd(
     Because d(lse_i)/d(s_ij) = p_ij, the lse cotangent folds into the
     existing dS = P*(dP - delta)*scale bracket as ``delta_i - dlse_i`` —
     it costs nothing beyond the delta precompute (dV has no lse term).
+
+    ``softcap`` / ``alibi_slopes``: replay the forward's score transforms
+    in the recompute and chain dS through them in-kernel — the TPU analog
+    of the dS-transform site in the reference backward
+    (``kernels.metal:1160-1169``); no O(N^2) score tensor is ever
+    materialized.  With ``alibi_slopes`` the return value grows a fourth
+    element ``d_slopes`` ([H] fp32: sum of dS * distance over all blocks).
+
+    ``pos_div``: rows-per-position for the GQA head-fold (see
+    ``flash_fwd``): callers fold each KV head's ``group`` query heads
+    into adjacent rows, so dK/dV accumulate across the whole group in
+    VMEM scratch while K/V stream from HBM once per KV head — replacing
+    the group-x ``jnp.repeat`` broadcast.  Requires no dropout/alibi.
     """
     if q.dtype == jnp.float16:
         # fp16 is a storage dtype on TPU (no Mosaic f16 datapath): run
         # the backward in fp32 and round the gradients back.
-        dq, dk, dv = flash_attention_bwd(
+        out = flash_attention_bwd(
             q.astype(jnp.float32),
             k.astype(jnp.float32),
             v.astype(jnp.float32),
@@ -728,17 +819,17 @@ def flash_attention_bwd(
             sinks=sinks,
             segment_ids=segment_ids,
             block_sizes=block_sizes,
+            softcap=softcap,
+            alibi_slopes=alibi_slopes,
+            pos_div=pos_div,
             dropout_rate=dropout_rate,
             dropout_seed=dropout_seed,
             dropout_offsets=dropout_offsets,
             dropout_heads=dropout_heads,
             interpret=interpret,
         )
-        return (
-            dq.astype(jnp.float16),
-            dk.astype(jnp.float16),
-            dv.astype(jnp.float16),
-        )
+        halved = tuple(g.astype(jnp.float16) for g in out[:3])
+        return halved + tuple(out[3:])  # d_slopes stays fp32
 
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -746,17 +837,27 @@ def flash_attention_bwd(
         # The grid/index maps below assume equal Q and KV head counts; a
         # smaller KV head axis would silently clamp block indices and
         # produce wrong gradients.  GQA callers must broadcast KV heads
-        # first and group-reduce dk/dv after (see ops.attention).
+        # first and group-reduce dk/dv after, or fold the group into rows
+        # with ``pos_div`` (see ops.attention).
         raise ValueError(
             f"flash_attention_bwd requires equal head counts, got q heads "
-            f"{heads} vs kv heads {k.shape[1]}; broadcast KV heads first"
+            f"{heads} vs kv heads {k.shape[1]}; broadcast or fold KV heads "
+            f"first"
         )
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
         block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
+    if pos_div != 1:
+        if pos_div < 1:
+            raise ValueError(f"pos_div must be >= 1, got {pos_div}")
+        if dropout_rate or alibi_slopes is not None:
+            raise NotImplementedError(
+                "pos_div > 1 (GQA row-fold) does not compose with dropout "
+                "or per-head alibi slopes; use the broadcast path"
+            )
     if q_offset is None:
-        q_offset = n_kv - n_q
+        q_offset = n_kv - n_q // pos_div
     q_offset = jnp.asarray(q_offset, jnp.int32)
     q_offset = jnp.broadcast_to(q_offset.reshape(-1), (batch,))
     if window is not None:
@@ -769,12 +870,19 @@ def flash_attention_bwd(
     has_dropout = dropout_rate > 0.0
     if has_dropout and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
+    has_alibi = alibi_slopes is not None
     scalar_args = [q_offset]
     if has_dropout:
         # int32 [seed, row_off, col_off, b_off, h_off] as a second
         # scalar-prefetch operand (mirrors the forward); index maps
         # tolerate the extra trailing ref.
         scalar_args.append(pack_dropout_seed(dropout_seed, dropout_offsets))
+    if has_alibi:
+        # [H] fp32 slopes in SMEM (scalar prefetch) — same convention as
+        # the forward kernel (true scalar read, natural-log units here).
+        scalar_args.append(
+            jnp.asarray(alibi_slopes, jnp.float32).reshape(heads)
+        )
 
     has_seg = segment_ids is not None
     if has_seg:
@@ -810,16 +918,19 @@ def flash_attention_bwd(
         # (``pl.when(should_run)``); clamping their block index to the first
         # contributing Q block makes consecutive index_map results identical
         # so the pipeline elides their Q/dO/LSE/delta DMAs (same trick as
-        # the forward's KV clamp).  i_min = floor((j*bkv - off) / bq).
+        # the forward's KV clamp).  i_min is the first Q block whose last
+        # row position ((i+1)*bq-1)//pos_div reaches the KV block's first
+        # column: floor((j*bkv - off) * pos_div / bq).
         def q_block_map(b, h, j, i, off_ref, *_):
-            i_min = (j * bkv - off_ref[b]) // bq
+            i_min = ((j * bkv - off_ref[b]) * pos_div) // bq
             i_eff = jnp.maximum(i, i_min)
             if window is not None and not sinks:
                 # Q blocks whose windows have slid past this KV block
                 # re-map to the last contributing Q block (DMA elided).
                 # (Sink KV blocks are visible to every later Q block, so
                 # no upper clamp applies when sinks are on.)
-                i_max = ((j + 1) * bkv + window - off_ref[b] - 2) // bq
+                m = (j + 1) * bkv + window - off_ref[b] - 2
+                i_max = ((m + 1) * pos_div - 1) // bq
                 i_eff = jnp.minimum(i_eff, i_max)
             i_eff = jnp.clip(i_eff, 0, num_q_blocks - 1)
             return (b, h, i_eff, 0)
@@ -831,7 +942,8 @@ def flash_attention_bwd(
     def lanes_spec(bq):
         return pl.BlockSpec((1, 1, bq, NUM_LANES), q_block_map)
 
-    dkv_grid = (batch, heads, n_kv // bkv, num_q_blocks)
+    num_kv_blocks_dkv = n_kv // bkv
+    dkv_grid = (batch, heads, num_kv_blocks_dkv, num_q_blocks)
     dkv_bound = functools.partial(
         _dkv_kernel,
         sm_scale=sm_scale,
@@ -841,14 +953,18 @@ def flash_attention_bwd(
         num_q_blocks=num_q_blocks,
         window=window,
         sinks=int(sinks),
+        softcap=softcap,
+        pos_div=pos_div,
         dropout_rate=dropout_rate,
         dropout_heads=dropout_heads,
     )
 
     def dkv_kernel(off_r, *rest):
-        seed_r = None
+        seed_r = slopes_r = None
         if has_dropout:
             seed_r, rest = rest[0], rest[1:]
+        if has_alibi:
+            slopes_r, rest = rest[0], rest[1:]
         q_r, k_r, v_r, do_r, lse_r, d_r = rest[:6]
         rest = rest[6:]
         if has_seg:
@@ -856,8 +972,17 @@ def flash_attention_bwd(
             rest = rest[2:]
         else:
             qs_r = ks_r = None
+        dk_r, dv_r = rest[:2]
+        rest = rest[2:]
+        dslope_r = None
+        if has_alibi:
+            dslope_r, rest = rest[0], rest[1:]
+        dk_a, dv_a = rest[:2]
+        rest = rest[2:]
+        dslope_a = rest[0] if has_alibi else None
         return dkv_bound(
-            off_r, seed_r, q_r, k_r, v_r, do_r, lse_r, d_r, qs_r, ks_r, *rest
+            off_r, seed_r, slopes_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+            qs_r, ks_r, dk_r, dv_r, dslope_r, dk_a, dv_a, dslope_a,
         )
 
     dkv_in_specs = [
@@ -884,32 +1009,58 @@ def flash_attention_bwd(
         )
         dkv_inputs += [qseg, kvseg]
 
-    dk, dv = pl.pallas_call(
+    dkv_out_shapes = [
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    dkv_out_specs = [
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((bkv, head_dim), jnp.float32),
+        pltpu.VMEM((bkv, head_dim), jnp.float32),
+    ]
+    if has_alibi:
+        # Per-(b, h, kv-block) d_slope partials (scalar, lane-replicated);
+        # reduced to [H] after the call.
+        dkv_out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (batch, heads, num_kv_blocks_dkv, NUM_LANES), jnp.float32
+            )
+        )
+        dkv_out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, NUM_LANES), lambda b, h, j, i, *_: (b, h, j, 0)
+            )
+        )
+        dkv_scratch.append(pltpu.VMEM((1, NUM_LANES), jnp.float32))
+
+    dkv_results = pl.pallas_call(
         dkv_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
+        out_shape=dkv_out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
         grid=dkv_grid,
         in_specs=dkv_in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bkv, head_dim), lambda b, h, j, i, *_: (b, h, j, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv, head_dim), jnp.float32),
-            pltpu.VMEM((bkv, head_dim), jnp.float32),
-        ],
+        out_specs=dkv_out_specs,
+        scratch_shapes=dkv_scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             # The in-kernel dropout mask regeneration adds ~2MB of live
-            # intermediates; the 16MB scoped-vmem default OOMs (measured
-            # 17.89M at bkv=1024, d=64).  Without dropout the default is
-            # the measured-fastest setting — leave it alone.
-            vmem_limit_bytes=24 * 1024 * 1024 if has_dropout else None,
+            # intermediates and the softcap/ALiBi transforms keep an extra
+            # (bq, bkv) fp32 tile (tanh u / distance) alive; the 16MB
+            # scoped-vmem default OOMs (dropout measured 17.89M, softcap
+            # 17.61M at 1024x1024 d=64 blocks).  Without extras the
+            # default is the measured-fastest setting — leave it alone.
+            vmem_limit_bytes=(
+                32 * 1024 * 1024
+                if (has_dropout and (softcap is not None or has_alibi))
+                else 24 * 1024 * 1024
+                if (has_dropout or softcap is not None or has_alibi)
+                else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=6 * batch * heads * n_q * n_kv * head_dim,
@@ -920,6 +1071,11 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
     )(*scalar_args, *dkv_inputs)
+    dk, dv = dkv_results[:2]
+    d_slopes = None
+    if has_alibi:
+        # Scalar was lane-broadcast; take lane 0, reduce batch + kv blocks.
+        d_slopes = dkv_results[2][..., 0].sum(axis=(0, 2))
 
     # ---------------- dQ kernel ----------------
     bq = min(block_sizes.block_q_dq, n_q)
@@ -931,12 +1087,15 @@ def flash_attention_bwd(
 
     if causal:
         # Mirror of the forward's clamp: above-diagonal KV blocks re-map to
-        # the diagonal block so their K/V DMAs are elided.
+        # the diagonal block so their K/V DMAs are elided (row positions
+        # are block-row indices // pos_div under the GQA fold).
         def kv_block_map(b, h, i, j, off_ref, *_):
-            diag = ((i + 1) * bq - 1 + off_ref[b]) // bkv
+            diag = (((i + 1) * bq - 1) // pos_div + off_ref[b]) // bkv
             j_eff = jnp.minimum(j, diag)
             if window is not None and not sinks:
-                j_min = (i * bq + off_ref[b] - window + 1) // bkv
+                j_min = (
+                    (i * bq) // pos_div + off_ref[b] - window + 1
+                ) // bkv
                 j_eff = jnp.maximum(j_eff, j_min)
             j_eff = jnp.clip(j_eff, 0, num_kv_blocks - 1)
             return (b, h, j_eff, 0)
@@ -954,14 +1113,18 @@ def flash_attention_bwd(
         num_kv_blocks=num_kv_blocks,
         window=window,
         sinks=int(sinks),
+        softcap=softcap,
+        pos_div=pos_div,
         dropout_rate=dropout_rate,
         dropout_heads=dropout_heads,
     )
 
     def dq_kernel(off_r, *rest):
-        seed_r = None
+        seed_r = slopes_r = None
         if has_dropout:
             seed_r, rest = rest[0], rest[1:]
+        if has_alibi:
+            slopes_r, rest = rest[0], rest[1:]
         q_r, k_r, v_r, do_r, lse_r, d_r = rest[:6]
         rest = rest[6:]
         if has_seg:
@@ -970,7 +1133,8 @@ def flash_attention_bwd(
         else:
             qs_r = ks_r = None
         return dq_bound(
-            off_r, seed_r, q_r, k_r, v_r, do_r, lse_r, d_r, qs_r, ks_r, *rest
+            off_r, seed_r, slopes_r, q_r, k_r, v_r, do_r, lse_r, d_r,
+            qs_r, ks_r, *rest
         )
 
     dq_in_specs = [
@@ -1010,9 +1174,16 @@ def flash_attention_bwd(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            # See the dKdV kernel: dropout needs headroom over the 16MB
-            # scoped-vmem default; None keeps the measured-best default.
-            vmem_limit_bytes=24 * 1024 * 1024 if has_dropout else None,
+            # See the dKdV kernel: dropout/softcap/ALiBi need headroom over
+            # the 16MB scoped-vmem default; None keeps the measured-best
+            # default.
+            vmem_limit_bytes=(
+                32 * 1024 * 1024
+                if (has_dropout and (softcap is not None or has_alibi))
+                else 24 * 1024 * 1024
+                if (has_dropout or softcap is not None or has_alibi)
+                else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * batch * heads * n_q * n_kv * head_dim,
@@ -1024,4 +1195,6 @@ def flash_attention_bwd(
         interpret=interpret,
     )(*scalar_args, *dq_inputs)
 
+    if has_alibi:
+        return dq, dk, dv, d_slopes
     return dq, dk, dv

@@ -39,24 +39,31 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
 )
-def _flash(
-    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, dropout_heads, block_sizes, lazy_softmax,
-    interpret,
+def _flash_core(
+    q, k, v, q_offset, alibi_slopes, dropout_seed, segment_ids,
+    causal, window, sinks, sm_scale, softcap, dropout_rate, dropout_heads,
+    block_sizes, save_lse, lazy_softmax, interpret,
 ):
-    """Differentiable attention, with or without in-kernel dropout.
+    """The one differentiable attention primitive behind the public op.
+
+    Every capability rides a single custom_vjp: causal/window/sinks,
+    packed segments, tanh softcap, ALiBi (with d/d(slopes)), in-kernel
+    dropout, and the optional differentiable logsumexp output — all on
+    the Pallas kernel pair, never through an O(N^2) score tensor (the
+    round-3 `_flash_ext` oracle-VJP fallback is gone).
 
     ``dropout_seed`` is None when ``dropout_rate == 0`` (an empty-pytree
     arg whose cotangent is None); with dropout it is the packed
     ``[seed, row_off, col_off, b_off, h_off]`` int32 vector
     (``kernels._common.pack_dropout_seed``) — traced, so a new seed every
     train step costs no recompile — and the backward kernels regenerate
-    the identical mask from it (FA-2 capability; the reference has
-    none).  ``dropout_heads`` is the static global head count for the
-    (b, h) hash stream (None == local heads)."""
-    return flash_attention_fwd(
+    the identical mask from it (FA-2 capability; the reference has none).
+    ``dropout_heads`` is the static global head count for the (b, h) hash
+    stream (None == local heads).
+    """
+    out = flash_attention_fwd(
         q,
         k,
         v,
@@ -67,19 +74,24 @@ def _flash(
         sinks=sinks,
         segment_ids=segment_ids,
         block_sizes=block_sizes,
-        save_lse=False,
+        save_lse=save_lse,
         lazy_softmax=lazy_softmax,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
         dropout_heads=dropout_heads,
         interpret=interpret,
     )
+    if save_lse:
+        return out[0], out[1][..., 0]
+    return out
 
 
-def _flash_fwd_rule(
-    q, k, v, q_offset, dropout_seed, segment_ids, causal, window, sinks,
-    sm_scale, dropout_rate, dropout_heads, block_sizes, lazy_softmax,
-    interpret,
+def _flash_core_fwd_rule(
+    q, k, v, q_offset, alibi_slopes, dropout_seed, segment_ids,
+    causal, window, sinks, sm_scale, softcap, dropout_rate, dropout_heads,
+    block_sizes, save_lse, lazy_softmax, interpret,
 ):
     o, lse_lanes = flash_attention_fwd(
         q,
@@ -94,50 +106,105 @@ def _flash_fwd_rule(
         block_sizes=block_sizes,
         save_lse=True,
         lazy_softmax=lazy_softmax,
+        softcap=softcap,
+        alibi_slopes=alibi_slopes,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
         dropout_heads=dropout_heads,
         interpret=interpret,
     )
-    return o, (q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes)
+    res = (q, k, v, q_offset, alibi_slopes, dropout_seed, segment_ids, o,
+           lse_lanes)
+    primal = (o, lse_lanes[..., 0]) if save_lse else o
+    return primal, res
 
 
 def _grads_from_residuals(
-    residuals, do, dlse, *, causal, window, sinks, sm_scale, block_sizes,
-    interpret, dropout_rate=0.0, dropout_seed=None, dropout_heads=None,
+    residuals, do, dlse, *, causal, window, sinks, sm_scale, softcap,
+    block_sizes, interpret, dropout_rate=0.0, dropout_heads=None,
 ):
-    """Shared FA-2 backward: GQA broadcast, kernel call, group-reduce."""
-    q, k, v, q_offset, segment_ids, o, lse_lanes = residuals
-    # The forward runs GQA natively (KV index maps fold the head group);
-    # the FA-2 backward kernels want equal head counts, so broadcast here
-    # and group-reduce the KV grads afterwards.
+    """Shared FA-2 backward with native GQA.
+
+    GQA (fewer KV heads) takes the **row-fold** path whenever possible:
+    each KV head's ``group`` query heads fold into adjacent rows of one
+    tile (``fold_gqa_rows``; kernel ``pos_div`` masking — the backward
+    twin of the round-3 decode head-fold), so the dKdV kernel reads each
+    K/V block ONCE per KV head and its VMEM accumulator already sums the
+    whole group — no ``jnp.repeat`` K/V broadcast in HBM, no group-x
+    dK/dV materialization, no reduce pass.  ALiBi and dropout keep the
+    broadcast path (per-row slopes / fold-variant mask coordinates).
+    """
+    (q, k, v, q_offset, alibi_slopes, dropout_seed, segment_ids, o,
+     lse_lanes) = residuals
     h_q, h_kv = q.shape[1], k.shape[1]
     reps = h_q // h_kv
-    kb, vb = _broadcast_kv_heads(q, k, v)
-    dq, dk, dv = flash_attention_bwd_auto(
-        q,
-        kb,
-        vb,
-        o,
-        do,
-        lse_lanes,
-        q_offset,
-        dlse,
+    has_alibi = alibi_slopes is not None
+    d_slopes = None
+    common = dict(
         sm_scale=sm_scale,
         causal=causal,
         window=window,
         sinks=sinks,
-        segment_ids=segment_ids,
+        softcap=softcap,
         block_sizes=block_sizes,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
         dropout_heads=dropout_heads,
         interpret=interpret,
     )
-    if reps > 1:
-        b, _, n, d = dk.shape
-        dk = dk.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(k.dtype)
-        dv = dv.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(v.dtype)
+    if reps > 1 and not has_alibi and not dropout_rate:
+        n_q = q.shape[2]
+        seg = segment_ids
+        if seg is not None:
+            # Folded row t*group + g sits at position t: repeat the Q ids.
+            from ..config import SegmentIds
+
+            seg = SegmentIds(
+                q=jnp.repeat(seg.q, reps, axis=1), kv=seg.kv
+            )
+        dlse_f = (
+            None
+            if dlse is None
+            else fold_gqa_rows(dlse[..., None], h_kv)[..., 0]
+        )
+        dqf, dk, dv = flash_attention_bwd_auto(
+            fold_gqa_rows(q, h_kv),
+            k,
+            v,
+            fold_gqa_rows(o, h_kv),
+            fold_gqa_rows(do, h_kv),
+            fold_gqa_rows(lse_lanes, h_kv),
+            q_offset,
+            dlse_f,
+            segment_ids=seg,
+            pos_div=reps,
+            **common,
+        )
+        dq = unfold_gqa_rows(dqf, h_q, n_q)
+        dk = dk.astype(k.dtype)
+        dv = dv.astype(v.dtype)
+    else:
+        kb, vb = _broadcast_kv_heads(q, k, v)
+        out = flash_attention_bwd_auto(
+            q,
+            kb,
+            vb,
+            o,
+            do,
+            lse_lanes,
+            q_offset,
+            dlse,
+            segment_ids=segment_ids,
+            alibi_slopes=alibi_slopes,
+            **common,
+        )
+        dq, dk, dv = out[:3]
+        if has_alibi:
+            d_slopes = out[3].astype(alibi_slopes.dtype)
+        if reps > 1:
+            b, _, n, d = dk.shape
+            dk = dk.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(k.dtype)
+            dv = dv.reshape(b, h_kv, reps, n, d).sum(axis=2).astype(v.dtype)
     # Integer offsets/segment-ids get float0 cotangents.
     d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
     d_seg = (
@@ -147,98 +214,16 @@ def _grads_from_residuals(
             lambda x: np.zeros(np.shape(x), jax.dtypes.float0), segment_ids
         )
     )
-    return dq, dk, dv, d_off, d_seg
+    return dq, dk, dv, d_off, d_slopes, d_seg
 
 
-def _flash_bwd_rule(
-    causal, window, sinks, sm_scale, dropout_rate, dropout_heads,
-    block_sizes, lazy_softmax, interpret, residuals, do,
+def _flash_core_bwd_rule(
+    causal, window, sinks, sm_scale, softcap, dropout_rate, dropout_heads,
+    block_sizes, save_lse, lazy_softmax, interpret, residuals, cts,
 ):
-    q, k, v, q_offset, dropout_seed, segment_ids, o, lse_lanes = residuals
-    dq, dk, dv, d_off, d_seg = _grads_from_residuals(
-        (q, k, v, q_offset, segment_ids, o, lse_lanes),
-        do,
-        None,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        sm_scale=sm_scale,
-        block_sizes=block_sizes,
-        interpret=interpret,
-        dropout_rate=dropout_rate,
-        dropout_seed=dropout_seed,
-        dropout_heads=dropout_heads,
-    )
-    d_seed = (
-        None
-        if dropout_seed is None
-        else np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
-    )
-    return dq, dk, dv, d_off, d_seed, d_seg
-
-
-_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash_lse(
-    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, lazy_softmax, interpret,
-):
-    """(o, lse) with BOTH outputs differentiable.
-
-    The lse cotangent rides the backward kernels for free: since
-    d(lse_i)/d(s_ij) = p_ij, it folds into the delta precompute
-    (``flash_bwd.flash_attention_bwd`` ``dlse`` argument) — no extra
-    kernel, no extra matmul.
-    """
-    o, lse_lanes = flash_attention_fwd(
-        q,
-        k,
-        v,
-        q_offset,
-        sm_scale=sm_scale,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        segment_ids=segment_ids,
-        block_sizes=block_sizes,
-        save_lse=True,
-        lazy_softmax=lazy_softmax,
-        interpret=interpret,
-    )
-    return o, lse_lanes[..., 0]
-
-
-def _flash_lse_fwd_rule(
-    q, k, v, q_offset, segment_ids, causal, window, sinks, sm_scale,
-    block_sizes, lazy_softmax, interpret,
-):
-    o, lse_lanes = flash_attention_fwd(
-        q,
-        k,
-        v,
-        q_offset,
-        sm_scale=sm_scale,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        segment_ids=segment_ids,
-        block_sizes=block_sizes,
-        save_lse=True,
-        lazy_softmax=lazy_softmax,
-        interpret=interpret,
-    )
-    res = (q, k, v, q_offset, segment_ids, o, lse_lanes)
-    return (o, lse_lanes[..., 0]), res
-
-
-def _flash_lse_bwd_rule(
-    causal, window, sinks, sm_scale, block_sizes, lazy_softmax, interpret,
-    residuals, cts,
-):
-    do, dlse = cts
-    return _grads_from_residuals(
+    do, dlse = cts if save_lse else (cts, None)
+    dropout_seed = residuals[5]
+    dq, dk, dv, d_off, d_slopes, d_seg = _grads_from_residuals(
         residuals,
         do,
         dlse,
@@ -246,111 +231,21 @@ def _flash_lse_bwd_rule(
         window=window,
         sinks=sinks,
         sm_scale=sm_scale,
-        block_sizes=block_sizes,
-        interpret=interpret,
-    )
-
-
-_flash_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
-def _flash_ext(
-    q, k, v, q_offset, alibi_slopes, segment_ids, causal, window, sinks,
-    sm_scale, softcap, block_sizes, lazy_softmax, interpret,
-):
-    """Score-transform path (softcap / ALiBi): Pallas forward, oracle VJP.
-
-    The FA-2 backward kernels don't model the tanh cap or the ALiBi bias,
-    so the backward recomputes the forward through the differentiable XLA
-    oracle and takes its VJP — activation-recompute style, O(N^2) score
-    materialization.  Correct for training; for long-context serving the
-    forward-only path is unaffected.
-    """
-    return flash_attention_fwd(
-        q,
-        k,
-        v,
-        q_offset,
-        sm_scale=sm_scale,
-        causal=causal,
-        window=window,
-        sinks=sinks,
-        segment_ids=segment_ids,
-        block_sizes=block_sizes,
-        save_lse=False,
-        lazy_softmax=lazy_softmax,
         softcap=softcap,
-        alibi_slopes=alibi_slopes,
+        block_sizes=block_sizes,
         interpret=interpret,
+        dropout_rate=dropout_rate,
+        dropout_heads=dropout_heads,
     )
-
-
-def _flash_ext_fwd_rule(
-    q, k, v, q_offset, alibi_slopes, segment_ids, causal, window, sinks,
-    sm_scale, softcap, block_sizes, lazy_softmax, interpret,
-):
-    o = _flash_ext(
-        q, k, v, q_offset, alibi_slopes, segment_ids, causal, window,
-        sinks, sm_scale, softcap, block_sizes, lazy_softmax, interpret,
-    )
-    return o, (q, k, v, q_offset, alibi_slopes, segment_ids)
-
-
-def _flash_ext_bwd_rule(
-    causal, window, sinks, sm_scale, softcap, block_sizes, lazy_softmax,
-    interpret, residuals, do,
-):
-    q, k, v, q_offset, alibi_slopes, segment_ids = residuals
-    h_q, h_kv = q.shape[1], k.shape[1]
-    reps = h_q // h_kv
-    kb, vb = _broadcast_kv_heads(q, k, v)
-
-    def f(qf, kf, vf, slopes):
-        return attention_reference(
-            qf,
-            kf,
-            vf,
-            causal=causal,
-            sm_scale=sm_scale,
-            q_offset=q_offset,
-            window=window,
-            sinks=sinks,
-            segment_ids=segment_ids,
-            softcap=softcap,
-            alibi_slopes=slopes,
-        )
-
-    if alibi_slopes is None:
-        _, vjp = jax.vjp(lambda a, b, c: f(a, b, c, None), q, kb, vb)
-        dq, dkb, dvb = vjp(do)
-        d_slopes = None
-    else:
-        _, vjp = jax.vjp(f, q, kb, vb, alibi_slopes)
-        dq, dkb, dvb, d_slopes = vjp(do)
-    if reps > 1:
-        b, _, n, d = dkb.shape
-        dkb = dkb.reshape(b, h_kv, reps, n, d).sum(axis=2)
-        dvb = dvb.reshape(b, h_kv, reps, n, d).sum(axis=2)
-    d_off = np.zeros(np.shape(q_offset), jax.dtypes.float0)
-    d_seg = (
+    d_seed = (
         None
-        if segment_ids is None
-        else jax.tree_util.tree_map(
-            lambda x: np.zeros(np.shape(x), jax.dtypes.float0), segment_ids
-        )
+        if dropout_seed is None
+        else np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
     )
-    return (
-        dq.astype(q.dtype),
-        dkb.astype(k.dtype),
-        dvb.astype(v.dtype),
-        d_off,
-        d_slopes,
-        d_seg,
-    )
+    return dq, dk, dv, d_off, d_slopes, d_seed, d_seg
 
 
-_flash_ext.defvjp(_flash_ext_fwd_rule, _flash_ext_bwd_rule)
+_flash_core.defvjp(_flash_core_fwd_rule, _flash_core_bwd_rule)
 
 
 def _broadcast_kv_heads(q: jax.Array, k: jax.Array, v: jax.Array):
@@ -412,11 +307,13 @@ def flash_attention(
         position space.  Forward-only (serving path).
       sm_scale: softmax scale; defaults to ``1/sqrt(head_dim)``.
       softcap: optional tanh logit cap (Gemma-2 style) on the scaled
-        scores: ``s = softcap * tanh(s / softcap)``.  Differentiable (the
-        backward recomputes through the XLA oracle).
+        scores: ``s = softcap * tanh(s / softcap)``.  Differentiable
+        in-kernel: the backward replays the cap in its score recompute
+        and chains dS through ``1 - tanh^2`` — no O(N^2) score tensor.
       alibi_slopes: optional ``[q_heads]`` fp32 ALiBi slopes adding the
         linear position bias ``slope * (col - row - q_offset)``.
-        Differentiable, including d/d(slopes).
+        Differentiable, including d/d(slopes) (an in-kernel masked
+        reduce of dS * distance).
       block_sizes: kernel tile configuration (see ``config.BlockSizes``).
       save_lse: also return per-row logsumexp ``[B, H, N_q]`` (fp32).
         Both outputs are differentiable (the lse cotangent folds into the
@@ -430,8 +327,8 @@ def flash_attention(
         step, no recompile) and absolute coordinates; the backward
         kernels regenerate it bit-exactly, so no mask tensor ever hits
         HBM.  Training-path feature: composes with causal/window/GQA/
-        segment_ids; NOT with kv_positions, save_lse, or (on the pallas
-        path) softcap/alibi — use ``impl="xla"`` for those combinations.
+        segment_ids/softcap/alibi/save_lse; NOT with kv_positions
+        (rolling-cache serving has no dropout).
       dropout_seed: int32 scalar; required when ``dropout_rate > 0``.
       dropout_offsets: optional ``(row, col, batch, head)`` int32 scalars
         (traced OK) translating shard-local coordinates to GLOBAL ones
@@ -539,70 +436,25 @@ def flash_attention(
     if impl != "pallas":
         raise ValueError(f"unknown impl {impl!r}")
 
-    if dropout_rate and (
-        softcap is not None or alibi_slopes is not None or save_lse
-    ):
-        raise NotImplementedError(
-            "dropout with softcap/alibi_slopes/save_lse is not "
-            "supported on the pallas path; use impl='xla'"
-        )
-
-    if softcap is not None or alibi_slopes is not None:
-        if save_lse:
-            raise NotImplementedError(
-                "save_lse with softcap/alibi_slopes is not supported on the "
-                "pallas path; use impl='xla'"
-            )
-        if alibi_slopes is not None:
-            alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
-        return _flash_ext(
-            q,
-            k,
-            v,
-            q_offset,
-            alibi_slopes,
-            segment_ids,
-            causal,
-            window,
-            sinks,
-            sm_scale,
-            softcap,
-            block_sizes,
-            lazy_softmax,
-            interpret,
-        )
-
-    if save_lse:
-        # LSE consumers (ring attention, decode) get a fully differentiable
-        # (o, lse) pair — the lse cotangent folds into the backward's delta.
-        return _flash_lse(
-            q,
-            k,
-            v,
-            q_offset,
-            segment_ids,
-            causal,
-            window,
-            sinks,
-            sm_scale,
-            block_sizes,
-            lazy_softmax,
-            interpret,
-        )
-    return _flash(
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+    return _flash_core(
         q,
         k,
         v,
         q_offset,
+        alibi_slopes,
         dropout_seed if dropout_rate else None,
         segment_ids,
         causal,
         window,
         sinks,
         sm_scale,
+        softcap,
         dropout_rate,
         dropout_heads if dropout_rate else None,
         block_sizes,
+        save_lse,
         lazy_softmax,
         interpret,
     )

@@ -125,11 +125,16 @@ def test_dropout_validation_errors():
     q, k, v = make_qkv(jax.random.PRNGKey(0), (1, 1, 128, 64))
     with pytest.raises(ValueError, match="dropout_seed"):
         flash_attention(q, k, v, causal=True, dropout_rate=0.1)
-    with pytest.raises(NotImplementedError):
-        flash_attention(
-            q, k, v, causal=True, dropout_rate=0.1, dropout_seed=SEED,
-            save_lse=True,
-        )
+    # Round 4 lifted the dropout x save_lse gate: lse is pre-dropout (the
+    # keep mask scales only the P.V accumulation), so the pair composes.
+    o, lse = flash_attention(
+        q, k, v, causal=True, dropout_rate=0.1, dropout_seed=SEED,
+        save_lse=True,
+    )
+    _, lse_ref = flash_attention(q, k, v, causal=True, save_lse=True)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(lse_ref), atol=1e-5
+    )
 
 
 def test_model_dropout_train_and_eval():

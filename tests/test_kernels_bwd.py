@@ -294,3 +294,197 @@ def test_fused_bwd_window_matches_two_kernel(rng_key):
     )
     for name, a, b in zip("qkv", got, ref):
         assert max_abs_diff(a, b) < 1e-5, name
+
+
+# ---------------------------------------------------------------------------
+# Round 4: in-kernel softcap/ALiBi backward + native-GQA row-fold backward
+# (the dS-transform site of the reference backward, kernels.metal:1160-1169,
+# extended with the transforms its forward never had).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_softcap_bwd_in_kernel(rng_key, causal):
+    """softcap grads ride the FA-2 kernels (no O(N^2) oracle recompute)."""
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(q_, k_, v_, causal=causal, softcap=8.0) * do
+        )
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(
+            attention_reference(q_, k_, v_, causal=causal, softcap=8.0) * do
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert max_abs_diff(a, b) < 1e-3
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_alibi_bwd_in_kernel_with_dslopes(rng_key, causal):
+    """ALiBi grads incl. d/d(slopes) (in-kernel dS*distance reduce)."""
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+    slopes = jnp.array([0.25, 0.0625], jnp.float32)
+
+    def loss(q_, k_, v_, s_):
+        return jnp.sum(
+            flash_attention(q_, k_, v_, causal=causal, alibi_slopes=s_) * do
+        )
+
+    def loss_ref(q_, k_, v_, s_):
+        return jnp.sum(
+            attention_reference(q_, k_, v_, causal=causal, alibi_slopes=s_)
+            * do
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+    for a, b in zip(g[:3], gr[:3]):
+        assert max_abs_diff(a, b) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(g[3]), np.asarray(gr[3]), rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("window", [None, 64])
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_fold_bwd_vs_oracle(rng_key, causal, window):
+    """Native-GQA backward: row-fold (pos_div) path == broadcast oracle.
+
+    dK/dV come out group-summed straight from the dKdV kernel's VMEM
+    accumulator — no jnp.repeat broadcast, no group-reduce pass."""
+    if window is not None and not causal:
+        pytest.skip("window requires causal")
+    q, _, _ = make_qkv(rng_key, (2, 4, 256, 64))
+    _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            flash_attention(q_, k_, v_, causal=causal, window=window) * do
+        )
+
+    def loss_ref(q_, k_, v_):
+        kb = jnp.broadcast_to(k_[:, :, None], (2, 2, 2, 256, 64)).reshape(
+            2, 4, 256, 64
+        )
+        vb = jnp.broadcast_to(v_[:, :, None], (2, 2, 2, 256, 64)).reshape(
+            2, 4, 256, 64
+        )
+        return jnp.sum(
+            attention_reference(q_, kb, vb, causal=causal, window=window)
+            * do
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert max_abs_diff(a, b) < 1e-3
+
+
+def test_gqa_fold_bwd_with_save_lse_and_segments(rng_key):
+    """Fold path composes with segment ids (row-repeated Q ids) and a
+    differentiable lse output."""
+    from flash_attention_metal_tpu.config import SegmentIds
+
+    q, _, _ = make_qkv(rng_key, (2, 4, 256, 64))
+    _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+    ids = (jnp.arange(256)[None, :] // 128).astype(jnp.int32).repeat(2, 0)
+    seg = SegmentIds(q=ids, kv=ids)
+
+    def loss(q_, k_, v_):
+        o, lse = flash_attention(
+            q_, k_, v_, segment_ids=seg, causal=True, save_lse=True
+        )
+        return jnp.sum(o * do) + 0.01 * jnp.sum(lse)
+
+    def loss_ref(q_, k_, v_):
+        from flash_attention_metal_tpu.reference.oracle import (
+            attention_reference_with_lse,
+        )
+
+        kb = jnp.repeat(k_, 2, axis=1)
+        vb = jnp.repeat(v_, 2, axis=1)
+        o, lse = attention_reference_with_lse(
+            q_, kb, vb, causal=True, segment_ids=seg
+        )
+        return jnp.sum(o * do) + 0.01 * jnp.sum(lse)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert max_abs_diff(a, b) < 1e-3
+
+
+def test_dropout_softcap_alibi_bwd_composition(rng_key):
+    """Round-4 lifted gates: dropout composes with softcap+ALiBi+save_lse
+    on the pallas path, gradients matching the oracle bit-for-mask."""
+    q, k, v = make_qkv(rng_key, (1, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+    slopes = jnp.array([0.25, 0.0625], jnp.float32)
+    seed = jnp.int32(11)
+
+    def loss(q_, k_, v_, s_):
+        return jnp.sum(
+            flash_attention(
+                q_, k_, v_, causal=True, softcap=8.0, alibi_slopes=s_,
+                dropout_rate=0.2, dropout_seed=seed,
+            )
+            * do
+        )
+
+    def loss_ref(q_, k_, v_, s_):
+        return jnp.sum(
+            attention_reference(
+                q_, k_, v_, causal=True, softcap=8.0, alibi_slopes=s_,
+                dropout_rate=0.2, dropout_seed=seed,
+            )
+            * do
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+    for a, b in zip(g[:3], gr[:3]):
+        assert max_abs_diff(a, b) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(g[3]), np.asarray(gr[3]), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_no_oracle_vjp_in_ext_bwd(rng_key):
+    """The softcap backward must not materialize the O(N^2) score tensor:
+    check the jaxpr of the VJP for any (N, N)-shaped fp32 intermediate
+    bigger than the kernel's own block tiles."""
+    n = 512
+    q, k, v = make_qkv(rng_key, (1, 1, n, 64))
+
+    def loss(q_):
+        return jnp.sum(
+            flash_attention(q_, k, v, causal=True, softcap=8.0) ** 2
+        )
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(q)
+
+    def check(jx):
+        for eqn in jx.eqns:
+            if "pallas" in str(eqn.primitive):
+                # The kernel's own VMEM score tile is (block_q, block_kv)
+                # by design; only HBM-level intermediates are the smell.
+                continue
+            for var in eqn.outvars:
+                shape = getattr(var.aval, "shape", ())
+                # A dense [*, N, N] score tensor would betray an oracle VJP.
+                assert not (
+                    len(shape) >= 2 and shape[-1] == n and shape[-2] == n
+                ), f"O(N^2) intermediate {shape} in {eqn.primitive}"
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                check(sub)
+
+    check(jaxpr.jaxpr)

@@ -116,3 +116,63 @@ def test_dp_tp_sp_int8_decode_matches_single_device(params):
         eng.submit(Request(uid=i, prompt=p, max_new_tokens=6, temperature=0.0))
     got = eng.run()
     assert ref == got
+
+
+def test_long_context_32k_int8_sp_decode_matches_single_device():
+    """BASELINE config-5 scaled-down witness: a 32K-token int8 KV cache
+    sharded x8 over sp (4K per shard), decode near the 30K mark — the
+    sharded step's greedy token and its logprob equal the single-device
+    int8 decode exactly (the cross-shard lse combine is the kernel's own
+    online-softmax merge, so there is no tolerance to hide behind).
+
+    The cache is filled directly (not via prefill) so the witness runs in
+    CI time; shard ownership is still fully exercised: slot 0's write
+    head lands in sp shard 7, slot 1's in shard 0.
+    """
+    import dataclasses
+
+    from flash_attention_metal_tpu.runtime.decode import (
+        decode_and_sample as dense_decode_and_sample,
+    )
+    from flash_attention_metal_tpu.runtime.kv_cache import init_quant_cache
+    from flash_attention_metal_tpu.runtime.sp_decode import SpStepFns
+
+    max_len = 32768
+    cache = init_quant_cache(CFG.n_layers, 2, CFG.n_kv_heads, max_len, 64)
+    kshape = cache.k_q.shape
+    rk = jax.random.PRNGKey(3)
+    fill = dataclasses.replace(
+        cache,
+        k_q=jax.random.randint(rk, kshape, -127, 128, jnp.int8),
+        v_q=jax.random.randint(jax.random.fold_in(rk, 1), kshape, -127, 128,
+                               jnp.int8),
+        k_scale=jax.random.uniform(
+            jax.random.fold_in(rk, 2), kshape[:-1], jnp.float32, 0.005, 0.02
+        ),
+        v_scale=jax.random.uniform(
+            jax.random.fold_in(rk, 3), kshape[:-1], jnp.float32, 0.005, 0.02
+        ),
+        lengths=jnp.asarray([29873, 121], jnp.int32),
+    )
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    tokens = jnp.asarray([5, 9], jnp.int32)
+    active = jnp.asarray([True, True])
+    temps = jnp.zeros((2,), jnp.float32)  # greedy: key-independent
+    key = jax.random.PRNGKey(7)
+
+    # Both decode fns donate the cache: give each its own buffer copy.
+    fill2 = jax.tree_util.tree_map(jnp.copy, fill)
+    toks_ref, logp_ref, _ = dense_decode_and_sample(
+        params, CFG, fill, tokens, active, key, temps
+    )
+
+    mesh = Mesh(np.array(jax.devices()).reshape(1, 8), ("dp", "sp"))
+    sp = SpStepFns(mesh, CFG, batch_axis="dp", seq_axis="sp")
+    toks_sp, logp_sp, _, _ = sp.decode_and_sample(
+        params, fill2, tokens, active, key, temps
+    )
+
+    np.testing.assert_array_equal(np.asarray(toks_sp), np.asarray(toks_ref))
+    np.testing.assert_allclose(
+        np.asarray(logp_sp), np.asarray(logp_ref), atol=2e-5
+    )
