@@ -115,6 +115,11 @@ def main():
             t_naive, t_flash, sp = pair["a_s"], pair["b_s"], pair["ratio"]
             speedups[causal].append(sp)
             flops = attention_flops(b, 1, n, n, 64, causal=causal)
+            # Per-point confidence band: the drift-matched per-repeat
+            # ratio samples (sorted).  Round-over-round geomean swings
+            # (r1-r3: 4.47/3.96/4.64) can now be read against the
+            # per-point spread instead of guessed at.
+            rs = pair.get("ratio_samples", [sp])
             detail["sweep_causal" if causal else "sweep"].append(
                 {
                     "n": n,
@@ -122,6 +127,10 @@ def main():
                     "naive_ms": t_naive * 1e3,
                     "flash_ms": t_flash * 1e3,
                     "speedup": sp,
+                    "speedup_min": rs[0],
+                    "speedup_max": rs[-1],
+                    "ratio_samples": rs,
+                    "paired": pair.get("paired", False),
                     "flash_tflops_exec": flops / t_flash / 1e12,
                 }
             )
@@ -137,7 +146,17 @@ def main():
     geomean = _geomean(speedups[False])  # headline: like-for-like non-causal
     geomean_causal = _geomean(speedups[True])
     detail["geomean_speedup_causal"] = geomean_causal
-    log(f"geomean: non-causal {geomean:.2f}x, causal {geomean_causal:.2f}x")
+    # Geomean confidence band from the per-point extremes: the spread a
+    # future regression has to clear before it means anything.
+    detail["geomean_band"] = [
+        _geomean([p["speedup_min"] for p in detail["sweep"]]),
+        _geomean([p["speedup_max"] for p in detail["sweep"]]),
+    ]
+    log(
+        f"geomean: non-causal {geomean:.2f}x "
+        f"(band {detail['geomean_band'][0]:.2f}-"
+        f"{detail['geomean_band'][1]:.2f}), causal {geomean_causal:.2f}x"
+    )
 
     # High-occupancy phase (reference main.mm:881-1204 analog): B=16 H=8.
     # Skipped if the sweep ate the time budget (the driver metric needs

@@ -148,6 +148,27 @@ def _measure_cfg(b, h, n_q, n_kv, d) -> dict:
     return dict(iters=10, inner_hi=5, repeats=2)
 
 
+def tri_candidates(n: int) -> List[Tuple[int, int]]:
+    """(block_q, block_k) candidates for the triangular causal kernel
+    (``kernels.flash_tri``): one grid step per (b, h), static unroll, so
+    tiles can be small without paying grid-step floors.  The unroll size
+    (visible block pairs) is capped to bound compile time."""
+    if n < 1024:
+        # Sub-1024 causal shapes are dispatch-floored, not diagonal-waste
+        # bound; the lean path already owns them.
+        return []
+    out = []
+    for bq in (256, 512):
+        for bk in (256, 512):
+            if bq > n or n % bq:
+                continue
+            # pairs ~ (n/bq)*(n/bk)/2; cap the static unroll at ~300.
+            if (n // bq) * (n // bk) > 600:
+                continue
+            out.append((bq, bk))
+    return out
+
+
 def autotune_fwd(
     shape: Tuple[int, int, int, int],
     *,
@@ -157,7 +178,16 @@ def autotune_fwd(
     force: bool = False,
     log=print,
 ) -> BlockSizes:
-    """Pick the fastest forward BlockSizes for ``(B, H, N, D)``."""
+    """Pick the fastest forward implementation + tiles for ``(B,H,N,D)``.
+
+    Causal shapes race BOTH the grid kernel (``flash_attention_fwd``
+    block configs) and the triangular statically-unrolled kernel
+    (``flash_attention_tri`` tile configs); the winner's ``impl`` is
+    persisted and ``flash_attention_fwd`` routes through it at trace
+    time (``lookup_fwd_impl``).
+    """
+    from ..kernels.flash_tri import flash_attention_tri
+
     b, h, n, d = shape
     key = _key("fwd", b, h, n, n, d, causal, dtype)
     cache = _load(cache_path)
@@ -167,14 +197,26 @@ def autotune_fwd(
     q, k, v = make_qkv(jax.random.PRNGKey(0), shape, dtype=dtype)
     interpret = jax.default_backend() != "tpu"
     mcfg = _measure_cfg(b, h, n, n, d)
-    best, best_t = None, float("inf")
-    for bs in fwd_candidates(n, n):
-        fn = functools.partial(
-            flash_attention_fwd,
-            causal=causal,
-            block_sizes=bs,
-            interpret=interpret,
-        )
+    best, best_t, best_impl = None, float("inf"), "grid"
+    cands = [("grid", bs) for bs in fwd_candidates(n, n)]
+    if causal:
+        cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
+    for impl, cfg in cands:
+        if impl == "tri":
+            bq, bk = cfg
+            fn = functools.partial(
+                flash_attention_tri, block_q=bq, block_k=bk,
+                interpret=interpret,
+            )
+            tag = f"tri {bq}x{bk}"
+        else:
+            fn = functools.partial(
+                flash_attention_fwd,
+                causal=causal,
+                block_sizes=cfg,
+                interpret=interpret,
+            )
+            tag = f"{cfg.block_q}x{cfg.block_k_major}x{cfg.block_k}"
         try:
             t = measure_kernel_stable(fn, (q, k, v), **mcfg)["median_s"]
         except _COMPILE_ERRORS as e:
@@ -182,20 +224,27 @@ def autotune_fwd(
             # op) — a legitimate "candidate doesn't fit" skip.  Anything
             # else (config typo -> TypeError/KeyError) propagates.
             log(
-                f"  {bs.block_q}x{bs.block_k_major}: SKIP "
+                f"  {tag}: SKIP "
                 f"{type(e).__name__}: {str(e).splitlines()[0][:100]}"
             )
             continue
-        log(f"  fwd {key} {bs.block_q}x{bs.block_k_major}x{bs.block_k}: "
-            f"{t*1e6:.1f} us")
+        log(f"  fwd {key} {tag}: {t*1e6:.1f} us")
         if t < best_t:
-            best, best_t = bs, t
+            best, best_t, best_impl = cfg, t, impl
     if best is None:
         # Every candidate failed to compile (e.g. VMEM limit on a novel
         # shape): fall back to the heuristic default and do NOT persist —
         # best_t=inf would serialize as invalid JSON and the fallback is
         # not a measured decision.
         log(f"  fwd {key}: all candidates failed; using heuristic default")
+        return BlockSizes.for_seq_len(n, n)
+    if best_impl == "tri":
+        cache[key] = {
+            "impl": "tri",
+            "blocks": {"block_q": best[0], "block_k": best[1]},
+            "us": best_t * 1e6,
+        }
+        _store(cache_path, cache)
         return BlockSizes.for_seq_len(n, n)
     cache[key] = {
         "blocks": {
@@ -304,10 +353,24 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         b, h, n_q, n_kv, d = map(int, m.groups())
         causal = parts[3].startswith("causal1")
         dtype = jnp.bfloat16 if "bfloat16" in key else jnp.float32
-        tuned = BlockSizes(**entry["blocks"])
         default = BlockSizes.for_seq_len(n_q, n_kv)
-        if tuned == default:
-            continue
+        if entry.get("impl") == "tri":
+            from ..kernels.flash_tri import flash_attention_tri
+
+            fn_tuned = functools.partial(
+                flash_attention_tri,
+                block_q=entry["blocks"]["block_q"],
+                block_k=entry["blocks"]["block_k"],
+                interpret=interpret,
+            )
+        else:
+            tuned = BlockSizes(**entry["blocks"])
+            if tuned == default:
+                continue
+            fn_tuned = functools.partial(
+                flash_attention_fwd, causal=causal, block_sizes=tuned,
+                interpret=interpret,
+            )
         q, k, v = make_qkv(jax.random.PRNGKey(0), (b, h, n_q, d), dtype=dtype)
         mcfg = _measure_cfg(b, h, n_q, n_kv, d)
         r = measure_kernel_pair(
@@ -316,10 +379,7 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
                 interpret=interpret,
             ),
             (q, k, v),
-            functools.partial(
-                flash_attention_fwd, causal=causal, block_sizes=tuned,
-                interpret=interpret,
-            ),
+            fn_tuned,
             (q, k, v),
             iters=mcfg["iters"],
             inner_hi=mcfg["inner_hi"],
@@ -356,15 +416,19 @@ def main() -> int:
     # The reference-parity N-sweep shapes (B=H=1) in both mask modes plus
     # the high-occupancy training shape.  Each phase is resumable: tuned
     # keys are cached, so re-running skips completed shapes.
+    from .benchmark import amortizing_batch
+
     if args.phase in ("sweep", "all"):
         for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
-            bs = autotune_fwd((1, 1, n, 64), causal=False,
+            # Tune the shape the benchmark actually runs (dispatch-
+            # amortized batch), so its lookups hit.
+            bs = autotune_fwd((amortizing_batch(n), 1, n, 64), causal=False,
                               cache_path=args.cache, force=args.force)
             print(f"fwd n={n} non-causal: {bs.block_q}x{bs.block_k_major}"
                   f"x{bs.block_k}")
     if args.phase in ("sweep-causal", "all"):
         for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
-            bs = autotune_fwd((1, 1, n, 64), causal=True,
+            bs = autotune_fwd((amortizing_batch(n), 1, n, 64), causal=True,
                               cache_path=args.cache, force=args.force)
             print(f"fwd n={n} causal: {bs.block_q}x{bs.block_k_major}"
                   f"x{bs.block_k}")
@@ -403,9 +467,24 @@ def lookup(kind: str, b, h, n_q, n_kv, d, causal, dtype,
     if _MEMO is None:
         _MEMO = _load(cache_path)
     entry = _MEMO.get(_key(kind, b, h, n_q, n_kv, d, causal, dtype))
-    if entry is None:
+    if entry is None or entry.get("impl") == "tri":
+        # Tri-kernel decisions carry (block_q, block_k) tile pairs, not
+        # grid BlockSizes — the router reads them via lookup_fwd_impl.
         return None
     return BlockSizes(**entry["blocks"])
+
+
+def lookup_fwd_impl(b, h, n_q, n_kv, d, causal, dtype,
+                    cache_path: str = DEFAULT_CACHE):
+    """("tri", {"block_q","block_k"}) if the tuner picked the triangular
+    kernel for this shape; None otherwise (grid kernel / untuned)."""
+    global _MEMO
+    if _MEMO is None:
+        _MEMO = _load(cache_path)
+    entry = _MEMO.get(_key("fwd", b, h, n_q, n_kv, d, causal, dtype))
+    if entry is None or entry.get("impl") != "tri":
+        return None
+    return "tri", dict(entry["blocks"])
 
 
 def lookup_bwd(b, h, n_q, n_kv, d, causal, dtype,

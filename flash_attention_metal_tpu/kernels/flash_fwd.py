@@ -762,6 +762,47 @@ def flash_attention_fwd(
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
+        # Triangular-kernel routing: when the autotuner measured the
+        # statically-unrolled visible-area kernel (kernels/flash_tri.py)
+        # as the winner for this causal shape, take it — the mid-N causal
+        # fix (docs/optimization_narrative.md, round 4).  Requires a
+        # static q_offset; traced offsets (ring shards, ragged decode)
+        # stay on the general grid kernel.
+        if (
+            causal
+            and not dropout_rate
+            and window is None
+            and segment_ids is None
+            and kv_positions is None
+            and softcap is None
+            and alibi_slopes is None
+            and pos_div == 1
+            and (q_offset is None or isinstance(q_offset, int))
+        ):
+            try:
+                from ..harness.autotune import lookup_fwd_impl
+
+                hit = lookup_fwd_impl(
+                    batch, heads, n_q, n_kv, head_dim, causal, q.dtype
+                )
+            except (OSError, KeyError, ValueError, TypeError):
+                hit = None
+            if hit is not None:
+                from .flash_tri import flash_attention_tri
+
+                return flash_attention_tri(
+                    q,
+                    k,
+                    v,
+                    sm_scale=sm_scale,
+                    q_offset=(
+                        None if q_offset is None else int(q_offset)
+                    ),
+                    block_q=hit[1]["block_q"],
+                    block_k=hit[1]["block_k"],
+                    save_lse=save_lse,
+                    interpret=interpret,
+                )
         # Consult the autotuner's persisted per-chip decisions first
         # (harness/autotune.py); heuristic defaults otherwise.
         try:

@@ -1,0 +1,276 @@
+"""Triangular causal forward: statically-unrolled visible-area kernel.
+
+The mid-N causal problem, quantified in round 4 (experiments/
+causal_cost.py, real v5e): the general kernel's 4-D grid costs ~0.5 us
+per grid step plus a ~2x fixed overhead over the lean 3-D path (15.4 vs
+7.8 us at N=1024 B=2 with identical 1024-blocks), so *any* block-skip
+scheme that pays per-block grid steps loses more to step floors than the
+skipped work saves — which is why rounds 1-3 measured small tiles, dense
+-pair grids, and skip-lists all slower, and why causal sat at 45-50% of
+roofline for N=1024-4096 while non-causal sat at 95%.
+
+This kernel removes the grid from the triangle instead: ONE grid step
+per (batch, head) [batch-folded like the lean path], with the q-block
+loop and each q block's kv-tile loop unrolled at trace time.  Because
+the causal offset is static here, every q block's visible KV extent is a
+compile-time constant: block i reads exactly k[:ext_i] with static
+slices, tiles that cannot straddle the diagonal skip the mask compare
+entirely, and the online-softmax state lives in registers (SSA values
+threaded through the unrolled loop — no scratch refs, no carry).
+
+Executed score area is ceil(visible / tile) — e.g. 10/16 of the full
+square at N/4 tiles — with zero skipped steps and zero per-pair
+bookkeeping.  This is the TPU shape of the reference V4's whole-block
+``continue`` (``kernels.metal:682``): the skip happens in the
+instruction stream, not the dispatch.
+
+Scope: causal self-attention with a *static* q_offset (the benchmark
+and training shapes; ring/decode keep the general kernel's traced
+offsets), optional save_lse, no window/segments/dropout/positions.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_MASK_VALUE, NUM_LANES, default_scale
+from ._common import mxu_dot_general
+
+_LOG2E = math.log2(math.e)
+_LN2 = math.log(2.0)
+
+
+def _tri_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    *,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    n_q: int,
+    n_kv: int,
+    q_offset: int,
+    save_lse: bool,
+    fold: int,
+):
+    for f in range(fold):
+        for i in range(n_q // block_q):
+            # Rows [i*bq, (i+1)*bq) see columns <= i*bq + r + off.
+            last_visible = i * block_q + block_q - 1 + q_offset
+            ext = min(n_kv, last_visible + 1)
+            if ext <= 0:
+                # Fully-masked q block: zero output, lse = -inf.
+                o_ref[f, 0, i * block_q : (i + 1) * block_q, :] = jnp.zeros(
+                    (block_q, o_ref.shape[-1]), o_ref.dtype
+                )
+                if save_lse:
+                    lse_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
+                        jnp.full((block_q, NUM_LANES), -jnp.inf, jnp.float32)
+                    )
+                continue
+            n_tiles = -(-ext // block_k)
+            q = q_ref[f, 0, i * block_q : (i + 1) * block_q, :]
+            q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+
+            # Lagged-base online softmax in REGISTERS (same recurrence as
+            # flash_fwd's lazy path; base 0 start) — SSA values threaded
+            # through the static loop, no VMEM scratch round-trips.
+            m = None  # running base (block_q, 1)
+            l = None
+            acc = None
+            for j in range(n_tiles):
+                c0 = j * block_k
+                bk = min(block_k, n_kv - c0)
+                k = k_ref[f, 0, c0 : c0 + bk, :]
+                v = v_ref[f, 0, c0 : c0 + bk, :]
+                s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
+                # Static masking decision: only tiles whose last column
+                # can exceed some row's limit pay the compare+select.
+                if c0 + bk - 1 > i * block_q + q_offset:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                        + i * block_q
+                        + q_offset
+                    )
+                    col = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + c0
+                    )
+                    s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+                if m is None:
+                    m_curr = jnp.max(s, axis=-1, keepdims=True)
+                    p = jnp.exp2(s - m_curr)
+                    pv = mxu_dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
+                    )
+                    l = jnp.sum(p, axis=-1, keepdims=True)
+                    acc = pv
+                    m = m_curr
+                else:
+                    p = jnp.exp2(jnp.minimum(s - m[:, :1], 96.0))
+                    pv = mxu_dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
+                    )
+                    m_curr = jnp.max(s, axis=-1, keepdims=True)
+                    m_next = jnp.maximum(m, m_curr)
+                    alpha = jnp.exp2(m - m_next)
+                    l = (l + jnp.sum(p, axis=-1, keepdims=True)) * alpha
+                    acc = (acc + pv) * alpha[:, :1]
+                    m = m_next
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
+                acc * l_inv
+            ).astype(o_ref.dtype)
+            if save_lse:
+                lse = jnp.where(
+                    l == 0.0,
+                    -jnp.inf,
+                    m * _LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l)),
+                )
+                lse_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
+                    jnp.broadcast_to(lse, (block_q, NUM_LANES))
+                )
+
+
+def _tri_fold(batch: int, n_q: int, n_kv: int, head_dim: int) -> int:
+    """Batch elements per grid step: amortize per-step overhead while
+    keeping the folded VMEM working set (Q+K+V, double-buffered)
+    comfortably under the scoped limit."""
+    fold = 1
+    while (
+        batch % (fold * 2) == 0
+        and fold * 2 * (n_q + 2 * n_kv) * head_dim * 4 <= 8 * 1024 * 1024
+        and fold * 2 * max(n_q, n_kv) <= 4096
+    ):
+        fold *= 2
+    return fold
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "q_offset",
+        "block_q",
+        "block_k",
+        "save_lse",
+        "interpret",
+    ),
+)
+def flash_attention_tri(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    q_offset: Optional[int] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    save_lse: bool = False,
+    interpret: bool = False,
+) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Causal flash attention, triangular statically-unrolled kernel.
+
+    ``q``: [B, H, N_q, D]; ``k``/``v``: [B, H_kv, N_kv, D] (GQA via the
+    KV index maps, like the lean path).  ``q_offset`` must be a Python
+    int (default n_kv - n_q).  Returns ``o`` (or ``(o, lse_lanes)`` with
+    the [B, H, N_q, 128] lane-replicated logsumexp the backward
+    consumes).
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = k.shape[2]
+    kv_heads = k.shape[1]
+    if heads % kv_heads:
+        raise ValueError(f"q heads {heads} not a multiple of {kv_heads}")
+    kv_group = heads // kv_heads
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = int(q_offset)
+    block_q = min(block_q, n_q)
+    block_k = min(block_k, n_kv)
+    if n_q % block_q:
+        raise ValueError(f"n_q={n_q} not divisible by block_q={block_q}")
+    fold = 1
+    if kv_group == 1:
+        fold = _tri_fold(batch, n_q, n_kv, head_dim)
+
+    kernel = functools.partial(
+        _tri_kernel,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        n_q=n_q,
+        n_kv=n_kv,
+        q_offset=q_offset,
+        save_lse=save_lse,
+        fold=fold,
+    )
+    if not save_lse:
+        bound = kernel
+
+        def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
+            return bound(q_ref, k_ref, v_ref, o_ref, None)
+
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
+    ]
+    if save_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((fold, 1, n_q, NUM_LANES), lambda b, h: (b, h, 0, 0))
+        )
+    # Visible-area FLOP model (the executed work, for the scheduler).
+    nb = n_q // block_q
+    area = sum(
+        min(n_kv, i * block_q + block_q + q_offset) * block_q
+        for i in range(nb)
+        if min(n_kv, i * block_q + block_q + q_offset) > 0
+    )
+    flops = 4 * batch * heads * area * head_dim
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=(batch // fold, heads),
+        in_specs=[
+            pl.BlockSpec(
+                (fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0)
+            ),
+            pl.BlockSpec(
+                (fold, 1, n_kv, head_dim),
+                lambda b, h: (b, h // kv_group, 0, 0),
+            ),
+            pl.BlockSpec(
+                (fold, 1, n_kv, head_dim),
+                lambda b, h: (b, h // kv_group, 0, 0),
+            ),
+        ],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * area,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if save_lse:
+        return results[0], results[1]
+    return results[0]

@@ -237,6 +237,7 @@ def measure_kernel(
         "std_s": 0.0,
         "iters": iters,
         "chunk": inner_hi,
+        "samples_s": reads,  # sorted independent slope readings
     }
 
 
@@ -296,4 +297,10 @@ def measure_kernel_pair(
         "b_s": tb[len(tb) // 2],
         "ratio": ratios[len(ratios) // 2],
         "paired": True,
+        # Full per-repeat spread so callers can persist a confidence
+        # band per point (round-over-round geomean swings were otherwise
+        # indistinguishable from tunnel weather — VERDICT r3 item 5).
+        "ratio_samples": ratios,
+        "a_samples": ta,
+        "b_samples": tb,
     }

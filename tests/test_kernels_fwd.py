@@ -534,3 +534,38 @@ def test_softcap_alibi_grads_match_oracle(rng_key):
     )(q, k, v, slopes)
     for name, a, b in zip("dq dk dv dslopes".split(), g, gr):
         assert max_abs_diff(a, b) < 1e-2, name
+
+
+@pytest.mark.parametrize("shape", [(2, 1, 1024), (1, 2, 512), (4, 2, 256)])
+def test_tri_kernel_vs_oracle(rng_key, shape):
+    """Triangular statically-unrolled causal kernel == causal oracle
+    (visible-prefix static slices, diagonal-only masking, register
+    online softmax)."""
+    from flash_attention_metal_tpu.kernels import flash_attention_tri
+    from flash_attention_metal_tpu.reference.oracle import (
+        attention_reference_with_lse,
+    )
+
+    b, h, n = shape
+    q, k, v = make_qkv(rng_key, (b, h, n, 64), dtype=jnp.bfloat16)
+    o, lse = flash_attention_tri(q, k, v, save_lse=True, interpret=INTERPRET)
+    o_r, lse_r = attention_reference_with_lse(q, k, v, causal=True)
+    assert max_abs_diff(o, o_r) < 1e-2
+    assert max_abs_diff(lse[..., 0], lse_r) < 1e-2
+
+
+def test_tri_kernel_gqa_and_offset(rng_key):
+    from flash_attention_metal_tpu.kernels import flash_attention_tri
+
+    q, _, _ = make_qkv(rng_key, (2, 4, 512, 64), dtype=jnp.bfloat16)
+    _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 512, 64), dtype=jnp.bfloat16)
+    o = flash_attention_tri(q, k, v, interpret=INTERPRET)
+    o_r = attention_reference(
+        q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), causal=True
+    )
+    assert max_abs_diff(o, o_r) < 1e-2
+    # decode-style end-aligned offset (n_q < n_kv)
+    q2, k2, v2 = make_qkv(rng_key, (1, 1, 256, 64), dtype=jnp.bfloat16)
+    o2 = flash_attention_tri(q2[:, :, :128], k2, v2, interpret=INTERPRET)
+    o2_r = attention_reference(q2[:, :, :128], k2, v2, causal=True)
+    assert max_abs_diff(o2, o2_r) < 1e-2
