@@ -148,12 +148,11 @@ class DecodeEngine:
         window = max(multi_step, (spec_gamma + 1) if draft else 1)
         self._zombie_margin = harvest_lag * window + window
         if draft is not None:
-            if multi_step > 1 or kv_quant or rolling or paged or (
-                mesh is not None
-            ):
+            if multi_step > 1 or kv_quant or rolling or paged:
                 raise ValueError(
                     "draft= (speculative serving) currently composes with "
-                    "the dense single-device cache only"
+                    "the dense cache only (dp/sp/tp mesh sharding is "
+                    "supported; quant/rolling/paged caches are not)"
                 )
             if draft[1].head_dim != cfg.head_dim:
                 pass  # head dims may differ; caches are independent
@@ -418,6 +417,21 @@ class DecodeEngine:
             self.cache = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, shard_for(x)), self.cache
             )
+            if self.draft_cache is not None:
+                # The draft cache stays dense: slots over dp only (its
+                # decode runs dp-locally, replicated across sp/tp).
+                self.draft_cache = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x,
+                        NamedSharding(
+                            mesh,
+                            PartitionSpec(batch_axis)
+                            if x.ndim <= 2
+                            else PartitionSpec(None, batch_axis),
+                        ),
+                    ),
+                    self.draft_cache,
+                )
             self.next_token = jax.device_put(
                 self.next_token, shard_for(self.next_token)
             )
@@ -775,7 +789,28 @@ class DecodeEngine:
             # asynchronously and consumed ``harvest_lag`` steps later.
             sub = self._next_key()
             lps_dev = None
-            if self._sp is not None:
+            if self._sp is not None and self._draft is not None:
+                # Speculative round on the sp/tp-sharded target cache
+                # (sp_decode.SpStepFns.speculative_step): dp-local draft
+                # proposals, one multi-row sharded verify, shared
+                # acceptance rule.
+                out, n_emit, new_tok, self.cache, self.draft_cache = (
+                    self._sp.speculative_step(
+                        self.params,
+                        self.cache,
+                        self._draft[0],
+                        self.draft_cache,
+                        self.next_token,
+                        active,
+                        sub,
+                        self.temps,
+                        cfg_d=self._draft[1],
+                        gamma=self._spec_gamma,
+                    )
+                )
+                toks_dev = (out, n_emit)
+                self.next_token = new_tok
+            elif self._sp is not None:
                 toks_dev, lps_dev, self.cache, self.pen_counts = (
                     self._sp.decode_and_sample(
                         self.params,

@@ -138,14 +138,37 @@ def _quantize_like(cache: QuantKVCache, x: jax.Array):
     return xq, scale[..., 0]
 
 
-def _masked_append(buf, new, start, owned):
+def _masked_append(buf, new, start, owned, per_row: bool = False):
     """Write ``new [B, H, T, D]`` at per-slot offsets where ``owned``.
 
     ``buf``: the local shard ``[B, H, maxloc, D]``; non-owned slots keep
     their previous contents (read-modify-write through a clipped index).
+
+    ``per_row=True`` ignores the chunk-wise ``owned`` and instead writes
+    each row ``t`` iff ``0 <= start + t < maxloc`` — required when a
+    multi-row chunk may straddle an sp-shard boundary (the speculative
+    verify window lands at arbitrary lengths, unlike 128-aligned prefill
+    chunks).  ``T`` must be small and static (it unrolls row updates).
     """
     t_new = new.shape[2]
     maxloc = buf.shape[2]
+
+    if per_row:
+
+        def put_rows(b, nw, st):
+            for t in range(t_new):
+                pos = st + t
+                ow = (pos >= 0) & (pos < maxloc)
+                idx = jnp.clip(pos, 0, maxloc - 1)
+                old = jax.lax.dynamic_slice(
+                    b, (0, idx, 0), (b.shape[0], 1, b.shape[2])
+                )
+                b = jax.lax.dynamic_update_slice(
+                    b, jnp.where(ow, nw[:, t : t + 1], old), (0, idx, 0)
+                )
+            return b
+
+        return jax.vmap(put_rows)(buf, new, start)
 
     def put(b, nw, st, ow):
         idx = jnp.clip(st, 0, maxloc - t_new)
@@ -159,10 +182,25 @@ def _masked_append(buf, new, start, owned):
     return jax.vmap(put)(buf, new, start, owned)
 
 
-def _masked_append_scale(buf, new, start, owned):
+def _masked_append_scale(buf, new, start, owned, per_row: bool = False):
     """Scale variant: ``buf [B, H, maxloc]``, ``new [B, H, T]``."""
     t_new = new.shape[2]
     maxloc = buf.shape[2]
+
+    if per_row:
+
+        def put_rows(b, nw, st):
+            for t in range(t_new):
+                pos = st + t
+                ow = (pos >= 0) & (pos < maxloc)
+                idx = jnp.clip(pos, 0, maxloc - 1)
+                old = jax.lax.dynamic_slice(b, (0, idx), (b.shape[0], 1))
+                b = jax.lax.dynamic_update_slice(
+                    b, jnp.where(ow, nw[:, t : t + 1], old), (0, idx)
+                )
+            return b
+
+        return jax.vmap(put_rows)(buf, new, start)
 
     def put(b, nw, st, ow):
         idx = jnp.clip(st, 0, maxloc - t_new)
@@ -185,6 +223,7 @@ def _sp_attn_with_cache(
     seq_axis: Optional[str],
     head_axis: Optional[str] = None,
     tp_size: int = 1,
+    row_owned: bool = False,
 ) -> Tuple[jax.Array, object]:
     """One attention block against the LOCAL KV shard: sp lse-combine
     across sequence shards, Megatron column/row sharding across tp.
@@ -192,6 +231,10 @@ def _sp_attn_with_cache(
     Call inside ``shard_map``; ``x``/``positions`` replicated over
     sp/tp, ``cache`` the local shard.  Mirrors
     ``decode._attn_with_cache``.
+
+    ``row_owned=True`` switches the shard appends to per-row ownership
+    so a small multi-row chunk may straddle the sp boundary (speculative
+    verify windows land at arbitrary lengths).
     """
     if cfg.attn_window is not None:
         raise ValueError(
@@ -230,13 +273,19 @@ def _sp_attn_with_cache(
     if is_quant:
         kq, ks = _quantize_like(cache, k)
         vq, vs = _quantize_like(cache, v)
-        k_l = _masked_append(cache.k_q[layer_idx], kq, local_start, owned)
-        v_l = _masked_append(cache.v_q[layer_idx], vq, local_start, owned)
+        k_l = _masked_append(
+            cache.k_q[layer_idx], kq, local_start, owned, per_row=row_owned
+        )
+        v_l = _masked_append(
+            cache.v_q[layer_idx], vq, local_start, owned, per_row=row_owned
+        )
         ks_l = _masked_append_scale(
-            cache.k_scale[layer_idx], ks, local_start, owned
+            cache.k_scale[layer_idx], ks, local_start, owned,
+            per_row=row_owned,
         )
         vs_l = _masked_append_scale(
-            cache.v_scale[layer_idx], vs, local_start, owned
+            cache.v_scale[layer_idx], vs, local_start, owned,
+            per_row=row_owned,
         )
         import dataclasses as _dc
 
@@ -263,8 +312,12 @@ def _sp_attn_with_cache(
             interpret=interpret,
         )
     else:
-        k_l = _masked_append(cache.k[layer_idx], k, local_start, owned)
-        v_l = _masked_append(cache.v[layer_idx], v, local_start, owned)
+        k_l = _masked_append(
+            cache.k[layer_idx], k, local_start, owned, per_row=row_owned
+        )
+        v_l = _masked_append(
+            cache.v[layer_idx], v, local_start, owned, per_row=row_owned
+        )
         cache = KVCache(
             k=cache.k.at[layer_idx].set(k_l),
             v=cache.v.at[layer_idx].set(v_l),
@@ -543,3 +596,134 @@ class SpStepFns:
             if last is None or start < int(prompt_len):
                 last = logits
         return last, cache
+
+    # ------------------------------------------------------------------
+    def _build_spec(self, cfg_d: ModelConfig, gamma: int):
+        """Speculative round on the sp/tp-sharded target cache.
+
+        The draft model is small: its params stay replicated and its
+        (dense, dp-sharded) cache decodes locally on every shard — the
+        redundant sp/tp-replicated draft compute is far cheaper than
+        cross-shard coordination.  The target verifies all proposals in
+        ONE multi-row sharded decode (``_sp_attn_with_cache`` with
+        per-row shard ownership, since the verify window lands at
+        arbitrary lengths and may straddle the sp boundary).  Acceptance
+        is ``speculative.acceptance_rule`` — identical semantics to the
+        dense engine (greedy slots emit exactly the target's greedy
+        tokens).
+        """
+        import dataclasses
+
+        from .decode import decode_step
+        from .speculative import acceptance_rule
+
+        cfg = self.cfg
+        mesh = self.mesh
+        batch_axis, seq_axis = self.batch_axis, self.seq_axis
+        head_axis, tp_size = self.head_axis, self.tp_size
+        cspec = functools.partial(
+            cache_pspec, batch_axis=batch_axis, seq_axis=seq_axis,
+            head_axis=head_axis,
+        )
+        # Draft cache: dense, slots over dp only (no sp/tp dims).
+        dspec = functools.partial(cache_pspec, batch_axis=batch_axis)
+        rep = PartitionSpec()
+        dp = PartitionSpec(batch_axis)
+
+        def spec_body(params_t, cache_t, params_d, cache_d, tok, active,
+                      key, temps):
+            my_dp = jax.lax.axis_index(batch_axis)
+            keys = jax.random.split(jax.random.fold_in(key, my_dp), gamma + 2)
+            greedy_slot = temps <= 0.0
+            tau = jnp.maximum(temps, 1e-6)[:, None]
+            l0_t, l0_d = cache_t.lengths, cache_d.lengths
+
+            # --- draft: gamma dp-local proposals + one ingest step so the
+            # draft cache covers its own last proposal.
+            draft_toks, draft_logits = [], []
+            cur = tok
+            for i in range(gamma):
+                logits_d, cache_d = decode_step.__wrapped__(
+                    params_d, cfg_d, cache_d, cur, active
+                )
+                g = jnp.argmax(logits_d, -1).astype(jnp.int32)
+                s = jax.random.categorical(
+                    keys[i], logits_d / tau
+                ).astype(jnp.int32)
+                cur = jnp.where(greedy_slot, g, s)
+                draft_toks.append(cur)
+                draft_logits.append(logits_d)
+            _, cache_d = decode_step.__wrapped__(
+                params_d, cfg_d, cache_d, cur, active
+            )
+            d = jnp.stack(draft_toks, 1)  # [B, gamma]
+
+            # --- target verify: one multi-row sharded decode over
+            # [tok, d_0..d_{gamma-1}] padded to the kernel's 8-row tiling.
+            t_rows = gamma + 1
+            t_pad = -(-t_rows // 8) * 8
+            seq = jnp.concatenate([tok[:, None], d], axis=1)
+            seq = jnp.pad(seq, ((0, 0), (0, t_pad - t_rows)))
+            positions = cache_t.lengths[:, None] + jnp.arange(t_pad)[None, :]
+            x = params_t["embed"][seq].astype(cfg.dtype)
+            for i, layer in enumerate(params_t["layers"]):
+                x, cache_t = _sp_attn_with_cache(
+                    layer, x, cfg, cache_t, i, positions, seq_axis=seq_axis,
+                    head_axis=head_axis, tp_size=tp_size, row_owned=True,
+                )
+                x = _tp_mlp(layer, x, cfg, head_axis)
+            x = rms_norm(x, params_t["final_norm"])
+            logits_t = (x @ params_t["lm_head"].astype(cfg.dtype)).astype(
+                jnp.float32
+            )[:, :t_rows]
+
+            out, n_acc, bonus = acceptance_rule(
+                d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
+                keys[gamma], keys[gamma + 1],
+            )
+            n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
+            cache_t = dataclasses.replace(
+                cache_t, lengths=(l0_t + n_emit).astype(jnp.int32)
+            )
+            cache_d = dataclasses.replace(
+                cache_d, lengths=(l0_d + n_emit).astype(jnp.int32)
+            )
+            return out, n_emit, bonus, cache_t, cache_d
+
+        def _wrap(params_t, cache_t, params_d, cache_d, tok, active, key,
+                  temps):
+            spec_t = jax.tree_util.tree_map(cspec, cache_t)
+            spec_d = jax.tree_util.tree_map(dspec, cache_d)
+            fn = jax.shard_map(
+                spec_body,
+                mesh=mesh,
+                in_specs=(
+                    param_pspecs(params_t, head_axis),
+                    spec_t,
+                    jax.tree_util.tree_map(lambda _: rep, params_d),
+                    spec_d,
+                    dp,
+                    dp,
+                    rep,
+                    dp,
+                ),
+                out_specs=(dp, dp, dp, spec_t, spec_d),
+                check_vma=False,
+            )
+            return fn(params_t, cache_t, params_d, cache_d, tok, active,
+                      key, temps)
+
+        return jax.jit(_wrap, donate_argnums=(1, 3))
+
+    def speculative_step(
+        self, params_t, cache_t, params_d, cache_d, tok, active, key,
+        temps, *, cfg_d: ModelConfig, gamma: int,
+    ):
+        """One sharded speculative round; see ``_build_spec``."""
+        built = getattr(self, "_spec_fn", None)
+        if built is None or self._spec_sig != (cfg_d, gamma):
+            self._spec_fn = self._build_spec(cfg_d, gamma)
+            self._spec_sig = (cfg_d, gamma)
+        return self._spec_fn(
+            params_t, cache_t, params_d, cache_d, tok, active, key, temps
+        )

@@ -70,6 +70,69 @@ def _forward_chunk(
     return logits, cache
 
 
+def acceptance_rule(
+    d: jax.Array,  # [B, gamma] draft proposals
+    q_logits: jax.Array,  # [B, gamma, V] draft logits per proposal
+    logits_t: jax.Array,  # [B, gamma+1, V] target logits over [tok, d...]
+    greedy_slot: jax.Array,  # [B] bool
+    tau: jax.Array,  # [B, 1] clamped temperatures
+    key_u: jax.Array,
+    key_resid: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side speculative acceptance (shared by the dense and the
+    sp/tp-sharded serving paths — ``runtime/sp_decode.py``).
+
+    Greedy slots accept by exact token match (output == the target's own
+    greedy decode); sampling slots use the standard speculative-sampling
+    rule (accept w.p. ``min(1, p/q)``, resample the first rejection from
+    the normalized residual ``max(p - q, 0)``), which preserves the
+    target distribution.  Returns ``(out [B, gamma+1], n_acc [B],
+    bonus [B])`` with ``out[:, n_acc] == bonus``.
+    """
+    batch, gamma = d.shape
+    t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
+    greedy_match = d == t_pred[:, :gamma]
+    p = jax.nn.softmax(logits_t / tau[..., None], axis=-1)
+    q = jax.nn.softmax(q_logits / tau[..., None], axis=-1)
+    p_tok = jnp.take_along_axis(p[:, :gamma], d[..., None], -1)[..., 0]
+    q_tok = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
+    u = jax.random.uniform(key_u, (batch, gamma))
+    samp_accept = u < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-20))
+    accept = jnp.where(greedy_slot[:, None], greedy_match, samp_accept)
+    acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)  # [B] in [0, gamma]
+
+    # Bonus token at the first rejected position: greedy slots take the
+    # target argmax; sampling slots resample from the residual
+    # max(p - q, 0) (q = 0 past gamma, so the all-accept bonus reduces
+    # to the target's own distribution).
+    bonus_g = jnp.take_along_axis(t_pred, n_acc[:, None], axis=1)[:, 0]
+    p_n = jnp.take_along_axis(
+        p, n_acc[:, None, None].repeat(p.shape[-1], -1), axis=1
+    )[:, 0]  # [B, V]
+    q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
+    q_n = jnp.take_along_axis(
+        q_pad, n_acc[:, None, None].repeat(q.shape[-1], -1), axis=1
+    )[:, 0]
+    resid = jnp.maximum(p_n - q_n, 0.0)
+    norm = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20), p_n)
+    bonus_s = jax.random.categorical(
+        key_resid, jnp.log(jnp.maximum(resid, 1e-30))
+    ).astype(jnp.int32)
+    bonus = jnp.where(greedy_slot, bonus_g, bonus_s)
+
+    # Assemble the emitted window: accepted prefix, then the bonus.
+    idx = jnp.arange(gamma + 1)[None, :]
+    d_ext = jnp.concatenate([d, d[:, -1:]], axis=1)
+    out = jnp.where(
+        idx < n_acc[:, None],
+        d_ext,
+        jnp.where(idx == n_acc[:, None], bonus[:, None], 0),
+    )
+    return out, n_acc, bonus
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_t", "cfg_d", "gamma"),
@@ -104,7 +167,6 @@ def speculative_step(
     normalized residual ``max(p - q, 0)``), which preserves the target
     distribution at that temperature.
     """
-    batch = tok.shape[0]
     l0_t, l0_d = cache_t.lengths, cache_d.lengths
     keys = jax.random.split(key, gamma + 2)
     greedy_slot = temps <= 0.0  # [B]
@@ -135,46 +197,10 @@ def speculative_step(
     logits_t, cache_t = _forward_chunk(params_t, cfg_t, cache_t, seq)
     logits_t = logits_t[:, :t_rows]  # [B, gamma+1, V]
 
-    # --- acceptance: exact match (greedy slots) / min(1, p/q) (sampled).
-    t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
-    greedy_match = d == t_pred[:, :gamma]
-    p = jax.nn.softmax(logits_t / tau[..., None], axis=-1)
-    q = jax.nn.softmax(jnp.stack(draft_logits, 1) / tau[..., None], axis=-1)
-    p_tok = jnp.take_along_axis(p[:, :gamma], d[..., None], -1)[..., 0]
-    q_tok = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
-    u = jax.random.uniform(keys[gamma], (batch, gamma))
-    samp_accept = u < jnp.minimum(1.0, p_tok / jnp.maximum(q_tok, 1e-20))
-    accept = jnp.where(greedy_slot[:, None], greedy_match, samp_accept)
-    acc = jnp.cumprod(accept.astype(jnp.int32), axis=1)
-    n_acc = jnp.sum(acc, axis=1)  # [B] in [0, gamma]
-
-    # Bonus token at the first rejected position: greedy slots take the
-    # target argmax; sampling slots resample from the residual
-    # max(p - q, 0) (q = 0 past gamma, so the all-accept bonus reduces
-    # to the target's own distribution).
-    bonus_g = jnp.take_along_axis(t_pred, n_acc[:, None], axis=1)[:, 0]
-    p_n = jnp.take_along_axis(
-        p, n_acc[:, None, None].repeat(p.shape[-1], -1), axis=1
-    )[:, 0]  # [B, V]
-    q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
-    q_n = jnp.take_along_axis(
-        q_pad, n_acc[:, None, None].repeat(q.shape[-1], -1), axis=1
-    )[:, 0]
-    resid = jnp.maximum(p_n - q_n, 0.0)
-    norm = jnp.sum(resid, axis=-1, keepdims=True)
-    resid = jnp.where(norm > 0, resid / jnp.maximum(norm, 1e-20), p_n)
-    bonus_s = jax.random.categorical(
-        keys[gamma + 1], jnp.log(jnp.maximum(resid, 1e-30))
-    ).astype(jnp.int32)
-    bonus = jnp.where(greedy_slot, bonus_g, bonus_s)
-
-    # --- assemble the emitted window and restore the length invariant.
-    idx = jnp.arange(gamma + 1)[None, :]
-    d_ext = jnp.concatenate([d, d[:, -1:]], axis=1)
-    out = jnp.where(
-        idx < n_acc[:, None],
-        d_ext,
-        jnp.where(idx == n_acc[:, None], bonus[:, None], 0),
+    # --- acceptance (shared rule) + restore the length invariant.
+    out, n_acc, bonus = acceptance_rule(
+        d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
+        keys[gamma], keys[gamma + 1],
     )
     n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
     cache_t = dataclasses.replace(

@@ -118,6 +118,101 @@ def test_dp_tp_sp_int8_decode_matches_single_device(params):
     assert ref == got
 
 
+CFG_DRAFT = ModelConfig(
+    vocab_size=256,
+    d_model=128,
+    n_layers=1,
+    n_heads=2,
+    n_kv_heads=1,
+    head_dim=64,
+    d_ff=128,
+    max_seq_len=512,
+    dtype=jnp.float32,
+)
+
+
+def _spec_generate(params, params_d, mesh=None, seq_axis=None,
+                   head_axis=None, temperature=0.0):
+    """Speculative engine run whose verify windows straddle the sp-shard
+    boundary: with sp=4 over max_len=512 each shard owns 128 positions,
+    and the 122/124-token prompts put the first verify rounds right on
+    the 128 crossing."""
+    eng = DecodeEngine(
+        params,
+        CFG,
+        max_batch=4,
+        max_len=512,
+        eos_id=-1,
+        harvest_lag=2,
+        draft=(params_d, CFG_DRAFT),
+        spec_gamma=3,
+        mesh=mesh,
+        seq_axis=seq_axis,
+        head_axis=head_axis,
+    )
+    prompts = [
+        [5, 6, 7, 8],
+        list(range(10, 40)),
+        list(range(100, 222)),  # len 122: round 2+ straddles shard 0->1
+        list(range(30, 154)),  # len 124
+    ]
+    for i, p in enumerate(prompts):
+        eng.submit(
+            Request(
+                uid=i, prompt=p, max_new_tokens=14, temperature=temperature
+            )
+        )
+    return eng.run()
+
+
+def test_spec_sp_sharded_matches_unsharded(params):
+    """Speculative serving on a dp x sp mesh: greedy generations equal
+    BOTH the unsharded speculative engine and the plain (draft-free)
+    engine — the sharded verify chunk (per-row shard ownership,
+    runtime/sp_decode.py speculative_step) changes only the dispatch
+    count, never the tokens."""
+    params_d = init_params(jax.random.PRNGKey(1), CFG_DRAFT)
+    want_spec = _spec_generate(params, params_d)
+    got = _spec_generate(params, params_d, mesh=_sp_mesh(), seq_axis="sp")
+    assert want_spec == got
+
+
+def test_spec_tp_sharded_matches_unsharded(params):
+    params_d = init_params(jax.random.PRNGKey(1), CFG_DRAFT)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    want_spec = _spec_generate(params, params_d)
+    got = _spec_generate(params, params_d, mesh=mesh, head_axis="tp")
+    assert want_spec == got
+
+
+def test_spec_dp_tp_sp_sharded_matches_unsharded(params):
+    """Full topology: slots over dp, heads over tp, KV length over sp,
+    with a draft model proposing — greedy output invariant."""
+    params_d = init_params(jax.random.PRNGKey(1), CFG_DRAFT)
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    want_spec = _spec_generate(params, params_d)
+    got = _spec_generate(
+        params, params_d, mesh=mesh, head_axis="tp", seq_axis="sp"
+    )
+    assert want_spec == got
+
+
+def test_spec_sp_sampling_smoke(params):
+    """Sampled slots on the sharded spec path emit the right counts and
+    in-vocab tokens (distribution preserved by the shared acceptance
+    rule; exact stream equality is not required across meshes)."""
+    params_d = init_params(jax.random.PRNGKey(1), CFG_DRAFT)
+    out = _spec_generate(
+        params, params_d, mesh=_sp_mesh(), seq_axis="sp", temperature=0.9
+    )
+    assert sorted(out.keys()) == [0, 1, 2, 3]
+    for toks in out.values():
+        assert len(toks) == 14
+        assert all(0 <= t < CFG.vocab_size for t in toks)
+
+
 def test_long_context_32k_int8_sp_decode_matches_single_device():
     """BASELINE config-5 scaled-down witness: a 32K-token int8 KV cache
     sharded x8 over sp (4K per shard), decode near the 30K mark — the
