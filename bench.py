@@ -80,6 +80,19 @@ def main():
     from flash_attention_metal_tpu.harness.benchmark import amortizing_batch
 
     detail = {"chip": spec.name, "sweep": [], "sweep_causal": []}
+    if not interpret:
+        # Tunnel-health reference (utils/timing.py:calibrate): a slow run
+        # is self-identifying in the artifact instead of reading as a
+        # code regression.
+        from flash_attention_metal_tpu.utils.timing import calibrate
+
+        detail["calibration"] = calibrate()
+        log(
+            f"calibration: 8192^3 matmul "
+            f"{detail['calibration']['matmul8192_ms']:.3f} ms "
+            f"(expect {detail['calibration']['expected_ms']:.3f}; "
+            f"ok={detail['calibration']['ok']})"
+        )
     speedups = {False: [], True: []}
     for n in SWEEP:
         # Dispatch-floor amortization: small N runs batched (B*N^2 ~ 2^21,

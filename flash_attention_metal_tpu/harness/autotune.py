@@ -153,13 +153,9 @@ def tri_candidates(n: int) -> List[Tuple[int, int]]:
     (``kernels.flash_tri``): one grid step per (b, h), static unroll, so
     tiles can be small without paying grid-step floors.  The unroll size
     (visible block pairs) is capped to bound compile time."""
-    if n < 1024:
-        # Sub-1024 causal shapes are dispatch-floored, not diagonal-waste
-        # bound; the lean path already owns them.
-        return []
     out = []
-    for bq in (256, 512):
-        for bk in (256, 512):
+    for bq in (128, 256, 512):
+        for bk in (128, 256, 512):
             if bq > n or n % bq:
                 continue
             # pairs ~ (n/bq)*(n/bk)/2; cap the static unroll at ~300.
@@ -281,20 +277,35 @@ def autotune_bwd(
     )
     do = q * 0.01
     mcfg = _measure_cfg(b, h, n, n, d)
+    cands = list(bwd_candidates(n, n))
+    if causal:
+        # Race the fused triangular static-unroll backward too (same
+        # mechanism as the forward tri race; causal static offsets only).
+        cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
     best, best_impl, best_t = None, "split", float("inf")
-    for impl, bs in bwd_candidates(n, n):
-        kern = (
-            flash_attention_bwd_fused if impl == "fused"
-            else flash_attention_bwd
-        )
-        fn = functools.partial(
-            kern, causal=causal, block_sizes=bs, interpret=interpret
-        )
-        tag = (
-            f"fused {bs.block_q_fused}x{bs.block_kv_fused}"
-            if impl == "fused"
-            else f"split {bs.block_q_dkv}x{bs.block_kv_dkv}"
-        )
+    for impl, bs in cands:
+        if impl == "tri":
+            bq, bk = bs
+            from ..kernels.flash_tri import flash_attention_bwd_tri
+
+            fn = functools.partial(
+                flash_attention_bwd_tri, block_q=bq, block_k=bk,
+                interpret=interpret,
+            )
+            tag = f"tri {bq}x{bk}"
+        else:
+            kern = (
+                flash_attention_bwd_fused if impl == "fused"
+                else flash_attention_bwd
+            )
+            fn = functools.partial(
+                kern, causal=causal, block_sizes=bs, interpret=interpret
+            )
+            tag = (
+                f"fused {bs.block_q_fused}x{bs.block_kv_fused}"
+                if impl == "fused"
+                else f"split {bs.block_q_dkv}x{bs.block_kv_dkv}"
+            )
         try:
             t = measure_kernel_stable(
                 fn, (q, k, v, o, do, lse), **mcfg
@@ -310,6 +321,14 @@ def autotune_bwd(
             best, best_impl, best_t = bs, impl, t
     if best is None:
         log(f"  bwd {key}: all candidates failed; using heuristic default")
+        return BlockSizes.for_seq_len(n, n)
+    if best_impl == "tri":
+        cache[key] = {
+            "impl": "tri",
+            "blocks": {"block_q": best[0], "block_k": best[1]},
+            "us": best_t * 1e6,
+        }
+        _store(cache_path, cache)
         return BlockSizes.for_seq_len(n, n)
     cache[key] = {
         "impl": best_impl,
@@ -489,11 +508,13 @@ def lookup_fwd_impl(b, h, n_q, n_kv, d, causal, dtype,
 
 def lookup_bwd(b, h, n_q, n_kv, d, causal, dtype,
                cache_path: str = DEFAULT_CACHE):
-    """(impl, BlockSizes) for the backward, or None if never tuned.
+    """(impl, blocks) for the backward, or None if never tuned.
 
-    ``impl`` is "split" (FA-2 two-kernel) or "fused" (5-matmul single
-    kernel); entries tuned before the fused variant existed default to
-    "split".
+    ``impl`` is "split" (FA-2 two-kernel), "fused" (5-matmul single
+    kernel) or "tri" (fused triangular static unroll); entries tuned
+    before the fused variant existed default to "split".  ``blocks`` is
+    a BlockSizes for split/fused, a plain {"block_q","block_k"} dict for
+    tri.
     """
     global _MEMO
     if _MEMO is None:
@@ -501,4 +522,7 @@ def lookup_bwd(b, h, n_q, n_kv, d, causal, dtype,
     entry = _MEMO.get(_key("bwd", b, h, n_q, n_kv, d, causal, dtype))
     if entry is None:
         return None
-    return entry.get("impl", "split"), BlockSizes(**entry["blocks"])
+    impl = entry.get("impl", "split")
+    if impl == "tri":
+        return "tri", dict(entry["blocks"])
+    return impl, BlockSizes(**entry["blocks"])

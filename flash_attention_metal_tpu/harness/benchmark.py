@@ -365,6 +365,18 @@ def main() -> int:
     spec = detect_chip()
     print(f"== benchmark on {spec.name} ({jax.default_backend()}) ==")
     on_tpu = jax.default_backend() == "tpu"
+    calib = None
+    if on_tpu:
+        from ..utils.timing import calibrate
+
+        calib = calibrate()
+        print(
+            f"calibration: 8192^3 matmul {calib['matmul8192_ms']:.3f} ms "
+            f"({calib['tflops']:.0f} TF/s, expect "
+            f"{calib['expected_ms']:.3f} ms)"
+            + ("" if calib["ok"] else "  ** DEGRADED TUNNEL — timings in "
+               "this run are inflated; re-run when quiet **")
+        )
     if not on_tpu:
         # Interpreter mode: numbers are meaningless and big sizes take
         # minutes per call -- run a pure functional smoke.
@@ -412,6 +424,7 @@ def main() -> int:
     if args.json:
         payload = {
             "chip": spec.name,
+            "calibration": calib,
             "sweep": [dataclasses.asdict(r) for r in rows],
             "high_occupancy": hi,
         }

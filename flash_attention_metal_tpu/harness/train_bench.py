@@ -54,6 +54,7 @@ def run_train_bench(
     vocab: int = 32768,
     batch: int = 8,
     seq: int = 2048,
+    softcap: float | None = None,
     log=print,
 ) -> dict:
     cfg = ModelConfig(
@@ -66,6 +67,7 @@ def run_train_bench(
         d_ff=d_ff,
         max_seq_len=seq,
         dtype=jnp.bfloat16,
+        attn_softcap=softcap,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     tokens = jax.random.randint(
@@ -85,6 +87,7 @@ def run_train_bench(
             "n_kv_heads": n_kv_heads,
             "d_ff": d_ff,
             "vocab": vocab,
+            "attn_softcap": softcap,
         },
         "batch": batch,
         "seq": seq,
@@ -113,12 +116,18 @@ def main() -> int:
     ap.add_argument("--d-model", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument(
+        "--softcap", type=float, default=None,
+        help="tanh logit softcap (Gemma-2 style); exercises the round-4 "
+        "in-kernel softcap backward on the training path",
+    )
     args = ap.parse_args()
     result = run_train_bench(
         n_layers=args.layers,
         d_model=args.d_model,
         batch=args.batch,
         seq=args.seq,
+        softcap=args.softcap,
     )
     with open("train_bench.json", "w") as f:
         json.dump(result, f, indent=2)

@@ -389,7 +389,10 @@ def flash_attention_bwd_auto(
     (impl + blocks) for this shape; FA-2 two-kernel defaults otherwise.
 
     The training custom-vjp path rides this, so a tuned chip runs
-    whichever of split/fused won the measurement for its shape.
+    whichever of split/fused/tri won the measurement for its shape
+    (tri = the fused triangular static-unroll kernel,
+    ``flash_tri.flash_attention_bwd_tri`` — causal static-offset
+    shapes only).
     """
     impl = "split"
     if block_sizes is None:
@@ -413,6 +416,34 @@ def flash_attention_bwd_auto(
                     "using heuristic blocks"
                 )
             block_sizes = None
+    if impl == "tri":
+        tri_ok = (
+            causal
+            and window is None
+            and not sinks
+            and segment_ids is None
+            and softcap is None
+            and alibi_slopes is None
+            and pos_div == 1
+            and not dropout_rate
+            and k.shape[1] == q.shape[1]
+            and q.dtype != jnp.float16
+            and (q_offset is None or isinstance(q_offset, int))
+        )
+        if tri_ok:
+            from .flash_tri import flash_attention_bwd_tri
+
+            return flash_attention_bwd_tri(
+                q, k, v, o, do, lse_lanes, dlse,
+                sm_scale=sm_scale,
+                q_offset=None if q_offset is None else int(q_offset),
+                block_q=block_sizes["block_q"],
+                block_k=block_sizes["block_k"],
+                interpret=interpret,
+            )
+        # Tuned-for-tri shape reached through an unsupported feature
+        # combination: fall back to the split kernels' heuristic blocks.
+        impl, block_sizes = "split", None
     if dropout_rate or softcap is not None or alibi_slopes is not None or (
         pos_div != 1
     ):

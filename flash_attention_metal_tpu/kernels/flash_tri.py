@@ -274,3 +274,226 @@ def flash_attention_tri(
     if save_lse:
         return results[0], results[1]
     return results[0]
+
+
+# ---------------------------------------------------------------------------
+# Triangular backward: one fused static-unroll kernel for dQ, dK, dV.
+# ---------------------------------------------------------------------------
+
+
+def _tri_bwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    n_q: int,
+    n_kv: int,
+    q_offset: int,
+    fold: int,
+):
+    """Fused causal FA-2 backward, visible-area static unroll.
+
+    The split backward (``flash_bwd``) runs TWO 4-D-grid kernels (dKdV
+    and dQ), re-reading Q/K/V/dO and paying the general path's per-step
+    floors twice; the fused 4-D variant was measured slower (HBM dQ
+    partials).  Here — as in the forward tri kernel — the grid is one
+    step per (batch, head): every visible (i, j) block pair runs exactly
+    once, S is recomputed ONCE and feeds all three gradients, dQ_i
+    accumulates across its inner j loop in registers, and the per-KV
+    -block dK_j/dV_j accumulators are SSA values threaded through the
+    unrolled i loop (the skipped upper triangle never enters the
+    instruction stream).  Scope mirrors the forward tri kernel: static
+    causal offset, no window/segments/softcap/alibi/dropout/pos_div
+    (those stay on the split kernels, ``flash_bwd.py``).  Reference dS
+    math: ``kernels.metal:1081-1214`` (recompute P from saved lse, dV +=
+    P^T dO, dS = P(dP − delta), dK += dS^T Q, dQ += dS K).
+    """
+    nkb = -(-n_kv // block_k)
+    for f in range(fold):
+        dk_accs = [None] * nkb
+        dv_accs = [None] * nkb
+        for i in range(n_q // block_q):
+            last_visible = i * block_q + block_q - 1 + q_offset
+            ext = min(n_kv, last_visible + 1)
+            rows = slice(i * block_q, (i + 1) * block_q)
+            if ext <= 0:
+                dq_ref[f, 0, rows, :] = jnp.zeros(
+                    (block_q, dq_ref.shape[-1]), dq_ref.dtype
+                )
+                continue
+            n_tiles = -(-ext // block_k)
+            q = q_ref[f, 0, rows, :]
+            do = do_ref[f, 0, rows, :]
+            lse = lse_ref[f, 0, rows, :][:, :1]
+            # -inf rows (fully masked / lazy-flushed) must yield p == 0,
+            # not inf (see flash_bwd._dkv_kernel).
+            lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
+            delta = delta_ref[f, 0, rows, :][:, :1]
+            dq = None
+            for j in range(n_tiles):
+                c0 = j * block_k
+                bk = min(block_k, n_kv - c0)
+                k = k_ref[f, 0, c0 : c0 + bk, :]
+                v = v_ref[f, 0, c0 : c0 + bk, :]
+                s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
+                p = jnp.exp(s * sm_scale - lse)
+                if c0 + bk - 1 > i * block_q + q_offset:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+                        + i * block_q
+                        + q_offset
+                    )
+                    col = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + c0
+                    )
+                    p = jnp.where(col <= row, p, 0.0)
+                pv = mxu_dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ()))
+                )
+                dv_accs[j] = pv if dv_accs[j] is None else dv_accs[j] + pv
+                dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
+                ds = (p * (dp - delta)) * sm_scale
+                dst = mxu_dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
+                )
+                dk_accs[j] = dst if dk_accs[j] is None else dk_accs[j] + dst
+                dqj = mxu_dot_general(
+                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
+                )
+                dq = dqj if dq is None else dq + dqj
+            dq_ref[f, 0, rows, :] = dq.astype(dq_ref.dtype)
+        for j in range(nkb):
+            c0 = j * block_k
+            bk = min(block_k, n_kv - c0)
+            cols = slice(c0, c0 + bk)
+            if dk_accs[j] is None:
+                dk_ref[f, 0, cols, :] = jnp.zeros(
+                    (bk, dk_ref.shape[-1]), dk_ref.dtype
+                )
+                dv_ref[f, 0, cols, :] = jnp.zeros(
+                    (bk, dv_ref.shape[-1]), dv_ref.dtype
+                )
+            else:
+                dk_ref[f, 0, cols, :] = dk_accs[j].astype(dk_ref.dtype)
+                dv_ref[f, 0, cols, :] = dv_accs[j].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "q_offset",
+        "block_q",
+        "block_k",
+        "interpret",
+    ),
+)
+def flash_attention_bwd_tri(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    o: jax.Array,
+    do: jax.Array,
+    lse_lanes: jax.Array,
+    dlse: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    q_offset: Optional[int] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(dQ, dK, dV) via the fused triangular static-unroll kernel.
+
+    Causal self-attention with a *static* ``q_offset`` and equal head
+    counts only; every other capability (GQA fold, softcap, ALiBi,
+    dropout, window, segments, traced offsets) stays on the split
+    kernels.  ``dlse`` (cotangent of an exposed lse output) folds into
+    the delta precompute exactly as in ``flash_bwd``.
+    """
+    batch, heads, n_q, head_dim = q.shape
+    n_kv = k.shape[2]
+    if k.shape[1] != heads:
+        raise ValueError(
+            f"flash_attention_bwd_tri requires equal head counts, got "
+            f"{heads} vs {k.shape[1]}"
+        )
+    if sm_scale is None:
+        sm_scale = default_scale(head_dim)
+    if q_offset is None:
+        q_offset = n_kv - n_q
+    q_offset = int(q_offset)
+    block_q = min(block_q, n_q)
+    block_k = min(block_k, n_kv)
+    if n_q % block_q:
+        raise ValueError(f"n_q={n_q} not divisible by block_q={block_q}")
+    fold = _tri_fold(batch, n_q, n_kv, head_dim)
+    if batch % fold:
+        fold = 1
+
+    # delta_i = rowsum(dO ⊙ O) (+ the lse cotangent when saved); computed
+    # in XLA, lane-replicated like the lse residual.
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)[..., None]
+    delta_lanes = jnp.broadcast_to(delta, (*delta.shape[:-1], NUM_LANES))
+
+    kernel = functools.partial(
+        _tri_bwd_kernel,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        n_q=n_q,
+        n_kv=n_kv,
+        q_offset=q_offset,
+        fold=fold,
+    )
+    qspec = pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
+    kvspec = pl.BlockSpec(
+        (fold, 1, n_kv, head_dim), lambda b, h: (b, h, 0, 0)
+    )
+    lanespec = pl.BlockSpec(
+        (fold, 1, n_q, NUM_LANES), lambda b, h: (b, h, 0, 0)
+    )
+    nb = n_q // block_q
+    area = sum(
+        min(n_kv, i * block_q + block_q + q_offset) * block_q
+        for i in range(nb)
+        if min(n_kv, i * block_q + block_q + q_offset) > 0
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        grid=(batch // fold, heads),
+        in_specs=[qspec, kvspec, kvspec, qspec, lanespec, lanespec],
+        out_specs=[qspec, kvspec, kvspec],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * heads * area * head_dim,
+            bytes_accessed=3
+            * (q.size * 2 + k.size * 2)
+            * q.dtype.itemsize,
+            transcendentals=batch * heads * area,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse_lanes, delta_lanes)
+    return dq, dk, dv

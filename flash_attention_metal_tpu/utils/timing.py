@@ -137,6 +137,32 @@ def _make_scan_runner(fn, args, inner: int, warmup: int = 1):
     return timed_total
 
 
+def calibrate(*, iters: int = 6) -> dict:
+    """Tunnel-health reference: device time of an 8192^3 bf16 matmul.
+
+    On a healthy v5e this measures ~0.75 ms (~182 TF/s of the 197 TF/s
+    chip).  Tunnel degradation inflates every reading in a run by a
+    common factor; benchmarks persist this number next to their results
+    so a slow run is self-identifying instead of masquerading as a code
+    regression (round-over-round driver-metric swings were +-9% before
+    this).  ``ok`` is True within a +-15% band.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    x = jnp.ones((n, n), jnp.bfloat16)
+    r = measure_compiled(lambda a: a @ a, (x,), iters=iters)
+    tf = 2 * n**3 / r["median_s"] / 1e12
+    expect = 2 * n**3 / 182e12
+    return {
+        "matmul8192_ms": r["median_s"] * 1e3,
+        "tflops": tf,
+        "expected_ms": expect * 1e3,
+        "ok": abs(r["median_s"] / expect - 1.0) < 0.15,
+    }
+
+
 def measure_compiled(
     fn: Callable[..., object],
     args: tuple,

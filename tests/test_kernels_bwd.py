@@ -488,3 +488,112 @@ def test_no_oracle_vjp_in_ext_bwd(rng_key):
                 check(sub)
 
     check(jaxpr.jaxpr)
+
+
+# ---------------------------------------------------------------------------
+# Triangular fused backward (kernels/flash_tri.py, round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,blocks",
+    [
+        ((2, 2, 512, 64), (256, 256)),
+        ((1, 1, 1024, 64), (256, 512)),
+        ((3, 1, 768, 64), (256, 256)),  # batch not a power of two (fold=1)
+    ],
+)
+def test_tri_bwd_matches_split_and_oracle(rng_key, shape, blocks):
+    """The fused triangular backward must agree with the split FA-2
+    kernels AND the closed-form oracle on causal static-offset shapes."""
+    from flash_attention_metal_tpu.kernels.flash_tri import (
+        flash_attention_bwd_tri,
+    )
+
+    bq, bk = blocks
+    q, k, v = make_qkv(rng_key, shape, dtype=jnp.bfloat16)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    dq_t, dk_t, dv_t = flash_attention_bwd_tri(
+        q, k, v, o, do, lse, block_q=bq, block_k=bk, interpret=INTERPRET
+    )
+    dq_s, dk_s, dv_s = flash_attention_bwd(
+        q, k, v, o, do, lse, causal=True, interpret=INTERPRET
+    )
+    dq_r, dk_r, dv_r = attention_reference_bwd(q, k, v, do, causal=True)
+    for t, s, r in ((dq_t, dq_s, dq_r), (dk_t, dk_s, dk_r),
+                    (dv_t, dv_s, dv_r)):
+        assert max_abs_diff(t, s) < 1e-3
+        assert max_abs_diff(t, r) < 1e-3
+
+
+def test_tri_bwd_dlse_fold(rng_key):
+    """The lse cotangent folds into the tri backward's delta precompute
+    exactly as in the split path."""
+    from flash_attention_metal_tpu.kernels.flash_tri import (
+        flash_attention_bwd_tri,
+    )
+
+    q, k, v = make_qkv(rng_key, (1, 2, 512, 64), dtype=jnp.bfloat16)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    dlse = jnp.sin(jnp.arange(2 * 512, dtype=jnp.float32)).reshape(1, 2, 512)
+    got = flash_attention_bwd_tri(
+        q, k, v, o, do, lse, dlse, interpret=INTERPRET
+    )
+    want = flash_attention_bwd(
+        q, k, v, o, do, lse, None, dlse, causal=True, interpret=INTERPRET
+    )
+    for g, w in zip(got, want):
+        assert max_abs_diff(g, w) < 1e-3
+
+
+def test_bwd_auto_routes_tri_from_cache(rng_key, tmp_path, monkeypatch):
+    """A persisted {"impl": "tri"} bwd cache entry routes the dispatcher
+    through the fused triangular kernel — and unsupported feature
+    combinations (window) fall back to the split path, both correct."""
+    import json as _json
+
+    from flash_attention_metal_tpu.harness import autotune
+    from flash_attention_metal_tpu.kernels.flash_bwd import (
+        flash_attention_bwd_auto,
+    )
+
+    b, h, n, d = 1, 1, 512, 64
+    key = autotune._key("bwd", b, h, n, n, d, True, jnp.bfloat16)
+    cache = {key: {"impl": "tri",
+                   "blocks": {"block_q": 256, "block_k": 256}, "us": 1.0}}
+    path = tmp_path / "cache.json"
+    path.write_text(_json.dumps(cache))
+    monkeypatch.setattr(autotune, "DEFAULT_CACHE", str(path))
+    monkeypatch.setattr(autotune, "_MEMO", None)
+
+    q, k, v = make_qkv(rng_key, (b, h, n, d), dtype=jnp.bfloat16)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    got = flash_attention_bwd_auto(
+        q, k, v, o, do, lse, causal=True, interpret=INTERPRET
+    )
+    want = attention_reference_bwd(q, k, v, do, causal=True)
+    for g, w in zip(got, want):
+        assert max_abs_diff(g, w) < 1e-3
+
+    # Window attention on the same (tri-tuned) shape: must fall back.
+    ow, lsew = flash_attention_fwd(
+        q, k, v, causal=True, window=128, save_lse=True, interpret=INTERPRET
+    )
+    goww = flash_attention_bwd_auto(
+        q, k, v, ow, do, lsew, causal=True, window=128, interpret=INTERPRET
+    )
+    www = flash_attention_bwd(
+        q, k, v, ow, do, lsew, causal=True, window=128, interpret=INTERPRET
+    )
+    for g, w in zip(goww, www):
+        assert max_abs_diff(g, w) < 1e-6  # identical split path
+    monkeypatch.setattr(autotune, "_MEMO", None)
