@@ -424,7 +424,6 @@ def flash_attention_bwd_auto(
             and segment_ids is None
             and softcap is None
             and alibi_slopes is None
-            and pos_div == 1
             and not dropout_rate
             and k.shape[1] == q.shape[1]
             and q.dtype != jnp.float16
@@ -439,6 +438,7 @@ def flash_attention_bwd_auto(
                 q_offset=None if q_offset is None else int(q_offset),
                 block_q=block_sizes["block_q"],
                 block_k=block_sizes["block_k"],
+                pos_div=pos_div,
                 interpret=interpret,
             )
         # Tuned-for-tri shape reached through an unsupported feature

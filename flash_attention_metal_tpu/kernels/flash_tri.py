@@ -299,6 +299,7 @@ def _tri_bwd_kernel(
     n_kv: int,
     q_offset: int,
     fold: int,
+    pos_div: int,
 ):
     """Fused causal FA-2 backward, visible-area static unroll.
 
@@ -312,9 +313,12 @@ def _tri_bwd_kernel(
     -block dK_j/dV_j accumulators are SSA values threaded through the
     unrolled i loop (the skipped upper triangle never enters the
     instruction stream).  Scope mirrors the forward tri kernel: static
-    causal offset, no window/segments/softcap/alibi/dropout/pos_div
-    (those stay on the split kernels, ``flash_bwd.py``).  Reference dS
-    math: ``kernels.metal:1081-1214`` (recompute P from saved lse, dV +=
+    causal offset, no window/segments/softcap/alibi/dropout
+    (those stay on the split kernels, ``flash_bwd.py``).  ``pos_div``
+    is the GQA row-fold convention (row r masks at position
+    r // pos_div — see ``flash_bwd._dkv_kernel``), so the folded
+    native-GQA backward rides this kernel too.  Reference dS math:
+    ``kernels.metal:1081-1214`` (recompute P from saved lse, dV +=
     P^T dO, dS = P(dP − delta), dK += dS^T Q, dQ += dS K).
     """
     nkb = -(-n_kv // block_k)
@@ -322,7 +326,9 @@ def _tri_bwd_kernel(
         dk_accs = [None] * nkb
         dv_accs = [None] * nkb
         for i in range(n_q // block_q):
-            last_visible = i * block_q + block_q - 1 + q_offset
+            last_visible = (
+                (i * block_q + block_q - 1) // pos_div + q_offset
+            )
             ext = min(n_kv, last_visible + 1)
             rows = slice(i * block_q, (i + 1) * block_q)
             if ext <= 0:
@@ -346,12 +352,14 @@ def _tri_bwd_kernel(
                 v = v_ref[f, 0, c0 : c0 + bk, :]
                 s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
                 p = jnp.exp(s * sm_scale - lse)
-                if c0 + bk - 1 > i * block_q + q_offset:
+                if c0 + bk - 1 > (i * block_q) // pos_div + q_offset:
                     row = (
                         jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
                         + i * block_q
-                        + q_offset
                     )
+                    if pos_div != 1:
+                        row = row // pos_div
+                    row = row + q_offset
                     col = (
                         jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + c0
                     )
@@ -394,6 +402,7 @@ def _tri_bwd_kernel(
         "q_offset",
         "block_q",
         "block_k",
+        "pos_div",
         "interpret",
     ),
 )
@@ -410,15 +419,18 @@ def flash_attention_bwd_tri(
     q_offset: Optional[int] = None,
     block_q: int = 256,
     block_k: int = 256,
+    pos_div: int = 1,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(dQ, dK, dV) via the fused triangular static-unroll kernel.
 
     Causal self-attention with a *static* ``q_offset`` and equal head
-    counts only; every other capability (GQA fold, softcap, ALiBi,
-    dropout, window, segments, traced offsets) stays on the split
-    kernels.  ``dlse`` (cotangent of an exposed lse output) folds into
-    the delta precompute exactly as in ``flash_bwd``.
+    counts only; softcap, ALiBi, dropout, window, segments and traced
+    offsets stay on the split kernels.  ``pos_div`` carries the GQA
+    row-fold (callers fold the group q-heads into rows; dK/dV come out
+    group-summed — see ``ops.attention._grads_from_residuals``).
+    ``dlse`` (cotangent of an exposed lse output) folds into the delta
+    precompute exactly as in ``flash_bwd``.
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -430,7 +442,7 @@ def flash_attention_bwd_tri(
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if q_offset is None:
-        q_offset = n_kv - n_q
+        q_offset = n_kv - n_q // pos_div
     q_offset = int(q_offset)
     block_q = min(block_q, n_q)
     block_k = min(block_k, n_kv)
@@ -459,6 +471,7 @@ def flash_attention_bwd_tri(
         n_kv=n_kv,
         q_offset=q_offset,
         fold=fold,
+        pos_div=pos_div,
     )
     qspec = pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
     kvspec = pl.BlockSpec(
@@ -469,9 +482,12 @@ def flash_attention_bwd_tri(
     )
     nb = n_q // block_q
     area = sum(
-        min(n_kv, i * block_q + block_q + q_offset) * block_q
+        ext * block_q
         for i in range(nb)
-        if min(n_kv, i * block_q + block_q + q_offset) > 0
+        for ext in [
+            min(n_kv, (i * block_q + block_q - 1) // pos_div + q_offset + 1)
+        ]
+        if ext > 0
     )
     dq, dk, dv = pl.pallas_call(
         kernel,

@@ -597,3 +597,45 @@ def test_bwd_auto_routes_tri_from_cache(rng_key, tmp_path, monkeypatch):
     for g, w in zip(goww, www):
         assert max_abs_diff(g, w) < 1e-6  # identical split path
     monkeypatch.setattr(autotune, "_MEMO", None)
+
+
+def test_tri_bwd_gqa_fold_pos_div(rng_key):
+    """The tri backward under the GQA row-fold convention (pos_div=group)
+    matches the split kernels' fold path on the same folded operands."""
+    from flash_attention_metal_tpu.kernels.flash_tri import (
+        flash_attention_bwd_tri,
+    )
+    from flash_attention_metal_tpu.ops.attention import (
+        fold_gqa_rows,
+        unfold_gqa_rows,
+    )
+
+    b, hq, hkv, n, d = 2, 4, 2, 512, 64
+    group = hq // hkv
+    q, _, _ = make_qkv(rng_key, (b, hq, n, d), dtype=jnp.bfloat16)
+    _, k, v = make_qkv(jax.random.fold_in(rng_key, 1), (b, hkv, n, d),
+                       dtype=jnp.bfloat16)
+    kb = jnp.repeat(k, group, axis=1)
+    vb = jnp.repeat(v, group, axis=1)
+    o, lse = flash_attention_fwd(
+        q, kb, vb, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    qf, of, dof, lsef = (fold_gqa_rows(x, hkv) for x in (q, o, do, lse))
+    got = flash_attention_bwd_tri(
+        qf, k, v, of, dof, lsef, pos_div=group, interpret=INTERPRET
+    )
+    want = flash_attention_bwd(
+        qf, k, v, of, dof, lsef, causal=True, pos_div=group,
+        interpret=INTERPRET,
+    )
+    for g, w in zip(got, want):
+        assert max_abs_diff(g, w) < 1e-3
+    # And the unfolded dQ matches the broadcast-path oracle gradient.
+    dq = unfold_gqa_rows(got[0], hq, n)
+    dq_r, dk_r, dv_r = attention_reference_bwd(q, kb, vb, do, causal=True)
+    assert max_abs_diff(dq, dq_r) < 1e-3
+    dk_g = dk_r.reshape(b, hkv, group, n, d).sum(axis=2)
+    dv_g = dv_r.reshape(b, hkv, group, n, d).sum(axis=2)
+    assert max_abs_diff(got[1], dk_g) < 1e-3
+    assert max_abs_diff(got[2], dv_g) < 1e-3
