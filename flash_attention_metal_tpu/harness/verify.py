@@ -151,6 +151,19 @@ def run_ladder(
     rung("backward dK vs oracle (bf16, causal)", dkh, dk_rh, TOL_BWD)
     rung("backward dV vs oracle (bf16, causal)", dvh, dv_rh, TOL_BWD)
 
+    # Rung 7b (round 4): the fused triangular static-unroll backward
+    # (kernels/flash_tri.py) against the same bf16 oracle gradient —
+    # the same (dQ, dK, dV) from ONE visible-area kernel instead of the
+    # two-kernel split.
+    from ..kernels.flash_tri import flash_attention_bwd_tri
+
+    dqt, dkt, dvt = flash_attention_bwd_tri(
+        qh, kh, vh, oh, doh, lse_h, interpret=interpret
+    )
+    rung("tri fused backward dQ vs oracle (bf16)", dqt, dq_rh, TOL_BWD)
+    rung("tri fused backward dK,dV vs oracle (bf16)",
+         jnp.stack([dkt, dvt]), jnp.stack([dk_rh, dv_rh]), TOL_BWD)
+
     # Rung 8: quantized-KV forward (BASELINE.json config 4).  8-bit KV
     # error dominates: verified against the bf16 rung's own output at a
     # 3e-2 tolerance (the int8 analog of the reference's widening ladder,
