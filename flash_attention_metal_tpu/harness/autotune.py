@@ -195,7 +195,9 @@ def autotune_fwd(
     mcfg = _measure_cfg(b, h, n, n, d)
     best, best_t, best_impl = None, float("inf"), "grid"
     cands = [("grid", bs) for bs in fwd_candidates(n, n)]
-    if causal:
+    if causal and not interpret:
+        # Interpreter-mode timings are meaningless; racing the unrolled
+        # tri kernel there is also minutes-slow.  Real-chip runs only.
         cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
     for impl, cfg in cands:
         if impl == "tri":
@@ -278,9 +280,10 @@ def autotune_bwd(
     do = q * 0.01
     mcfg = _measure_cfg(b, h, n, n, d)
     cands = list(bwd_candidates(n, n))
-    if causal:
+    if causal and not interpret:
         # Race the fused triangular static-unroll backward too (same
-        # mechanism as the forward tri race; causal static offsets only).
+        # mechanism as the forward tri race; causal static offsets only;
+        # real-chip runs only, as in autotune_fwd).
         cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
     best, best_impl, best_t = None, "split", float("inf")
     for impl, bs in cands:
