@@ -5,7 +5,7 @@ from .flash_v1 import flash_attention_v1
 from .flash_v2 import flash_attention_v2
 from .flash_mxu import flash_attention_mxu
 from .flash_fwd import flash_attention_fwd
-from .flash_tri import flash_attention_tri
+from .flash_tri import flash_attention_bwd_tri, flash_attention_tri
 from .flash_bwd import (
     flash_attention_bwd,
     flash_attention_bwd_auto,
@@ -31,6 +31,7 @@ __all__ = [
     "flash_attention_v2",
     "flash_attention_mxu",
     "flash_attention_fwd",
+    "flash_attention_bwd_tri",
     "flash_attention_tri",
     "flash_attention_bwd",
     "flash_attention_bwd_auto",
