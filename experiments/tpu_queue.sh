@@ -45,7 +45,7 @@ while true; do
   run_step ladder 590 python -m flash_attention_metal_tpu.harness.verify || continue
   # 2. Backward autotune at the flagship training shape: races split vs
   #    fused vs the new tri backward, persists the winner.
-  run_step bwd_train 590 python -c "
+  run_step bwd_train 1500 python -c "
 from flash_attention_metal_tpu.harness.autotune import autotune_bwd
 autotune_bwd((16, 8, 2048, 64), force=True)
 " || continue
@@ -53,7 +53,7 @@ autotune_bwd((16, 8, 2048, 64), force=True)
   run_step gqa_pair 590 python experiments/gqa_bwd_pair.py || continue
   # 3b. Tri backward at the GQA-fold training shape (persists the
   #     winner under the folded bwd cache key).
-  run_step tri_fold_race 590 python experiments/tri_bwd_fold_race.py || continue
+  run_step tri_fold_race 900 python experiments/tri_bwd_fold_race.py || continue
   # 4. Causal per-phase cost model (VERDICT item 1 evidence).
   run_step phases 590 python experiments/causal_phases.py || continue
   # 5. Small-N causal tri race: N=256/512 amortized shapes (entries were

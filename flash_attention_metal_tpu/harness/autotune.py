@@ -283,8 +283,15 @@ def autotune_bwd(
     if causal and not interpret:
         # Race the fused triangular static-unroll backward too (same
         # mechanism as the forward tri race; causal static offsets only;
-        # real-chip runs only, as in autotune_fwd).
-        cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
+        # real-chip runs only, as in autotune_fwd).  Same sub-256-tile
+        # exclusion at n>=2048 as bwd_candidates: the unrolled-backward
+        # compiles are minutes-scale and 128-tiles measured far off the
+        # split winner (5080 vs 2393 us at B16 H8 N2048).
+        cands += [
+            ("tri", (bq, bk))
+            for bq, bk in tri_candidates(n)
+            if not (n >= 2048 and (bq < 256 or bk < 256))
+        ]
     best, best_impl, best_t = None, "split", float("inf")
     for impl, bs in cands:
         if impl == "tri":
