@@ -50,12 +50,12 @@ from flash_attention_metal_tpu.harness.autotune import autotune_bwd
 autotune_bwd((16, 8, 2048, 64), force=True)
 " || continue
   # 3. GQA-fold backward paired measurement (VERDICT item 3 evidence).
-  run_step gqa_pair 590 env PYTHONPATH=/root/repo python experiments/gqa_bwd_pair.py || continue
+  run_step gqa_pair 590 env PYTHONPATH=/root/repo:/root/.axon_site python experiments/gqa_bwd_pair.py || continue
   # 3b. Tri backward at the GQA-fold training shape (persists the
   #     winner under the folded bwd cache key).
-  run_step tri_fold_race 900 env PYTHONPATH=/root/repo python experiments/tri_bwd_fold_race.py || continue
+  run_step tri_fold_race 900 env PYTHONPATH=/root/repo:/root/.axon_site python experiments/tri_bwd_fold_race.py || continue
   # 4. Causal per-phase cost model (VERDICT item 1 evidence).
-  run_step phases 590 env PYTHONPATH=/root/repo python experiments/causal_phases.py || continue
+  run_step phases 590 env PYTHONPATH=/root/repo:/root/.axon_site python experiments/causal_phases.py || continue
   # 5. Small-N causal tri race: N=256/512 amortized shapes (entries were
   #    cleared below before the sweep phase re-races them).
   run_step clear_smalln 60 python -c "
