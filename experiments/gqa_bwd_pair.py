@@ -85,6 +85,19 @@ def main():
                       if k2 != "ratio_samples"}, indent=2))
     json.dump(out, open("experiments/gqa_bwd_pair.json", "w"), indent=2)
 
+    # Persist the paired winner as the GQA-backward route for this head
+    # topology (consulted by ops.attention._grads_from_residuals).
+    from flash_attention_metal_tpu.harness.autotune import _gqa_route_key
+
+    route = "fold" if out["speedup"] > 1.0 else "broadcast"
+    key = _gqa_route_key(HQ, HKV, N, D, True, jnp.bfloat16)
+    cache = json.load(open("autotune_cache.json"))
+    cache[key] = {"route": route, "speedup_fold_over_broadcast":
+                  out["speedup"]}
+    json.dump(cache, open("autotune_cache.json", "w"), indent=2,
+              sort_keys=True)
+    print(f"persisted route={route} under {key}")
+
 
 if __name__ == "__main__":
     main()

@@ -516,6 +516,31 @@ def lookup_fwd_impl(b, h, n_q, n_kv, d, causal, dtype,
     return "tri", dict(entry["blocks"])
 
 
+def _gqa_route_key(h_q, h_kv, n, d, causal, dtype) -> str:
+    """Cache key for the GQA-backward route (fold vs broadcast).
+
+    Batch is deliberately absent: both paths' overheads (fold/unfold
+    transposes vs jnp.repeat + group-reduce) scale linearly with batch,
+    so the winner is batch-invariant to first order — one race covers
+    every training batch size at the same head topology."""
+    chip = detect_chip().name
+    return (
+        f"{chip}/gqabwd/hq{h_q}kv{h_kv}n{n}d{d}"
+        f"/causal{int(causal)}/{jnp.dtype(dtype).name}"
+    )
+
+
+def lookup_gqa_bwd_route(h_q, h_kv, n, d, causal, dtype,
+                         cache_path: str = DEFAULT_CACHE):
+    """"fold" | "broadcast" if raced on this chip (experiments/
+    gqa_bwd_pair.py persists the paired winner); None if unraced."""
+    global _MEMO
+    if _MEMO is None:
+        _MEMO = _load(cache_path)
+    entry = _MEMO.get(_gqa_route_key(h_q, h_kv, n, d, causal, dtype))
+    return None if entry is None else entry.get("route")
+
+
 def lookup_bwd(b, h, n_q, n_kv, d, causal, dtype,
                cache_path: str = DEFAULT_CACHE):
     """(impl, blocks) for the backward, or None if never tuned.

@@ -125,14 +125,26 @@ def _grads_from_residuals(
 ):
     """Shared FA-2 backward with native GQA.
 
-    GQA (fewer KV heads) takes the **row-fold** path whenever possible:
-    each KV head's ``group`` query heads fold into adjacent rows of one
-    tile (``fold_gqa_rows``; kernel ``pos_div`` masking — the backward
-    twin of the round-3 decode head-fold), so the dKdV kernel reads each
-    K/V block ONCE per KV head and its VMEM accumulator already sums the
-    whole group — no ``jnp.repeat`` K/V broadcast in HBM, no group-x
-    dK/dV materialization, no reduce pass.  ALiBi and dropout keep the
-    broadcast path (per-row slopes / fold-variant mask coordinates).
+    GQA (fewer KV heads) has two equivalent paths, routed by measurement:
+
+    - **row-fold**: each KV head's ``group`` query heads fold into
+      adjacent rows of one tile (``fold_gqa_rows``; kernel ``pos_div``
+      masking — the backward twin of the round-3 decode head-fold), so
+      the dKdV kernel reads each K/V block ONCE per KV head and its VMEM
+      accumulator already sums the whole group — no ``jnp.repeat`` K/V
+      broadcast in HBM, no group-x dK/dV materialization, no reduce
+      pass.  The price: 5 full Q-sized HBM transposes (fold q/o/do/lse,
+      unfold dq).
+    - **broadcast**: ``jnp.repeat`` K/V to the q-head count, group-sum
+      dK/dV after.  Group-x K/V materialization, but no transposes.
+
+    At the flagship training shape (B16 Hq16 Hkv8 N2048, group 2) the
+    fold measured 9% SLOWER paired (experiments/gqa_bwd_pair.json): the
+    transposes outweigh a mere 2x K/V saving.  Small groups (< 4)
+    therefore default to broadcast, large groups to fold; a raced
+    autotune-cache entry (``lookup_gqa_bwd_route``) overrides either.
+    ALiBi and dropout always take broadcast (per-row slopes /
+    fold-variant mask coordinates).
     """
     (q, k, v, q_offset, alibi_slopes, dropout_seed, segment_ids, o,
      lse_lanes) = residuals
@@ -152,7 +164,29 @@ def _grads_from_residuals(
         dropout_heads=dropout_heads,
         interpret=interpret,
     )
-    if reps > 1 and not has_alibi and not dropout_rate:
+    use_fold = reps > 1 and not has_alibi and not dropout_rate
+    if use_fold:
+        # Route fold-vs-broadcast by measurement: the fold halves-to-
+        # eighths the K/V HBM traffic but pays 5 full Q-sized transposes
+        # (fold q/o/do/lse + unfold dq); paired measurement at the
+        # flagship training shape (B16 Hq16 Hkv8 N2048, group 2) put the
+        # fold 9% BEHIND broadcast (experiments/gqa_bwd_pair.json), so
+        # small groups default to broadcast and large groups (>= 4,
+        # where repeat's group-x materialization dominates) to fold; a
+        # raced per-topology cache entry overrides either default.
+        route = None
+        try:
+            from ..harness.autotune import lookup_gqa_bwd_route
+
+            route = lookup_gqa_bwd_route(
+                h_q, h_kv, q.shape[2], q.shape[3], causal, q.dtype
+            )
+        except (OSError, KeyError, ValueError, TypeError):
+            route = None
+        if route is None:
+            route = "fold" if reps >= 4 else "broadcast"
+        use_fold = route == "fold"
+    if use_fold:
         n_q = q.shape[2]
         seg = segment_ids
         if seg is not None:

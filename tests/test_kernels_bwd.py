@@ -361,7 +361,9 @@ def test_gqa_fold_bwd_vs_oracle(rng_key, causal, window):
     accumulator — no jnp.repeat broadcast, no group-reduce pass."""
     if window is not None and not causal:
         pytest.skip("window requires causal")
-    q, _, _ = make_qkv(rng_key, (2, 4, 256, 64))
+    # Group 4: large enough that the measured route (ops.attention) takes
+    # the fold path by default, so this exercises fold end-to-end.
+    q, _, _ = make_qkv(rng_key, (2, 8, 256, 64))
     _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 256, 64))
     do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
 
@@ -371,11 +373,11 @@ def test_gqa_fold_bwd_vs_oracle(rng_key, causal, window):
         )
 
     def loss_ref(q_, k_, v_):
-        kb = jnp.broadcast_to(k_[:, :, None], (2, 2, 2, 256, 64)).reshape(
-            2, 4, 256, 64
+        kb = jnp.broadcast_to(k_[:, :, None], (2, 2, 4, 256, 64)).reshape(
+            2, 8, 256, 64
         )
-        vb = jnp.broadcast_to(v_[:, :, None], (2, 2, 2, 256, 64)).reshape(
-            2, 4, 256, 64
+        vb = jnp.broadcast_to(v_[:, :, None], (2, 2, 4, 256, 64)).reshape(
+            2, 8, 256, 64
         )
         return jnp.sum(
             attention_reference(q_, kb, vb, causal=causal, window=window)
@@ -393,7 +395,7 @@ def test_gqa_fold_bwd_with_save_lse_and_segments(rng_key):
     differentiable lse output."""
     from flash_attention_metal_tpu.config import SegmentIds
 
-    q, _, _ = make_qkv(rng_key, (2, 4, 256, 64))
+    q, _, _ = make_qkv(rng_key, (2, 8, 256, 64))
     _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 256, 64))
     do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
     ids = (jnp.arange(256)[None, :] // 128).astype(jnp.int32).repeat(2, 0)
@@ -410,8 +412,8 @@ def test_gqa_fold_bwd_with_save_lse_and_segments(rng_key):
             attention_reference_with_lse,
         )
 
-        kb = jnp.repeat(k_, 2, axis=1)
-        vb = jnp.repeat(v_, 2, axis=1)
+        kb = jnp.repeat(k_, 4, axis=1)
+        vb = jnp.repeat(v_, 4, axis=1)
         o, lse = attention_reference_with_lse(
             q_, kb, vb, causal=True, segment_ids=seg
         )
@@ -420,6 +422,29 @@ def test_gqa_fold_bwd_with_save_lse_and_segments(rng_key):
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, gr):
+        assert max_abs_diff(a, b) < 1e-3
+
+
+def test_gqa_bwd_route_fold_equals_broadcast(rng_key, monkeypatch):
+    """Small groups (reps < 4) default to the broadcast backward (the
+    fold measured 9% slower at group 2 — experiments/gqa_bwd_pair.json);
+    forcing route="fold" via the autotune hook must give the same grads,
+    so the routing is a pure performance decision."""
+    from flash_attention_metal_tpu.harness import autotune
+
+    q, _, _ = make_qkv(rng_key, (2, 4, 256, 64))
+    _, k, v = make_qkv(jax.random.PRNGKey(9), (2, 2, 256, 64))
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32) * 0.1
+
+    def loss(q_, k_, v_):
+        return jnp.sum(flash_attention(q_, k_, v_, causal=True) * do)
+
+    g_default = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)  # broadcast
+    monkeypatch.setattr(
+        autotune, "lookup_gqa_bwd_route", lambda *a, **kw: "fold"
+    )
+    g_fold = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_default, g_fold):
         assert max_abs_diff(a, b) < 1e-3
 
 
