@@ -51,8 +51,8 @@ CSV_HEADER = (
 
 
 def amortizing_batch(n: int) -> int:
-    """Batch that lifts a sweep point above the ~1.3us kernel-dispatch
-    floor (B*N^2 ~ 2^21, i.e. B=128 at N=128 down to B=1 from N=2048).
+    """Batch that lifts a sweep point well above the per-launch floor
+    (B*N^2 ~ 2^23, i.e. B=512 at N=128 down to B=1 from N=4096).
 
     The reference's B=H=1 sweep on its GPU ran its *naive* kernel for
     milliseconds even at N=128 (``resume_defense.md``: 8.58 ms at 512),
@@ -61,8 +61,15 @@ def amortizing_batch(n: int) -> int:
     ratio of two floors measures nothing.  Batching both sides
     identically keeps the speedup like-for-like per shape while
     measuring kernels, not launch latency.
+
+    Round 4 raised the target from 2^21 to 2^23: a batch-slope fit on
+    the real chip put the per-launch device floor at ~2 us, which was
+    20-25% of a 2^21-amortized mid-N reading (8-11 us) — enough to
+    understate the roofline columns by a fifth and to let cross-process
+    drift swamp point comparisons.  At 2^23 every point is 30+ us of
+    real kernel work (floor <= 5%).
     """
-    return max(1, (1 << 21) // (n * n))
+    return max(1, (1 << 23) // (n * n))
 
 
 @dataclasses.dataclass
