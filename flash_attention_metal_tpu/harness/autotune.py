@@ -356,13 +356,46 @@ def autotune_bwd(
     return best
 
 
+def _fallback_fwd_fn(b, h, n_q, n_kv, d, causal, interpret):
+    """The fn the router would run on a cache MISS for this shape — the
+    baseline any cache entry must beat to stay (round 5: for plain
+    causal shapes that is the heuristic-tiled tri kernel, the shipped
+    default; grid for_seq_len otherwise)."""
+    if causal:
+        from ..kernels.flash_tri import flash_attention_tri, tri_heuristic
+
+        heur = tri_heuristic(b, h, n_q, n_kv, d, n_kv - n_q)
+        if heur is not None:
+            return (
+                functools.partial(
+                    flash_attention_tri,
+                    block_q=heur[0],
+                    block_k=heur[1],
+                    interpret=interpret,
+                ),
+                f"tri-heur {heur[0]}x{heur[1]}",
+            )
+    default = BlockSizes.for_seq_len(n_q, n_kv)
+    return (
+        functools.partial(
+            flash_attention_fwd, causal=causal, block_sizes=default,
+            interpret=interpret,
+        ),
+        f"grid {default.block_q}x{default.block_k_major}",
+    )
+
+
 def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
-    """Paired re-check of every fwd cache entry against the heuristic
-    default; entries that do not beat the default are dropped.
+    """Paired re-check of every fwd cache entry against the shipped
+    cache-miss fallback; entries that do not beat it are dropped.
 
     Single-shot tuner readings on a tunneled chip can bounce +-50% and
     crown a bad candidate; the drift-matched paired ratio is the
-    authoritative comparison (same policy as bench.py).
+    authoritative comparison (same policy as bench.py).  The baseline is
+    whatever the router would do WITHOUT the entry — heuristic-tiled tri
+    for plain causal shapes, grid for_seq_len otherwise — so a kept
+    entry is a measured improvement over the actual default, and a
+    dropped one falls back to something at least as fast.
     """
     from ..utils.timing import measure_kernel_pair
 
@@ -382,19 +415,24 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         b, h, n_q, n_kv, d = map(int, m.groups())
         causal = parts[3].startswith("causal1")
         dtype = jnp.bfloat16 if "bfloat16" in key else jnp.float32
-        default = BlockSizes.for_seq_len(n_q, n_kv)
+        fn_base, base_tag = _fallback_fwd_fn(
+            b, h, n_q, n_kv, d, causal, interpret
+        )
         if entry.get("impl") == "tri":
-            from ..kernels.flash_tri import flash_attention_tri
+            from ..kernels.flash_tri import flash_attention_tri, tri_heuristic
 
+            blocks = (entry["blocks"]["block_q"], entry["blocks"]["block_k"])
+            if causal and tri_heuristic(b, h, n_q, n_kv, d, n_kv - n_q) == blocks:
+                continue  # entry == the shipped fallback; nothing to race
             fn_tuned = functools.partial(
                 flash_attention_tri,
-                block_q=entry["blocks"]["block_q"],
-                block_k=entry["blocks"]["block_k"],
+                block_q=blocks[0],
+                block_k=blocks[1],
                 interpret=interpret,
             )
         else:
             tuned = BlockSizes(**entry["blocks"])
-            if tuned == default:
+            if tuned == BlockSizes.for_seq_len(n_q, n_kv) and not causal:
                 continue
             fn_tuned = functools.partial(
                 flash_attention_fwd, causal=causal, block_sizes=tuned,
@@ -403,10 +441,7 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         q, k, v = make_qkv(jax.random.PRNGKey(0), (b, h, n_q, d), dtype=dtype)
         mcfg = _measure_cfg(b, h, n_q, n_kv, d)
         r = measure_kernel_pair(
-            functools.partial(
-                flash_attention_fwd, causal=causal, block_sizes=default,
-                interpret=interpret,
-            ),
+            fn_base,
             (q, k, v),
             fn_tuned,
             (q, k, v),
@@ -416,7 +451,7 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         )
         verdict = "keep" if r["ratio"] > 1.0 else "DROP"
         log(
-            f"  {key}: default {r['a_s']*1e6:.1f} us vs tuned "
+            f"  {key}: fallback [{base_tag}] {r['a_s']*1e6:.1f} us vs tuned "
             f"{r['b_s']*1e6:.1f} us (ratio {r['ratio']:.2f}) -> {verdict}"
         )
         if r["ratio"] <= 1.0:
@@ -425,6 +460,38 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         del cache[key]
     _store(cache_path, cache)
     log(f"validate: dropped {len(drop)} entries")
+
+
+def audit(cache_path: str = DEFAULT_CACHE, log=print) -> List[str]:
+    """Coverage guard: every shape the benchmark harness runs must have
+    been raced by the tuner on this chip (round-4 post-mortem: the N=512
+    causal sweep point shipped unraced and sat at 0.32 of roofline with
+    nothing flagging it).  Returns the list of missing cache keys;
+    ``--phase audit`` exits non-zero when any are missing.
+    """
+    from .benchmark import DEFAULT_SWEEP, amortizing_batch
+
+    cache = _load(cache_path)
+    missing = []
+    for causal in (False, True):
+        for n in DEFAULT_SWEEP:
+            b = amortizing_batch(n)
+            key = _key("fwd", b, 1, n, n, 64, causal, jnp.bfloat16)
+            if key not in cache:
+                missing.append(key)
+    for kind_key in (
+        _key("fwd", 16, 8, 2048, 2048, 64, True, jnp.bfloat16),
+        _key("bwd", 16, 8, 2048, 2048, 64, True, jnp.bfloat16),
+    ):
+        if kind_key not in cache:
+            missing.append(kind_key)
+    for key in missing:
+        log(f"  UNRACED: {key}")
+    log(
+        f"audit: {len(missing)} benchmark shapes missing from the tuner "
+        f"cache" + ("" if missing else " — all covered")
+    )
+    return missing
 
 
 def main() -> int:
@@ -438,7 +505,7 @@ def main() -> int:
     ap.add_argument(
         "--phase",
         default="all",
-        choices=("sweep", "sweep-causal", "train", "validate", "all"),
+        choices=("sweep", "sweep-causal", "train", "validate", "audit", "all"),
         help="which shape family to tune (split phases to bound runtime)",
     )
     args = ap.parse_args()
@@ -448,7 +515,7 @@ def main() -> int:
     from .benchmark import amortizing_batch
 
     if args.phase in ("sweep", "all"):
-        for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        for n in (128, 256, 512, 1024, 2048, 4096, 8192, 16384):
             # Tune the shape the benchmark actually runs (dispatch-
             # amortized batch), so its lookups hit.
             bs = autotune_fwd((amortizing_batch(n), 1, n, 64), causal=False,
@@ -456,7 +523,7 @@ def main() -> int:
             print(f"fwd n={n} non-causal: {bs.block_q}x{bs.block_k_major}"
                   f"x{bs.block_k}")
     if args.phase in ("sweep-causal", "all"):
-        for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        for n in (128, 256, 512, 1024, 2048, 4096, 8192, 16384):
             bs = autotune_fwd((amortizing_batch(n), 1, n, 64), causal=True,
                               cache_path=args.cache, force=args.force)
             print(f"fwd n={n} causal: {bs.block_q}x{bs.block_k_major}"
@@ -464,6 +531,8 @@ def main() -> int:
     if args.phase == "validate":
         validate(cache_path=args.cache)
         return 0
+    if args.phase == "audit":
+        return 1 if audit(cache_path=args.cache) else 0
     if args.phase in ("train", "all"):
         bs = autotune_fwd((16, 8, 2048, 64), cache_path=args.cache,
                           force=args.force)

@@ -762,47 +762,6 @@ def flash_attention_fwd(
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
     if block_sizes is None:
-        # Triangular-kernel routing: when the autotuner measured the
-        # statically-unrolled visible-area kernel (kernels/flash_tri.py)
-        # as the winner for this causal shape, take it — the mid-N causal
-        # fix (docs/optimization_narrative.md, round 4).  Requires a
-        # static q_offset; traced offsets (ring shards, ragged decode)
-        # stay on the general grid kernel.
-        if (
-            causal
-            and not dropout_rate
-            and window is None
-            and segment_ids is None
-            and kv_positions is None
-            and softcap is None
-            and alibi_slopes is None
-            and pos_div == 1
-            and (q_offset is None or isinstance(q_offset, int))
-        ):
-            try:
-                from ..harness.autotune import lookup_fwd_impl
-
-                hit = lookup_fwd_impl(
-                    batch, heads, n_q, n_kv, head_dim, causal, q.dtype
-                )
-            except (OSError, KeyError, ValueError, TypeError):
-                hit = None
-            if hit is not None:
-                from .flash_tri import flash_attention_tri
-
-                return flash_attention_tri(
-                    q,
-                    k,
-                    v,
-                    sm_scale=sm_scale,
-                    q_offset=(
-                        None if q_offset is None else int(q_offset)
-                    ),
-                    block_q=hit[1]["block_q"],
-                    block_k=hit[1]["block_k"],
-                    save_lse=save_lse,
-                    interpret=interpret,
-                )
         # Consult the autotuner's persisted per-chip decisions first
         # (harness/autotune.py); heuristic defaults otherwise.
         try:
@@ -824,6 +783,62 @@ def flash_attention_fwd(
                     "falling back to heuristic block sizes"
                 )
             block_sizes = None
+        # Triangular-kernel routing (kernels/flash_tri.py): the DEFAULT
+        # for plain causal shapes, not a cache perk — round 5 made the
+        # visible-area kernel fire on any untuned shape via
+        # ``tri_heuristic`` (the reference's causal whole-block skip is
+        # unconditional, ``kernels.metal:682``; so is this).  The
+        # autotune cache overrides in either direction: a measured tri
+        # win carries its tuned tiles, a measured grid win (block_sizes
+        # found above) keeps the grid kernel.  Requires a static
+        # q_offset; traced offsets (ring shards, ragged decode) stay on
+        # the general grid kernel.
+        if (
+            causal
+            and not dropout_rate
+            and window is None
+            and segment_ids is None
+            and kv_positions is None
+            and softcap is None
+            and alibi_slopes is None
+            and pos_div == 1
+            and (q_offset is None or isinstance(q_offset, int))
+        ):
+            try:
+                from ..harness.autotune import lookup_fwd_impl
+
+                hit = lookup_fwd_impl(
+                    batch, heads, n_q, n_kv, head_dim, causal, q.dtype
+                )
+            except (OSError, KeyError, ValueError, TypeError):
+                hit = None
+            if hit is not None:
+                tri_blocks = (hit[1]["block_q"], hit[1]["block_k"])
+            elif block_sizes is None:
+                from .flash_tri import tri_heuristic
+
+                tri_blocks = tri_heuristic(
+                    batch, heads, n_q, n_kv, head_dim,
+                    n_kv - n_q if q_offset is None else int(q_offset),
+                )
+            else:
+                tri_blocks = None  # measured grid win for this shape
+            if tri_blocks is not None:
+                from .flash_tri import flash_attention_tri
+
+                return flash_attention_tri(
+                    q,
+                    k,
+                    v,
+                    sm_scale=sm_scale,
+                    q_offset=(
+                        None if q_offset is None else int(q_offset)
+                    ),
+                    block_q=tri_blocks[0],
+                    block_k=tri_blocks[1],
+                    save_lse=save_lse,
+                    interpret=interpret,
+                )
         if block_sizes is None:
             block_sizes = BlockSizes.for_seq_len(n_q, n_kv)
     block_q = min(block_sizes.block_q, n_q)

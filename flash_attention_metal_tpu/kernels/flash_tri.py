@@ -141,6 +141,47 @@ def _tri_kernel(
                 )
 
 
+# Static-unroll budget: the tri kernel's trace unrolls every visible
+# (q-block, kv-tile) pair into the instruction stream, so compile time
+# grows with the pair count.  The cap bounds it at the same ~600 full
+# -square pairs the autotuner uses (harness.autotune.tri_candidates);
+# shapes that cannot fit under it with 512-tiles stay on the grid kernel
+# (at those N the grid kernel is within its per-step floors anyway —
+# N=16384 measured 0.82 of roofline, docs/optimization_narrative.md).
+_UNROLL_CAP = 600
+
+
+def tri_heuristic(
+    batch: int,
+    heads: int,
+    n_q: int,
+    n_kv: int,
+    head_dim: int,
+    q_offset: int = 0,
+) -> Optional[Tuple[int, int]]:
+    """Default (block_q, block_k) for routing a causal shape onto the
+    triangular kernel with NO autotune entry — the round-5 fix for the
+    "tuned shapes only" caveat (the reference's causal whole-block skip
+    is unconditional, ``kernels.metal:682``; ours must be too).
+
+    Returns ``None`` when the shape is ineligible (q length not
+    tileable, or the static unroll would blow the compile-time budget)
+    — callers then use the general grid kernel.  Tile choice mirrors
+    the autotuner's measured winners on v5e: 256x256 for most shapes,
+    escalating to 512 tiles only to fit large N under the unroll cap.
+    The autotune cache overrides this in either direction (a raced
+    grid win routes grid; a raced tri win carries its tuned tiles).
+    """
+    for bq, bk in ((256, 256), (128, 256), (128, 128), (512, 512)):
+        if bq > n_q or n_q % bq:
+            continue
+        bkc = min(bk, n_kv)
+        if (n_q // bq) * (-(-n_kv // bkc)) > _UNROLL_CAP:
+            continue
+        return bq, bkc
+    return None
+
+
 def _tri_fold(batch: int, n_q: int, n_kv: int, head_dim: int) -> int:
     """Batch elements per grid step: amortize per-step overhead while
     keeping the folded VMEM working set (Q+K+V, double-buffered)

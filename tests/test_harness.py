@@ -124,3 +124,93 @@ def test_autotune_lookup(tmp_path, monkeypatch):
                     cache_path=cache)
     assert got == bs
     assert at.lookup("fwd", 9, 9, 999, 999, 64, True, "bfloat16") is None
+
+
+def test_autotune_audit(tmp_path):
+    """The coverage guard lists every unraced benchmark shape and goes
+    quiet once the cache covers them (round-4 N=512 hole regression)."""
+    import json
+
+    import flash_attention_metal_tpu.harness.autotune as at
+    from flash_attention_metal_tpu.harness.benchmark import (
+        DEFAULT_SWEEP,
+        amortizing_batch,
+    )
+
+    cache = str(tmp_path / "cache.json")
+    missing = at.audit(cache_path=cache, log=lambda s: None)
+    # 2 mask modes x sweep + train fwd + train bwd.
+    assert len(missing) == 2 * len(DEFAULT_SWEEP) + 2
+    # Populate every audited key; audit must come back clean.
+    entries = {
+        k: {"blocks": {"block_q": 256, "block_k_major": 256, "block_k": 256}}
+        for k in missing
+    }
+    with open(cache, "w") as f:
+        json.dump(entries, f)
+    assert at.audit(cache_path=cache, log=lambda s: None) == []
+    # Every sweep shape is keyed by its amortizing batch, so the audit
+    # tracks the benchmark's actual dispatch policy.
+    b512 = amortizing_batch(512)
+    assert any(f"b{b512}h1q512" in k for k in missing)
+
+
+def test_tri_heuristic_eligibility():
+    from flash_attention_metal_tpu.kernels.flash_tri import tri_heuristic
+
+    # Standard shapes route tri with measured-winner tiles.
+    assert tri_heuristic(16, 8, 2048, 2048, 64) == (256, 256)
+    # Large N escalates tiles to fit the unroll cap...
+    assert tri_heuristic(1, 1, 8192, 8192, 64) == (512, 512)
+    # ...and declines when even 512-tiles blow it (grid kernel wins
+    # there anyway).
+    assert tri_heuristic(1, 1, 16384, 16384, 64) is None
+    # Untileable q lengths decline.
+    assert tri_heuristic(1, 1, 100, 100, 64) is None
+    # Cross-shape: block_k clamps to n_kv.
+    assert tri_heuristic(2, 2, 256, 64, 64) == (256, 64)
+
+
+def test_causal_default_routes_tri(monkeypatch):
+    """A causal shape with NO autotune entry routes the triangular
+    kernel by default (round 5: the tri win is the default, not a cache
+    hit — ref kernels.metal:682's skip is unconditional)."""
+    import jax
+    import jax.numpy as jnp
+
+    import flash_attention_metal_tpu.harness.autotune as at
+    import flash_attention_metal_tpu.kernels.flash_tri as tri_mod
+    from flash_attention_metal_tpu.kernels import flash_attention_fwd
+    from flash_attention_metal_tpu.reference import make_qkv
+
+    monkeypatch.setattr(at, "_MEMO", {})  # empty cache: miss everything
+    calls = []
+    real = tri_mod.flash_attention_tri
+
+    def spy(*a, **kw):
+        calls.append((kw.get("block_q"), kw.get("block_k")))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tri_mod, "flash_attention_tri", spy)
+    q, k, v = make_qkv(jax.random.PRNGKey(0), (2, 2, 256, 64))
+    out = flash_attention_fwd(q, k, v, causal=True, interpret=True)
+    assert calls == [(256, 256)]
+    from flash_attention_metal_tpu.reference import attention_reference
+
+    ref = attention_reference(q, k, v, causal=True)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-3
+    # Extras (window) fall back to the grid kernel — no tri call.
+    calls.clear()
+    flash_attention_fwd(q, k, v, causal=True, window=64, interpret=True)
+    assert calls == []
+    # A cached grid decision for the exact shape overrides the heuristic.
+    calls.clear()
+    key = at._key("fwd", 2, 2, 256, 256, 64, True, q.dtype)
+    monkeypatch.setattr(
+        at,
+        "_MEMO",
+        {key: {"blocks": {"block_q": 256, "block_k_major": 256,
+                          "block_k": 256}}},
+    )
+    flash_attention_fwd(q, k, v, causal=True, interpret=True)
+    assert calls == []
