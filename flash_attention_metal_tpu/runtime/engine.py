@@ -180,12 +180,6 @@ class DecodeEngine:
                     "rolling caches are dp-only (no contiguous shard "
                     "ownership under a wrapped position map)"
                 )
-            if cfg.attn_softcap is not None or cfg.attn_alibi:
-                raise NotImplementedError(
-                    "attn_softcap/attn_alibi are not modeled by the "
-                    "sp/tp-sharded decode attention yet; serve them on "
-                    "the dp-only engine"
-                )
             if multi_step > 1:
                 raise ValueError(
                     "multi_step>1 is not wired through the sp/tp decode "

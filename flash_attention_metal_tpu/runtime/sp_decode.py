@@ -42,11 +42,12 @@ from ..kernels.quant import QuantizedKV, flash_attention_quant
 from ..models.transformer import (
     ModelConfig,
     Params,
+    _maybe_rope,
     _merge_heads,
     _split_heads,
+    alibi_slopes,
     mlp_block,
     rms_norm,
-    rope,
 )
 from ..parallel.context import lse_psum_combine
 from .decode import sample_batch
@@ -246,6 +247,25 @@ def _sp_attn_with_cache(
     interpret = jax.default_backend() != "tpu"
     my_sp = jax.lax.axis_index(seq_axis) if seq_axis is not None else 0
 
+    # Score transforms (softcap / ALiBi) ride the sharded path too
+    # (round 5; the reference's production kernel carries every feature
+    # in one path, ``kernels.metal:600-883``).  softcap is elementwise —
+    # shard-local by construction.  ALiBi needs global distances: the
+    # kernel computes ``dist = col - (row + q_offset)`` and the sp
+    # offset below is ``global_qpos - my_sp*maxloc``, so the shard term
+    # cancels and distances come out in global position space on every
+    # shard.  Under tp, each shard's q heads are the contiguous
+    # ``[my_tp*h_loc, (my_tp+1)*h_loc)`` block of the column-parallel
+    # projection — slice the [H] slope vector to match.
+    slopes = None
+    if cfg.attn_alibi:
+        slopes = alibi_slopes(cfg.n_heads)
+        if head_axis is not None:
+            h_loc = cfg.n_heads // tp_size
+            my_tp = jax.lax.axis_index(head_axis)
+            slopes = jax.lax.dynamic_slice(slopes, (my_tp * h_loc,), (h_loc,))
+    _transforms = dict(softcap=cfg.attn_softcap, alibi_slopes=slopes)
+
     # Column-parallel projections: the weight shard's columns ARE this
     # tp shard's heads, so head splitting just uses the local counts.
     h = rms_norm(x, layer["attn_norm"])
@@ -258,8 +278,8 @@ def _sp_attn_with_cache(
     v = _split_heads(
         h @ layer["wv"].astype(dt), cfg.n_kv_heads // tp_size, cfg.head_dim
     )
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = _maybe_rope(q, positions, cfg)
+    k = _maybe_rope(k, positions, cfg)
 
     is_quant = isinstance(cache, QuantKVCache)
     maxloc = (cache.k_q if is_quant else cache.k).shape[3]
@@ -310,6 +330,7 @@ def _sp_attn_with_cache(
             causal=True,
             save_lse=True,
             interpret=interpret,
+            **_transforms,
         )
     else:
         k_l = _masked_append(
@@ -332,6 +353,7 @@ def _sp_attn_with_cache(
             block_sizes=cfg.block_sizes,
             save_lse=True,
             interpret=interpret,
+            **_transforms,
         )
 
     if seq_axis is not None:

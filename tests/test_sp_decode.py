@@ -118,6 +118,45 @@ def test_dp_tp_sp_int8_decode_matches_single_device(params):
     assert ref == got
 
 
+@pytest.mark.parametrize(
+    "variant", ["softcap", "alibi", "softcap_int8"]
+)
+def test_sp_tp_sharded_decode_softcap_alibi(variant):
+    """softcap / ALiBi models serve on the full dp x tp x sp topology
+    with generations identical to the dp-only engine (round 5: the
+    sharded path carries every score transform — ref kernels.metal:
+    600-883 keeps all features in its one production path).  ALiBi's
+    distances must come out in GLOBAL position space on every sp shard,
+    and its [H] slopes slice per tp shard."""
+    import dataclasses
+
+    kv_quant = "int8" if variant.endswith("int8") else None
+    if variant.startswith("softcap"):
+        cfg = dataclasses.replace(CFG, attn_softcap=30.0)
+    else:
+        cfg = dataclasses.replace(CFG, attn_alibi=True)
+    params_v = init_params(jax.random.PRNGKey(3), cfg)
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    prompts = [[5, 6, 7, 8], list(range(10, 40)), list(range(100, 180))]
+
+    def run(mesh=None, **kw):
+        eng = DecodeEngine(
+            params_v, cfg, max_batch=4, max_len=512, eos_id=-1,
+            harvest_lag=2, mesh=mesh, kv_quant=kv_quant, **kw,
+        )
+        for i, p in enumerate(prompts):
+            eng.submit(
+                Request(uid=i, prompt=p, max_new_tokens=6, temperature=0.0)
+            )
+        return eng.run()
+
+    ref = run()
+    got = run(mesh=mesh, head_axis="tp", seq_axis="sp")
+    assert ref == got
+
+
 CFG_DRAFT = ModelConfig(
     vocab_size=256,
     d_model=128,
