@@ -469,6 +469,43 @@ def _filter_top_kp(
     return jnp.take_along_axis(s, inv, axis=-1)
 
 
+def filter_scaled_logits(
+    scaled: jax.Array,  # [B, V] temperature-scaled logits
+    top_ks: Optional[jax.Array] = None,  # [B] int32, <= 0 disables
+    top_ps: Optional[jax.Array] = None,  # [B] float, >= 1 disables
+    min_ps: Optional[jax.Array] = None,  # [B] float, <= 0 disables
+) -> jax.Array:
+    """Per-slot min-p + top-k/top-p filtering on temperature-scaled
+    logits (shared by ``sample_batch`` and the speculative paths — the
+    draft proposal, acceptance ``q``/``p``, and residual distributions
+    must all see the SAME filter for the speculative-sampling rule to
+    preserve the filtered target distribution).
+
+    min-p runs ungated (row-max only); the [B, V]-sort top-k/top-p
+    filter is ``lax.cond``-gated at runtime so traffic without those
+    settings never pays the multi-ms vocab-wide argsort.
+    """
+    if min_ps is not None:
+        row_max = jnp.max(scaled, axis=-1, keepdims=True)
+        thresh = row_max + jnp.log(jnp.maximum(min_ps, 1e-30))[:, None]
+        keep = (scaled >= thresh) | (min_ps[:, None] <= 0.0)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
+    if top_ks is not None or top_ps is not None:
+        batch = scaled.shape[0]
+        if top_ks is None:
+            top_ks = jnp.zeros((batch,), jnp.int32)
+        if top_ps is None:
+            top_ps = jnp.ones((batch,), jnp.float32)
+        need = jnp.any(top_ks > 0) | jnp.any(top_ps < 1.0)
+        scaled = jax.lax.cond(
+            need,
+            lambda s: _filter_top_kp(s, top_ks, top_ps),
+            lambda s: s,
+            scaled,
+        )
+    return scaled
+
+
 def sample(
     logits: jax.Array,
     key: Optional[jax.Array] = None,
@@ -532,32 +569,11 @@ def sample_batch(
         logits = logits - pen
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temps = jnp.maximum(temperatures, 1e-6)[:, None]
-    scaled = logits / temps
-    if min_ps is not None:
-        # min-p (Nguyen et al.): drop tokens whose post-temperature
-        # probability is below ``min_p * max_prob``.  Unlike top-k/top-p
-        # this needs only a row max — elementwise, no [B, V] sort, so it
-        # runs ungated.  min_p <= 0 disables (log(0+) -> -inf threshold).
-        row_max = jnp.max(scaled, axis=-1, keepdims=True)
-        thresh = row_max + jnp.log(jnp.maximum(min_ps, 1e-30))[:, None]
-        keep = (scaled >= thresh) | (min_ps[:, None] <= 0.0)
-        scaled = jnp.where(keep, scaled, -jnp.inf)
-    if top_ks is not None or top_ps is not None:
-        batch = logits.shape[0]
-        if top_ks is None:
-            top_ks = jnp.zeros((batch,), jnp.int32)
-        if top_ps is None:
-            top_ps = jnp.ones((batch,), jnp.float32)
-        # The filter costs a [B, V] sort (~ms at 32K vocab) — gate it at
-        # RUNTIME so all-greedy/plain-temperature traffic never pays it
-        # while the serving loop keeps a single compiled executable.
-        need = jnp.any(top_ks > 0) | jnp.any(top_ps < 1.0)
-        scaled = jax.lax.cond(
-            need,
-            lambda s: _filter_top_kp(s, top_ks, top_ps),
-            lambda s: s,
-            scaled,
-        )
+    # min-p (Nguyen et al.) then top-k/top-p, via the shared cond-gated
+    # filter (filter_scaled_logits) — all-greedy/plain-temperature
+    # traffic never pays the [B, V] sort, and the serving loop keeps a
+    # single compiled executable for any mix of request settings.
+    scaled = filter_scaled_logits(logits / temps, top_ks, top_ps, min_ps)
     keys = jax.random.split(key, logits.shape[0])
     sampled = jax.vmap(
         lambda k, l: jax.random.categorical(k, l).astype(jnp.int32)

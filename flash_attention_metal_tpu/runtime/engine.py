@@ -462,13 +462,6 @@ class DecodeEngine:
     def submit(self, request: Request) -> None:
         if len(request.prompt) >= self.max_len:
             raise ValueError("prompt longer than cache capacity")
-        if self._draft is not None and (
-            request.top_k > 0 or request.top_p < 1.0
-        ):
-            raise ValueError(
-                "speculative serving supports greedy/temperature requests "
-                "only (top-k/top-p acceptance is not implemented)"
-            )
         if (request.presence_penalty or request.frequency_penalty) and (
             self._draft is not None
         ):
@@ -798,6 +791,9 @@ class DecodeEngine:
                         active,
                         sub,
                         self.temps,
+                        self.top_ks,
+                        self.top_ps,
+                        self.min_ps,
                         cfg_d=self._draft[1],
                         gamma=self._spec_gamma,
                     )
@@ -836,6 +832,9 @@ class DecodeEngine:
                         active,
                         sub,
                         self.temps,
+                        self.top_ks,
+                        self.top_ps,
+                        self.min_ps,
                         gamma=self._spec_gamma,
                     )
                 )

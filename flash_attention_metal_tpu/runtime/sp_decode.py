@@ -653,7 +653,9 @@ class SpStepFns:
         dp = PartitionSpec(batch_axis)
 
         def spec_body(params_t, cache_t, params_d, cache_d, tok, active,
-                      key, temps):
+                      key, temps, top_ks, top_ps, min_ps):
+            from .decode import filter_scaled_logits
+
             my_dp = jax.lax.axis_index(batch_axis)
             keys = jax.random.split(jax.random.fold_in(key, my_dp), gamma + 2)
             greedy_slot = temps <= 0.0
@@ -661,7 +663,10 @@ class SpStepFns:
             l0_t, l0_d = cache_t.lengths, cache_d.lengths
 
             # --- draft: gamma dp-local proposals + one ingest step so the
-            # draft cache covers its own last proposal.
+            # draft cache covers its own last proposal.  Proposals come
+            # from the FILTERED draft distribution (same per-slot
+            # top-k/top-p/min-p as the acceptance's p/q — see
+            # ``speculative.acceptance_rule``).
             draft_toks, draft_logits = [], []
             cur = tok
             for i in range(gamma):
@@ -670,7 +675,10 @@ class SpStepFns:
                 )
                 g = jnp.argmax(logits_d, -1).astype(jnp.int32)
                 s = jax.random.categorical(
-                    keys[i], logits_d / tau
+                    keys[i],
+                    filter_scaled_logits(
+                        logits_d / tau, top_ks, top_ps, min_ps
+                    ),
                 ).astype(jnp.int32)
                 cur = jnp.where(greedy_slot, g, s)
                 draft_toks.append(cur)
@@ -701,7 +709,7 @@ class SpStepFns:
 
             out, n_acc, bonus = acceptance_rule(
                 d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
-                keys[gamma], keys[gamma + 1],
+                keys[gamma], keys[gamma + 1], top_ks, top_ps, min_ps,
             )
             n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
             cache_t = dataclasses.replace(
@@ -713,7 +721,14 @@ class SpStepFns:
             return out, n_emit, bonus, cache_t, cache_d
 
         def _wrap(params_t, cache_t, params_d, cache_d, tok, active, key,
-                  temps):
+                  temps, top_ks=None, top_ps=None, min_ps=None):
+            b = tok.shape[0]
+            if top_ks is None:
+                top_ks = jnp.zeros((b,), jnp.int32)
+            if top_ps is None:
+                top_ps = jnp.ones((b,), jnp.float32)
+            if min_ps is None:
+                min_ps = jnp.zeros((b,), jnp.float32)
             spec_t = jax.tree_util.tree_map(cspec, cache_t)
             spec_d = jax.tree_util.tree_map(dspec, cache_d)
             fn = jax.shard_map(
@@ -728,18 +743,22 @@ class SpStepFns:
                     dp,
                     rep,
                     dp,
+                    dp,
+                    dp,
+                    dp,
                 ),
                 out_specs=(dp, dp, dp, spec_t, spec_d),
                 check_vma=False,
             )
             return fn(params_t, cache_t, params_d, cache_d, tok, active,
-                      key, temps)
+                      key, temps, top_ks, top_ps, min_ps)
 
         return jax.jit(_wrap, donate_argnums=(1, 3))
 
     def speculative_step(
         self, params_t, cache_t, params_d, cache_d, tok, active, key,
-        temps, *, cfg_d: ModelConfig, gamma: int,
+        temps, top_ks=None, top_ps=None, min_ps=None, *,
+        cfg_d: ModelConfig, gamma: int,
     ):
         """One sharded speculative round; see ``_build_spec``."""
         built = getattr(self, "_spec_fn", None)
@@ -747,5 +766,6 @@ class SpStepFns:
             self._spec_fn = self._build_spec(cfg_d, gamma)
             self._spec_sig = (cfg_d, gamma)
         return self._spec_fn(
-            params_t, cache_t, params_d, cache_d, tok, active, key, temps
+            params_t, cache_t, params_d, cache_d, tok, active, key, temps,
+            top_ks, top_ps, min_ps,
         )

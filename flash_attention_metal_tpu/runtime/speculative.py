@@ -78,6 +78,9 @@ def acceptance_rule(
     tau: jax.Array,  # [B, 1] clamped temperatures
     key_u: jax.Array,
     key_resid: jax.Array,
+    top_ks: Optional[jax.Array] = None,  # [B] int32, <= 0 disables
+    top_ps: Optional[jax.Array] = None,  # [B] float, >= 1 disables
+    min_ps: Optional[jax.Array] = None,  # [B] float, <= 0 disables
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Device-side speculative acceptance (shared by the dense and the
     sp/tp-sharded serving paths — ``runtime/sp_decode.py``).
@@ -86,14 +89,38 @@ def acceptance_rule(
     greedy decode); sampling slots use the standard speculative-sampling
     rule (accept w.p. ``min(1, p/q)``, resample the first rejection from
     the normalized residual ``max(p - q, 0)``), which preserves the
-    target distribution.  Returns ``(out [B, gamma+1], n_acc [B],
-    bonus [B])`` with ``out[:, n_acc] == bonus``.
+    target distribution.  With per-slot ``top_ks``/``top_ps``/``min_ps``
+    the SAME filter is applied to both the target and draft scaled
+    logits (matching the draft's filtered proposal sampling in
+    ``speculative_step``), so the rule preserves the *filtered* target
+    distribution — exactly what the non-speculative ``sample_batch``
+    serves.  Returns ``(out [B, gamma+1], n_acc [B], bonus [B])`` with
+    ``out[:, n_acc] == bonus``.
     """
+    from .decode import filter_scaled_logits
+
     batch, gamma = d.shape
+    vocab = logits_t.shape[-1]
     t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
     greedy_match = d == t_pred[:, :gamma]
-    p = jax.nn.softmax(logits_t / tau[..., None], axis=-1)
-    q = jax.nn.softmax(q_logits / tau[..., None], axis=-1)
+
+    def _probs(scaled):
+        # [B, T, V] scaled logits -> filtered softmax, sharing the slots'
+        # filter params across the T window rows.
+        t = scaled.shape[1]
+        if top_ks is None and top_ps is None and min_ps is None:
+            return jax.nn.softmax(scaled, axis=-1)
+        rep = lambda x: (
+            None if x is None else jnp.repeat(x, t, axis=0)
+        )
+        flat = filter_scaled_logits(
+            scaled.reshape(batch * t, vocab),
+            rep(top_ks), rep(top_ps), rep(min_ps),
+        )
+        return jax.nn.softmax(flat, axis=-1).reshape(batch, t, vocab)
+
+    p = _probs(logits_t / tau[..., None])
+    q = _probs(q_logits / tau[..., None])
     p_tok = jnp.take_along_axis(p[:, :gamma], d[..., None], -1)[..., 0]
     q_tok = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
     u = jax.random.uniform(key_u, (batch, gamma))
@@ -149,6 +176,9 @@ def speculative_step(
     active: jax.Array,  # [B] bool
     key: jax.Array,
     temps: jax.Array,  # [B] per-slot temperature; <= 0 = greedy
+    top_ks: Optional[jax.Array] = None,  # [B] int32, <= 0 disables
+    top_ps: Optional[jax.Array] = None,  # [B] float, >= 1 disables
+    min_ps: Optional[jax.Array] = None,  # [B] float, <= 0 disables
     *,
     gamma: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache, KVCache]:
@@ -165,8 +195,14 @@ def speculative_step(
     greedy decode); sampling slots use the speculative-sampling rule
     (accept with ``min(1, p/q)``, resample the first rejection from the
     normalized residual ``max(p - q, 0)``), which preserves the target
-    distribution at that temperature.
+    distribution at that temperature.  Per-slot ``top_ks``/``top_ps``/
+    ``min_ps`` compose: the draft proposes from its FILTERED
+    distribution and the acceptance computes p/q under the same filter,
+    so the emitted stream follows the filtered target distribution
+    (identical semantics to ``sample_batch`` without a draft).
     """
+    from .decode import filter_scaled_logits
+
     l0_t, l0_d = cache_t.lengths, cache_d.lengths
     keys = jax.random.split(key, gamma + 2)
     greedy_slot = temps <= 0.0  # [B]
@@ -181,7 +217,10 @@ def speculative_step(
             params_d, cfg_d, cache_d, cur, active
         )
         g = jnp.argmax(logits_d, -1).astype(jnp.int32)
-        s = jax.random.categorical(keys[i], logits_d / tau).astype(jnp.int32)
+        s = jax.random.categorical(
+            keys[i],
+            filter_scaled_logits(logits_d / tau, top_ks, top_ps, min_ps),
+        ).astype(jnp.int32)
         cur = jnp.where(greedy_slot, g, s)
         draft_toks.append(cur)
         draft_logits.append(logits_d)
@@ -200,7 +239,7 @@ def speculative_step(
     # --- acceptance (shared rule) + restore the length invariant.
     out, n_acc, bonus = acceptance_rule(
         d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
-        keys[gamma], keys[gamma + 1],
+        keys[gamma], keys[gamma + 1], top_ks, top_ps, min_ps,
     )
     n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
     cache_t = dataclasses.replace(
