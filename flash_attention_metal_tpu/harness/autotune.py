@@ -148,11 +148,14 @@ def _measure_cfg(b, h, n_q, n_kv, d) -> dict:
     return dict(iters=10, inner_hi=5, repeats=2)
 
 
-def tri_candidates(n: int) -> List[Tuple[int, int]]:
-    """(block_q, block_k) candidates for the triangular causal kernel
-    (``kernels.flash_tri``): one grid step per (b, h), static unroll, so
-    tiles can be small without paying grid-step floors.  The unroll size
-    (visible block pairs) is capped to bound compile time."""
+def tri_candidates(n: int) -> List[Tuple[int, int, bool]]:
+    """(block_q, block_k, pv_transposed) candidates for the triangular
+    causal kernel (``kernels.flash_tri``): one grid step per (b, h),
+    static unroll, so tiles can be small without paying grid-step
+    floors.  The unroll size (visible block pairs) is capped to bound
+    compile time.  Transposed-PV variants race only at >=512 q tiles —
+    at 256-tiles pv_t measured 16-29% slower (Mosaic materializes a
+    transpose; experiments/tri_pvt.py)."""
     out = []
     for bq in (128, 256, 512):
         for bk in (128, 256, 512):
@@ -161,7 +164,9 @@ def tri_candidates(n: int) -> List[Tuple[int, int]]:
             # pairs ~ (n/bq)*(n/bk)/2; cap the static unroll at ~300.
             if (n // bq) * (n // bk) > 600:
                 continue
-            out.append((bq, bk))
+            out.append((bq, bk, False))
+            if bq >= 512 and bk >= 256:
+                out.append((bq, bk, True))
     return out
 
 
@@ -201,12 +206,12 @@ def autotune_fwd(
         cands += [("tri", bqbk) for bqbk in tri_candidates(n)]
     for impl, cfg in cands:
         if impl == "tri":
-            bq, bk = cfg
+            bq, bk, pvt = cfg
             fn = functools.partial(
                 flash_attention_tri, block_q=bq, block_k=bk,
-                interpret=interpret,
+                pv_transposed=pvt, interpret=interpret,
             )
-            tag = f"tri {bq}x{bk}"
+            tag = f"tri {bq}x{bk}" + ("T" if pvt else "")
         else:
             fn = functools.partial(
                 flash_attention_fwd,
@@ -239,7 +244,9 @@ def autotune_fwd(
     if best_impl == "tri":
         cache[key] = {
             "impl": "tri",
-            "blocks": {"block_q": best[0], "block_k": best[1]},
+            "blocks": {
+                "block_q": best[0], "block_k": best[1], "pvt": best[2],
+            },
             "us": best_t * 1e6,
         }
         _store(cache_path, cache)
@@ -289,8 +296,10 @@ def autotune_bwd(
         # split winner (5080 vs 2393 us at B16 H8 N2048).
         cands += [
             ("tri", (bq, bk))
-            for bq, bk in tri_candidates(n)
-            if not (n >= 2048 and (bq < 256 or bk < 256))
+            for bq, bk, pvt in tri_candidates(n)
+            # pv_transposed is a forward-kernel mode; the backward tri
+            # kernel races untransposed tiles only.
+            if not pvt and not (n >= 2048 and (bq < 256 or bk < 256))
         ]
     best, best_impl, best_t = None, "split", float("inf")
     for impl, bs in cands:
@@ -371,9 +380,10 @@ def _fallback_fwd_fn(b, h, n_q, n_kv, d, causal, interpret):
                     flash_attention_tri,
                     block_q=heur[0],
                     block_k=heur[1],
+                    pv_transposed=heur[2],
                     interpret=interpret,
                 ),
-                f"tri-heur {heur[0]}x{heur[1]}",
+                f"tri-heur {heur[0]}x{heur[1]}" + ("T" if heur[2] else ""),
             )
     default = BlockSizes.for_seq_len(n_q, n_kv)
     return (
@@ -421,13 +431,18 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         if entry.get("impl") == "tri":
             from ..kernels.flash_tri import flash_attention_tri, tri_heuristic
 
-            blocks = (entry["blocks"]["block_q"], entry["blocks"]["block_k"])
+            blocks = (
+                entry["blocks"]["block_q"],
+                entry["blocks"]["block_k"],
+                entry["blocks"].get("pvt", False),
+            )
             if causal and tri_heuristic(b, h, n_q, n_kv, d, n_kv - n_q) == blocks:
                 continue  # entry == the shipped fallback; nothing to race
             fn_tuned = functools.partial(
                 flash_attention_tri,
                 block_q=blocks[0],
                 block_k=blocks[1],
+                pv_transposed=blocks[2],
                 interpret=interpret,
             )
         else:

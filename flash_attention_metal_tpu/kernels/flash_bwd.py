@@ -26,6 +26,7 @@ vector (``kernels.metal:982-990``).  Gradients accumulate in fp32
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BlockSizes, NUM_LANES, NUM_SUBLANES, default_scale
 from ._common import dropout_keep, mxu_dot_general, pack_dropout_seed
+
+# Base-2 softmax reconstruction: exp(x) = exp2(x * log2 e), with log2 e
+# folded into the Q prescale / cap / slope constants (see _dkv_kernel).
+_LOG2E = math.log2(math.e)
 
 
 def _dropout_keep_tile(seed_ref, bh, q_idx, kv_idx, block_q, block_kv, rate):
@@ -176,16 +181,28 @@ def _dkv_kernel(
         # (``kernels.metal:1081-1089``).  The forward's score transforms
         # (tanh softcap, ALiBi bias — the dS-transform site the reference
         # kernel owns at ``kernels.metal:1160-1169``) are replayed here so
-        # p matches the saved lse exactly.
-        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-        t = s * sm_scale
+        # p matches the saved lse exactly.  Round 5: the reconstruction
+        # runs in BASE 2 with sm_scale (and, softcap aside, log2 e)
+        # folded into a [block, D] Q prescale, and the trailing
+        # ``ds * sm_scale`` folded into the [block, D] epilogue store —
+        # three full-area VPU passes (score scale, exp's hidden multiply,
+        # dS scale) off the per-pair critical path, same trick as the
+        # forward engine (flash_fwd.py).
+        pre = sm_scale if softcap is not None else sm_scale * _LOG2E
+        qs = (q.astype(jnp.float32) * pre).astype(q.dtype)
+        s = mxu_dot_general(qs, k, (((1,), (1,)), ((), ())))
+        lse2 = lse * _LOG2E
         if softcap is not None:
-            u = jnp.tanh(t * (1.0 / softcap))
-            t = softcap * u
+            # s here is the *natural* scaled score (prescale = sm_scale
+            # only): tanh needs it; the cap constant carries log2 e.
+            u = jnp.tanh(s * (1.0 / softcap))
+            t2 = (softcap * _LOG2E) * u
+        else:
+            t2 = s
         if has_alibi:
             dist = (col - row).astype(jnp.float32)
-            t = t + slope * dist
-        p = jnp.exp(t - lse)
+            t2 = t2 + (slope * _LOG2E) * dist
+        p = jnp.exp2(t2 - lse2)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
@@ -232,16 +249,17 @@ def _dkv_kernel(
             dslope_acc[...] += jnp.sum(ds * dist)
         if softcap is not None:
             # Chain through the cap: d(cap*tanh(t/cap))/dt = 1 - tanh^2.
-            ds = ds * ((1.0 - u * u) * sm_scale)
-        else:
-            ds = ds * sm_scale
+            # sm_scale moves to the epilogue (see _store).
+            ds = ds * (1.0 - u * u)
 
-        # dK += dS^T Q  (``kernels.metal:1189-1214``).
+        # dK += dS^T Q  (``kernels.metal:1189-1214``); the dS sm_scale
+        # factor is linear through the matmul and lands on the [block, D]
+        # accumulator at store time instead of the [bq, bkv] tile here.
         dk_acc[...] += mxu_dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0, 0, :, :] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
         if has_alibi:
             dslope_ref[0, 0, :, :] = dslope_acc[...]
@@ -327,16 +345,21 @@ def _dq_kernel(
                 + kv_idx * block_kv
             )
 
-        # Score recompute + forward transforms (see _dkv_kernel).
-        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-        t = s * sm_scale
+        # Score recompute + forward transforms, base-2 with folded
+        # prescale/epilogue scales (see _dkv_kernel).
+        pre = sm_scale if softcap is not None else sm_scale * _LOG2E
+        qs = (q.astype(jnp.float32) * pre).astype(q.dtype)
+        s = mxu_dot_general(qs, k, (((1,), (1,)), ((), ())))
+        lse2 = lse * _LOG2E
         if softcap is not None:
-            u = jnp.tanh(t * (1.0 / softcap))
-            t = softcap * u
+            u = jnp.tanh(s * (1.0 / softcap))
+            t2 = (softcap * _LOG2E) * u
+        else:
+            t2 = s
         if has_alibi:
             dist = (col - row).astype(jnp.float32)
-            t = t + slope * dist
-        p = jnp.exp(t - lse)
+            t2 = t2 + (slope * _LOG2E) * dist
+        p = jnp.exp2(t2 - lse2)
 
         if causal:
             # Unconditional mask on running block pairs (a lax.cond-guarded
@@ -363,16 +386,16 @@ def _dq_kernel(
             )
         ds = p * (dp - delta)
         if softcap is not None:
-            ds = ds * ((1.0 - u * u) * sm_scale)
-        else:
-            ds = ds * sm_scale
+            # sm_scale moves to the epilogue (see _store).
+            ds = ds * (1.0 - u * u)
 
-        # dQ += dS K  (``kernels.metal:1176-1187``).
+        # dQ += dS K  (``kernels.metal:1176-1187``); sm_scale folded into
+        # the [block_q, D] epilogue store.
         dq_acc[...] += mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0, :, :] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0, 0, :, :] = (dq_acc[...] * sm_scale).astype(dq_ref.dtype)
 
 
 _AUTOTUNE_BWD_WARNED = False
@@ -534,8 +557,10 @@ def _fused_bwd_kernel(
         lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
         delta = delta_ref[0, 0][:, :1]
 
-        s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-        p = jnp.exp(s * sm_scale - lse)
+        # Base-2 reconstruction with folded scales (see _dkv_kernel).
+        qs2 = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+        s = mxu_dot_general(qs2, k, (((1,), (1,)), ((), ())))
+        p = jnp.exp2(s - lse * _LOG2E)
 
         if causal:
             row = (
@@ -561,11 +586,12 @@ def _fused_bwd_kernel(
 
         dv_acc[...] += mxu_dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())))
         dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
-        ds = p * (dp - delta) * sm_scale
+        ds = p * (dp - delta)
         dk_acc[...] += mxu_dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())))
         # The 5th matmul the two-kernel path pays 3 recomputes for:
-        # this pair's dQ contribution, emitted as an HBM partial.
-        dqp_ref[0, 0, 0, :, :] = mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())))
+        # this pair's dQ contribution, emitted as an HBM partial
+        # (sm_scale folded into the [block_q, D] partial store).
+        dqp_ref[0, 0, 0, :, :] = mxu_dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))) * sm_scale
 
     @pl.when(jnp.logical_not(should_run))
     def _zero():
@@ -574,7 +600,7 @@ def _fused_bwd_kernel(
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0, :, :] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0, 0, :, :] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_acc[...].astype(dv_ref.dtype)
 
 

@@ -813,7 +813,11 @@ def flash_attention_fwd(
             except (OSError, KeyError, ValueError, TypeError):
                 hit = None
             if hit is not None:
-                tri_blocks = (hit[1]["block_q"], hit[1]["block_k"])
+                tri_blocks = (
+                    hit[1]["block_q"],
+                    hit[1]["block_k"],
+                    hit[1].get("pvt", False),
+                )
             elif block_sizes is None:
                 from .flash_tri import tri_heuristic
 
@@ -836,6 +840,7 @@ def flash_attention_fwd(
                     ),
                     block_q=tri_blocks[0],
                     block_k=tri_blocks[1],
+                    pv_transposed=tri_blocks[2],
                     save_lse=save_lse,
                     interpret=interpret,
                 )

@@ -62,24 +62,43 @@ def _tri_kernel(
     q_offset: int,
     save_lse: bool,
     fold: int,
+    pv_t: bool = False,
 ):
+    # ``pv_t``: transposed-PV accumulation (round 5).  A [block_q, D=64]
+    # PV output wastes half of every 128-lane vreg write — measured 77
+    # TF/s vs 156 TF/s for the wide QK^T pass (experiments/mxu_rates.py).
+    # Computing o^T = V^T P^T instead (pure dot_general dimension
+    # numbers, no materialized transpose) makes the PV output
+    # [D, block_q]-wide; the accumulator lives transposed, the rescale
+    # applies per column, the kernel stores o^T and the wrapper
+    # transposes once in XLA (an O(N*D) pass).  Paired at B16 H8 N2048:
+    # 976 us vs 1117 us for the best untransposed tri — 1.09x, and past
+    # the 70%-of-roofline bar (experiments/tri_pvt.py).  512-tiles win
+    # under pv_t (the wide output amortizes); 256-tiles regress (Mosaic
+    # materializes a transpose) — the autotuner races both modes.
     for f in range(fold):
         for i in range(n_q // block_q):
             # Rows [i*bq, (i+1)*bq) see columns <= i*bq + r + off.
             last_visible = i * block_q + block_q - 1 + q_offset
             ext = min(n_kv, last_visible + 1)
+            rows = slice(i * block_q, (i + 1) * block_q)
             if ext <= 0:
                 # Fully-masked q block: zero output, lse = -inf.
-                o_ref[f, 0, i * block_q : (i + 1) * block_q, :] = jnp.zeros(
-                    (block_q, o_ref.shape[-1]), o_ref.dtype
-                )
+                if pv_t:
+                    o_ref[f, 0, :, rows] = jnp.zeros(
+                        (o_ref.shape[2], block_q), o_ref.dtype
+                    )
+                else:
+                    o_ref[f, 0, rows, :] = jnp.zeros(
+                        (block_q, o_ref.shape[-1]), o_ref.dtype
+                    )
                 if save_lse:
-                    lse_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
+                    lse_ref[f, 0, rows, :] = (
                         jnp.full((block_q, NUM_LANES), -jnp.inf, jnp.float32)
                     )
                 continue
             n_tiles = -(-ext // block_k)
-            q = q_ref[f, 0, i * block_q : (i + 1) * block_q, :]
+            q = q_ref[f, 0, rows, :]
             q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
 
             # Lagged-base online softmax in REGISTERS (same recurrence as
@@ -106,37 +125,50 @@ def _tri_kernel(
                         jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + c0
                     )
                     s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
+
+                def _pv(p):
+                    if pv_t:
+                        # o^T += V^T P^T: [D, block_q] wide output.
+                        return mxu_dot_general(
+                            v, p.astype(v.dtype), (((0,), (1,)), ((), ()))
+                        )
+                    return mxu_dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
+                    )
+
                 if m is None:
                     m_curr = jnp.max(s, axis=-1, keepdims=True)
                     p = jnp.exp2(s - m_curr)
-                    pv = mxu_dot_general(
-                        p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
-                    )
+                    pv = _pv(p)
                     l = jnp.sum(p, axis=-1, keepdims=True)
                     acc = pv
                     m = m_curr
                 else:
                     p = jnp.exp2(jnp.minimum(s - m[:, :1], 96.0))
-                    pv = mxu_dot_general(
-                        p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
-                    )
+                    pv = _pv(p)
                     m_curr = jnp.max(s, axis=-1, keepdims=True)
                     m_next = jnp.maximum(m, m_curr)
                     alpha = jnp.exp2(m - m_next)
                     l = (l + jnp.sum(p, axis=-1, keepdims=True)) * alpha
-                    acc = (acc + pv) * alpha[:, :1]
+                    if pv_t:
+                        acc = (acc + pv) * alpha[:, 0][None, :]
+                    else:
+                        acc = (acc + pv) * alpha[:, :1]
                     m = m_next
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
-                acc * l_inv
-            ).astype(o_ref.dtype)
+            if pv_t:
+                o_ref[f, 0, :, rows] = (acc * l_inv[:, 0][None, :]).astype(
+                    o_ref.dtype
+                )
+            else:
+                o_ref[f, 0, rows, :] = (acc * l_inv).astype(o_ref.dtype)
             if save_lse:
                 lse = jnp.where(
                     l == 0.0,
                     -jnp.inf,
                     m * _LN2 + jnp.log(jnp.where(l == 0.0, 1.0, l)),
                 )
-                lse_ref[f, 0, i * block_q : (i + 1) * block_q, :] = (
+                lse_ref[f, 0, rows, :] = (
                     jnp.broadcast_to(lse, (block_q, NUM_LANES))
                 )
 
@@ -158,27 +190,36 @@ def tri_heuristic(
     n_kv: int,
     head_dim: int,
     q_offset: int = 0,
-) -> Optional[Tuple[int, int]]:
-    """Default (block_q, block_k) for routing a causal shape onto the
-    triangular kernel with NO autotune entry — the round-5 fix for the
-    "tuned shapes only" caveat (the reference's causal whole-block skip
-    is unconditional, ``kernels.metal:682``; ours must be too).
+) -> Optional[Tuple[int, int, bool]]:
+    """Default (block_q, block_k, pv_transposed) for routing a causal
+    shape onto the triangular kernel with NO autotune entry — the
+    round-5 fix for the "tuned shapes only" caveat (the reference's
+    causal whole-block skip is unconditional, ``kernels.metal:682``;
+    ours must be too).
 
     Returns ``None`` when the shape is ineligible (q length not
     tileable, or the static unroll would blow the compile-time budget)
     — callers then use the general grid kernel.  Tile choice mirrors
-    the autotuner's measured winners on v5e: 256x256 for most shapes,
-    escalating to 512 tiles only to fit large N under the unroll cap.
-    The autotune cache overrides this in either direction (a raced
-    grid win routes grid; a raced tri win carries its tuned tiles).
+    the autotuner's measured winners on v5e: transposed-PV 512x512
+    where the shape admits it (the flagship winner, 1.09x over the best
+    untransposed tiles — experiments/tri_pvt.py), 256x256 untransposed
+    otherwise (pv_t at 256-tiles regresses: Mosaic materializes a
+    transpose).  The autotune cache overrides this in either direction
+    (a raced grid win routes grid; a raced tri win carries its tuned
+    tiles and mode).
     """
-    for bq, bk in ((256, 256), (128, 256), (128, 128), (512, 512)):
+    for bq, bk, pvt in (
+        (512, 512, True),
+        (256, 256, False),
+        (128, 256, False),
+        (128, 128, False),
+    ):
         if bq > n_q or n_q % bq:
             continue
         bkc = min(bk, n_kv)
         if (n_q // bq) * (-(-n_kv // bkc)) > _UNROLL_CAP:
             continue
-        return bq, bkc
+        return bq, bkc, pvt
     return None
 
 
@@ -204,6 +245,7 @@ def _tri_fold(batch: int, n_q: int, n_kv: int, head_dim: int) -> int:
         "block_q",
         "block_k",
         "save_lse",
+        "pv_transposed",
         "interpret",
     ),
 )
@@ -217,6 +259,7 @@ def flash_attention_tri(
     block_q: int = 256,
     block_k: int = 256,
     save_lse: bool = False,
+    pv_transposed: bool = False,
     interpret: bool = False,
 ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Causal flash attention, triangular statically-unrolled kernel.
@@ -225,7 +268,9 @@ def flash_attention_tri(
     KV index maps, like the lean path).  ``q_offset`` must be a Python
     int (default n_kv - n_q).  Returns ``o`` (or ``(o, lse_lanes)`` with
     the [B, H, N_q, 128] lane-replicated logsumexp the backward
-    consumes).
+    consumes).  ``pv_transposed``: widen the PV output by accumulating
+    o^T in-kernel and transposing once outside (see ``_tri_kernel``) —
+    the measured winner at 512-tiles on v5e.
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -256,6 +301,7 @@ def flash_attention_tri(
         q_offset=q_offset,
         save_lse=save_lse,
         fold=fold,
+        pv_t=pv_transposed,
     )
     if not save_lse:
         bound = kernel
@@ -263,10 +309,20 @@ def flash_attention_tri(
         def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
             return bound(q_ref, k_ref, v_ref, o_ref, None)
 
-    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
-    out_specs = [
-        pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
-    ]
+    if pv_transposed:
+        out_shapes = [
+            jax.ShapeDtypeStruct((batch, heads, head_dim, n_q), q.dtype)
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (fold, 1, head_dim, n_q), lambda b, h: (b, h, 0, 0)
+            )
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+        out_specs = [
+            pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
+        ]
     if save_lse:
         out_shapes.append(
             jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
@@ -312,9 +368,12 @@ def flash_attention_tri(
         ),
         interpret=interpret,
     )(q, k, v)
+    o = results[0]
+    if pv_transposed:
+        o = o.swapaxes(-1, -2)
     if save_lse:
-        return results[0], results[1]
-    return results[0]
+        return o, results[1]
+    return o
 
 
 # ---------------------------------------------------------------------------
@@ -379,11 +438,19 @@ def _tri_bwd_kernel(
                 continue
             n_tiles = -(-ext // block_k)
             q = q_ref[f, 0, rows, :]
+            # Base-2 reconstruction with sm_scale * log2(e) folded into a
+            # [block_q, D] Q prescale and the trailing dS scale folded
+            # into the dK/dQ epilogue stores (see flash_bwd._dkv_kernel,
+            # round 5) — three full-area VPU passes off each pair.
+            qs = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(
+                q.dtype
+            )
             do = do_ref[f, 0, rows, :]
             lse = lse_ref[f, 0, rows, :][:, :1]
             # -inf rows (fully masked / lazy-flushed) must yield p == 0,
             # not inf (see flash_bwd._dkv_kernel).
             lse = jnp.where(jnp.isneginf(lse), 1e30, lse)
+            lse2 = lse * _LOG2E
             delta = delta_ref[f, 0, rows, :][:, :1]
             dq = None
             for j in range(n_tiles):
@@ -391,8 +458,8 @@ def _tri_bwd_kernel(
                 bk = min(block_k, n_kv - c0)
                 k = k_ref[f, 0, c0 : c0 + bk, :]
                 v = v_ref[f, 0, c0 : c0 + bk, :]
-                s = mxu_dot_general(q, k, (((1,), (1,)), ((), ())))
-                p = jnp.exp(s * sm_scale - lse)
+                s = mxu_dot_general(qs, k, (((1,), (1,)), ((), ())))
+                p = jnp.exp2(s - lse2)
                 if c0 + bk - 1 > (i * block_q) // pos_div + q_offset:
                     row = (
                         jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
@@ -410,7 +477,7 @@ def _tri_bwd_kernel(
                 )
                 dv_accs[j] = pv if dv_accs[j] is None else dv_accs[j] + pv
                 dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
-                ds = (p * (dp - delta)) * sm_scale
+                ds = p * (dp - delta)  # sm_scale folded into the stores
                 dst = mxu_dot_general(
                     ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
                 )
@@ -419,7 +486,7 @@ def _tri_bwd_kernel(
                     ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
                 )
                 dq = dqj if dq is None else dq + dqj
-            dq_ref[f, 0, rows, :] = dq.astype(dq_ref.dtype)
+            dq_ref[f, 0, rows, :] = (dq * sm_scale).astype(dq_ref.dtype)
         for j in range(nkb):
             c0 = j * block_k
             bk = min(block_k, n_kv - c0)
@@ -432,7 +499,9 @@ def _tri_bwd_kernel(
                     (bk, dv_ref.shape[-1]), dv_ref.dtype
                 )
             else:
-                dk_ref[f, 0, cols, :] = dk_accs[j].astype(dk_ref.dtype)
+                dk_ref[f, 0, cols, :] = (dk_accs[j] * sm_scale).astype(
+                    dk_ref.dtype
+                )
                 dv_ref[f, 0, cols, :] = dv_accs[j].astype(dv_ref.dtype)
 
 

@@ -23,6 +23,7 @@ step above the naive baseline, exactly as in the reference ladder
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -32,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_MASK_VALUE, NUM_LANES, default_scale
 from ._common import mxu_precision
+
+_LOG2E = math.log2(math.e)
 
 
 def _flash_v1_kernel(
@@ -69,13 +72,18 @@ def _flash_v1_kernel(
 
     @pl.when(should_run)
     def _body():
-        # Scale folded into the (block_q, D) Q tile once instead of a
-        # (block_q, block_k) pass over every score tile.
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+        # Scale (and the base-2 change of base) folded into the
+        # (block_q, D) Q tile once instead of a (block_q, block_k) pass
+        # over every score tile: exp(x) = exp2(x * log2 e), so running
+        # the whole online recurrence in base 2 turns every per-score
+        # transcendental into a raw exp2 — one VPU multiply pass per
+        # score tile cheaper (same trick as the tuned engine; the
+        # softmax weights are identical, p_i/l is base-invariant).
+        q = q_ref[0, 0].astype(jnp.float32) * (sm_scale * _LOG2E)
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
 
-        # S = Q K^T * scale  (MXU)
+        # S = Q K^T * scale  (MXU), in log2 units
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -98,8 +106,8 @@ def _flash_v1_kernel(
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)  # lane-replicated
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_curr = jnp.sum(p, axis=-1, keepdims=True)
         l_next = alpha * l_prev + l_curr
 
@@ -145,7 +153,9 @@ def _flash_v1_kernel_folded(
     is the identity), so no scratch round-trip is needed.
     """
     for f in range(fold):
-        q = q_ref[f, 0].astype(jnp.float32) * sm_scale
+        # Base-2 softmax with log2(e) folded into the Q prescale (see
+        # _flash_v1_kernel) — one VPU pass per score tile saved.
+        q = q_ref[f, 0].astype(jnp.float32) * (sm_scale * _LOG2E)
         k = k_ref[f, 0].astype(jnp.float32)
         v = v_ref[f, 0].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -158,7 +168,7 @@ def _flash_v1_kernel_folded(
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col <= row, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         acc = jnp.dot(

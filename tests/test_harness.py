@@ -158,17 +158,19 @@ def test_autotune_audit(tmp_path):
 def test_tri_heuristic_eligibility():
     from flash_attention_metal_tpu.kernels.flash_tri import tri_heuristic
 
-    # Standard shapes route tri with measured-winner tiles.
-    assert tri_heuristic(16, 8, 2048, 2048, 64) == (256, 256)
-    # Large N escalates tiles to fit the unroll cap...
-    assert tri_heuristic(1, 1, 8192, 8192, 64) == (512, 512)
-    # ...and declines when even 512-tiles blow it (grid kernel wins
-    # there anyway).
+    # Standard shapes route tri with the measured-winner transposed-PV
+    # 512 tiles (experiments/tri_pvt.py).
+    assert tri_heuristic(16, 8, 2048, 2048, 64) == (512, 512, True)
+    assert tri_heuristic(1, 1, 8192, 8192, 64) == (512, 512, True)
+    # Shapes too small for 512 q tiles fall back to untransposed 256s.
+    assert tri_heuristic(32, 1, 256, 256, 64) == (256, 256, False)
+    # Declines when even 512-tiles blow the unroll cap (grid kernel
+    # wins there anyway).
     assert tri_heuristic(1, 1, 16384, 16384, 64) is None
     # Untileable q lengths decline.
     assert tri_heuristic(1, 1, 100, 100, 64) is None
     # Cross-shape: block_k clamps to n_kv.
-    assert tri_heuristic(2, 2, 256, 64, 64) == (256, 64)
+    assert tri_heuristic(2, 2, 256, 64, 64) == (256, 64, False)
 
 
 def test_causal_default_routes_tri(monkeypatch):

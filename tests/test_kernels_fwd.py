@@ -554,6 +554,47 @@ def test_tri_kernel_vs_oracle(rng_key, shape):
     assert max_abs_diff(lse[..., 0], lse_r) < 1e-2
 
 
+@pytest.mark.parametrize("shape", [(2, 1, 1024), (1, 2, 512), (3, 2, 512)])
+def test_tri_kernel_pv_transposed(rng_key, shape):
+    """Transposed-PV mode (o^T accumulated in-kernel, wrapper
+    transposes) is numerically identical to the untransposed tri kernel
+    and matches the oracle — the round-5 flagship winner
+    (experiments/tri_pvt.py)."""
+    from flash_attention_metal_tpu.kernels import flash_attention_tri
+    from flash_attention_metal_tpu.reference.oracle import (
+        attention_reference_with_lse,
+    )
+
+    b, h, n = shape
+    q, k, v = make_qkv(rng_key, (b, h, n, 64), dtype=jnp.bfloat16)
+    o, lse = flash_attention_tri(
+        q, k, v, save_lse=True, pv_transposed=True, block_q=512,
+        block_k=512, interpret=INTERPRET,
+    )
+    assert o.shape == q.shape
+    o_r, lse_r = attention_reference_with_lse(q, k, v, causal=True)
+    assert max_abs_diff(o, o_r) < 1e-2
+    assert max_abs_diff(lse[..., 0], lse_r) < 1e-2
+    # Exact agreement with the untransposed kernel at the same tiles.
+    o_u = flash_attention_tri(
+        q, k, v, block_q=512, block_k=512, interpret=INTERPRET
+    )
+    assert max_abs_diff(o, o_u) < 2e-2
+    # Cross-shape with a fully-masked q block (negative static offset).
+    q2, _, _ = make_qkv(rng_key, (1, 1, 1024, 64), dtype=jnp.bfloat16)
+    _, k2, v2 = make_qkv(jax.random.PRNGKey(9), (1, 1, 512, 64),
+                         dtype=jnp.bfloat16)
+    o2 = flash_attention_tri(
+        q2, k2, v2, pv_transposed=True, block_q=512, block_k=512,
+        interpret=INTERPRET,
+    )
+    o2_u = flash_attention_tri(
+        q2, k2, v2, block_q=512, block_k=512, interpret=INTERPRET
+    )
+    # Same math, transposed accumulation order: ulp-level agreement.
+    assert max_abs_diff(o2, o2_u) < 1e-3
+
+
 def test_tri_kernel_gqa_and_offset(rng_key):
     from flash_attention_metal_tpu.kernels import flash_attention_tri
 
