@@ -295,23 +295,21 @@ def autotune_bwd(
         # compiles are minutes-scale and 128-tiles measured far off the
         # split winner (5080 vs 2393 us at B16 H8 N2048).
         cands += [
-            ("tri", (bq, bk))
+            ("tri", (bq, bk, pvt))
             for bq, bk, pvt in tri_candidates(n)
-            # pv_transposed is a forward-kernel mode; the backward tri
-            # kernel races untransposed tiles only.
-            if not pvt and not (n >= 2048 and (bq < 256 or bk < 256))
+            if not (n >= 2048 and (bq < 256 or bk < 256))
         ]
     best, best_impl, best_t = None, "split", float("inf")
     for impl, bs in cands:
         if impl == "tri":
-            bq, bk = bs
+            bq, bk, pvt = bs
             from ..kernels.flash_tri import flash_attention_bwd_tri
 
             fn = functools.partial(
                 flash_attention_bwd_tri, block_q=bq, block_k=bk,
-                interpret=interpret,
+                pv_transposed=pvt, interpret=interpret,
             )
-            tag = f"tri {bq}x{bk}"
+            tag = f"tri {bq}x{bk}" + ("T" if pvt else "")
         else:
             kern = (
                 flash_attention_bwd_fused if impl == "fused"
@@ -344,7 +342,9 @@ def autotune_bwd(
     if best_impl == "tri":
         cache[key] = {
             "impl": "tri",
-            "blocks": {"block_q": best[0], "block_k": best[1]},
+            "blocks": {
+                "block_q": best[0], "block_k": best[1], "pvt": best[2],
+            },
             "us": best_t * 1e6,
         }
         _store(cache_path, cache)

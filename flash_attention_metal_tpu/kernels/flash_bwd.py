@@ -418,6 +418,18 @@ def flash_attention_bwd_auto(
     shapes only).
     """
     impl = "split"
+    tri_ok = (
+        causal
+        and window is None
+        and not sinks
+        and segment_ids is None
+        and softcap is None
+        and alibi_slopes is None
+        and not dropout_rate
+        and k.shape[1] == q.shape[1]
+        and q.dtype != jnp.float16
+        and (q_offset is None or isinstance(q_offset, int))
+    )
     if block_sizes is None:
         try:
             from ..harness.autotune import lookup_bwd as _lookup
@@ -428,6 +440,30 @@ def flash_attention_bwd_auto(
             )
             if hit is not None:
                 impl, block_sizes = hit
+            elif tri_ok and pos_div == 1:
+                # No measured decision: the triangular transposed-
+                # gradient kernel is the DEFAULT for plain-causal shapes
+                # it fits (1.34x over the split pair at the flagship;
+                # round 5) — same default-not-cache-perk policy as the
+                # forward router.
+                from .flash_tri import tri_bwd_heuristic
+
+                off = (
+                    k.shape[2] - q.shape[2]
+                    if q_offset is None
+                    else int(q_offset)
+                )
+                heur = tri_bwd_heuristic(
+                    q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                    q.shape[3], off,
+                )
+                if heur is not None:
+                    impl = "tri"
+                    block_sizes = {
+                        "block_q": heur[0],
+                        "block_k": heur[1],
+                        "pvt": heur[2],
+                    }
         except (OSError, KeyError, ValueError, TypeError) as e:
             global _AUTOTUNE_BWD_WARNED
             if not _AUTOTUNE_BWD_WARNED:
@@ -439,19 +475,8 @@ def flash_attention_bwd_auto(
                     "using heuristic blocks"
                 )
             block_sizes = None
+            impl = "split"
     if impl == "tri":
-        tri_ok = (
-            causal
-            and window is None
-            and not sinks
-            and segment_ids is None
-            and softcap is None
-            and alibi_slopes is None
-            and not dropout_rate
-            and k.shape[1] == q.shape[1]
-            and q.dtype != jnp.float16
-            and (q_offset is None or isinstance(q_offset, int))
-        )
         if tri_ok:
             from .flash_tri import flash_attention_bwd_tri
 
@@ -461,6 +486,7 @@ def flash_attention_bwd_auto(
                 q_offset=None if q_offset is None else int(q_offset),
                 block_q=block_sizes["block_q"],
                 block_k=block_sizes["block_k"],
+                pv_transposed=block_sizes.get("pvt", False),
                 pos_div=pos_div,
                 interpret=interpret,
             )

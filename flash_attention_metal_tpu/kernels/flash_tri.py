@@ -223,6 +223,34 @@ def tri_heuristic(
     return None
 
 
+def tri_bwd_heuristic(
+    batch: int,
+    heads: int,
+    n_q: int,
+    n_kv: int,
+    head_dim: int,
+    q_offset: int = 0,
+) -> Optional[Tuple[int, int, bool]]:
+    """Default (block_q, block_k, pv_transposed) for routing an untuned
+    plain-causal backward onto the fused triangular kernel.
+
+    Conservative by design: only the transposed-gradient 512-tile
+    configuration fires (the measured 1.34x flagship winner over the
+    split FA-2 pair, experiments/tri_bwd_pvt.py) — untransposed tri and
+    256-tiles measured AT OR BELOW the split pair, so ineligible shapes
+    keep the split default.  The unroll budget is tighter than the
+    forward's (5 matmuls per visible pair vs 2 make backward compiles
+    ~2.5x heavier), so very long sequences stay on the split kernels;
+    the autotune cache overrides in either direction.
+    """
+    bq = bk = 512
+    if n_q % bq or n_kv < bk:
+        return None
+    if (n_q // bq) * (-(-n_kv // bk)) > 150:
+        return None
+    return bq, bk, True
+
+
 def _tri_fold(batch: int, n_q: int, n_kv: int, head_dim: int) -> int:
     """Batch elements per grid step: amortize per-step overhead while
     keeping the folded VMEM working set (Q+K+V, double-buffered)
@@ -400,6 +428,7 @@ def _tri_bwd_kernel(
     q_offset: int,
     fold: int,
     pos_div: int,
+    pv_t: bool = False,
 ):
     """Fused causal FA-2 backward, visible-area static unroll.
 
@@ -420,6 +449,15 @@ def _tri_bwd_kernel(
     native-GQA backward rides this kernel too.  Reference dS math:
     ``kernels.metal:1081-1214`` (recompute P from saved lse, dV +=
     P^T dO, dS = P(dP − delta), dK += dS^T Q, dQ += dS K).
+
+    ``pv_t``: transposed-output gradient matmuls (round 5).  dV, dK and
+    dQ all have [block, D=64]-narrow outputs — the 39-49%-of-peak matmul
+    class (experiments/mxu_rates.py) — so the kernel computes
+    dV^T = dO^T P, dK^T = Q^T dS and dQ^T = K^T dS^T instead ([64,
+    block]-wide outputs, pure dimension numbers), stores the gradients
+    transposed, and the wrapper transposes outside.  Paired at B16 H8
+    N2048 causal: 1741 us vs the split pair's 2329 us (1.34x,
+    bit-identical gradients; experiments/tri_bwd_pvt.py).
     """
     nkb = -(-n_kv // block_k)
     for f in range(fold):
@@ -432,9 +470,14 @@ def _tri_bwd_kernel(
             ext = min(n_kv, last_visible + 1)
             rows = slice(i * block_q, (i + 1) * block_q)
             if ext <= 0:
-                dq_ref[f, 0, rows, :] = jnp.zeros(
-                    (block_q, dq_ref.shape[-1]), dq_ref.dtype
-                )
+                if pv_t:
+                    dq_ref[f, 0, :, rows] = jnp.zeros(
+                        (dq_ref.shape[2], block_q), dq_ref.dtype
+                    )
+                else:
+                    dq_ref[f, 0, rows, :] = jnp.zeros(
+                        (block_q, dq_ref.shape[-1]), dq_ref.dtype
+                    )
                 continue
             n_tiles = -(-ext // block_k)
             q = q_ref[f, 0, rows, :]
@@ -472,32 +515,65 @@ def _tri_bwd_kernel(
                         jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + c0
                     )
                     p = jnp.where(col <= row, p, 0.0)
-                pv = mxu_dot_general(
-                    p.astype(do.dtype), do, (((0,), (0,)), ((), ()))
-                )
+                if pv_t:
+                    # dV^T += dO^T P : [D, bk]-wide output.
+                    pv = mxu_dot_general(
+                        do, p.astype(do.dtype), (((0,), (0,)), ((), ()))
+                    )
+                else:
+                    pv = mxu_dot_general(
+                        p.astype(do.dtype), do, (((0,), (0,)), ((), ()))
+                    )
                 dv_accs[j] = pv if dv_accs[j] is None else dv_accs[j] + pv
                 dp = mxu_dot_general(do, v, (((1,), (1,)), ((), ())))
                 ds = p * (dp - delta)  # sm_scale folded into the stores
-                dst = mxu_dot_general(
-                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
-                )
+                if pv_t:
+                    # dK^T += Q^T dS : [D, bk]; dQ^T += K^T dS^T : [D, bq].
+                    dst = mxu_dot_general(
+                        q, ds.astype(q.dtype), (((0,), (0,)), ((), ()))
+                    )
+                else:
+                    dst = mxu_dot_general(
+                        ds.astype(q.dtype), q, (((0,), (0,)), ((), ()))
+                    )
                 dk_accs[j] = dst if dk_accs[j] is None else dk_accs[j] + dst
-                dqj = mxu_dot_general(
-                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
-                )
+                if pv_t:
+                    dqj = mxu_dot_general(
+                        k, ds.astype(k.dtype), (((0,), (1,)), ((), ()))
+                    )
+                else:
+                    dqj = mxu_dot_general(
+                        ds.astype(k.dtype), k, (((1,), (0,)), ((), ()))
+                    )
                 dq = dqj if dq is None else dq + dqj
-            dq_ref[f, 0, rows, :] = (dq * sm_scale).astype(dq_ref.dtype)
+            if pv_t:
+                dq_ref[f, 0, :, rows] = (dq * sm_scale).astype(dq_ref.dtype)
+            else:
+                dq_ref[f, 0, rows, :] = (dq * sm_scale).astype(dq_ref.dtype)
         for j in range(nkb):
             c0 = j * block_k
             bk = min(block_k, n_kv - c0)
             cols = slice(c0, c0 + bk)
             if dk_accs[j] is None:
-                dk_ref[f, 0, cols, :] = jnp.zeros(
-                    (bk, dk_ref.shape[-1]), dk_ref.dtype
+                if pv_t:
+                    dk_ref[f, 0, :, cols] = jnp.zeros(
+                        (dk_ref.shape[2], bk), dk_ref.dtype
+                    )
+                    dv_ref[f, 0, :, cols] = jnp.zeros(
+                        (dv_ref.shape[2], bk), dv_ref.dtype
+                    )
+                else:
+                    dk_ref[f, 0, cols, :] = jnp.zeros(
+                        (bk, dk_ref.shape[-1]), dk_ref.dtype
+                    )
+                    dv_ref[f, 0, cols, :] = jnp.zeros(
+                        (bk, dv_ref.shape[-1]), dv_ref.dtype
+                    )
+            elif pv_t:
+                dk_ref[f, 0, :, cols] = (dk_accs[j] * sm_scale).astype(
+                    dk_ref.dtype
                 )
-                dv_ref[f, 0, cols, :] = jnp.zeros(
-                    (bk, dv_ref.shape[-1]), dv_ref.dtype
-                )
+                dv_ref[f, 0, :, cols] = dv_accs[j].astype(dv_ref.dtype)
             else:
                 dk_ref[f, 0, cols, :] = (dk_accs[j] * sm_scale).astype(
                     dk_ref.dtype
@@ -513,6 +589,7 @@ def _tri_bwd_kernel(
         "block_q",
         "block_k",
         "pos_div",
+        "pv_transposed",
         "interpret",
     ),
 )
@@ -530,6 +607,7 @@ def flash_attention_bwd_tri(
     block_q: int = 256,
     block_k: int = 256,
     pos_div: int = 1,
+    pv_transposed: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(dQ, dK, dV) via the fused triangular static-unroll kernel.
@@ -540,7 +618,9 @@ def flash_attention_bwd_tri(
     row-fold (callers fold the group q-heads into rows; dK/dV come out
     group-summed — see ``ops.attention._grads_from_residuals``).
     ``dlse`` (cotangent of an exposed lse output) folds into the delta
-    precompute exactly as in ``flash_bwd``.
+    precompute exactly as in ``flash_bwd``.  ``pv_transposed`` widens
+    the three gradient matmuls' outputs (see ``_tri_bwd_kernel``) — the
+    flagship-shape winner, 1.34x over the split pair.
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -582,6 +662,7 @@ def flash_attention_bwd_tri(
         q_offset=q_offset,
         fold=fold,
         pos_div=pos_div,
+        pv_t=pv_transposed,
     )
     qspec = pl.BlockSpec((fold, 1, n_q, head_dim), lambda b, h: (b, h, 0, 0))
     kvspec = pl.BlockSpec(
@@ -589,6 +670,12 @@ def flash_attention_bwd_tri(
     )
     lanespec = pl.BlockSpec(
         (fold, 1, n_q, NUM_LANES), lambda b, h: (b, h, 0, 0)
+    )
+    qtspec = pl.BlockSpec(
+        (fold, 1, head_dim, n_q), lambda b, h: (b, h, 0, 0)
+    )
+    kvtspec = pl.BlockSpec(
+        (fold, 1, head_dim, n_kv), lambda b, h: (b, h, 0, 0)
     )
     nb = n_q // block_q
     area = sum(
@@ -599,16 +686,32 @@ def flash_attention_bwd_tri(
         ]
         if ext > 0
     )
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        out_shape=[
+    if pv_transposed:
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (batch, heads, head_dim, n_q), q.dtype
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, heads, head_dim, n_kv), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, heads, head_dim, n_kv), jnp.float32
+            ),
+        ]
+        out_specs = [qtspec, kvtspec, kvtspec]
+    else:
+        out_shape = [
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, jnp.float32),
             jax.ShapeDtypeStruct(v.shape, jnp.float32),
-        ],
+        ]
+        out_specs = [qspec, kvspec, kvspec]
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
         grid=(batch // fold, heads),
         in_specs=[qspec, kvspec, kvspec, qspec, lanespec, lanespec],
-        out_specs=[qspec, kvspec, kvspec],
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -622,4 +725,8 @@ def flash_attention_bwd_tri(
         ),
         interpret=interpret,
     )(q, k, v, do, lse_lanes, delta_lanes)
+    if pv_transposed:
+        dq = dq.swapaxes(-1, -2)
+        dk = dk.swapaxes(-1, -2)
+        dv = dv.swapaxes(-1, -2)
     return dq, dk, dv

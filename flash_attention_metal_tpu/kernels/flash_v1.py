@@ -179,6 +179,19 @@ def _flash_v1_kernel_folded(
         o_ref[f, 0, :, :] = (acc * l_inv).astype(o_ref.dtype)
 
 
+# Per-N streaming tile defaults, raced paired-vs-naive on v5e at the
+# 2^23-amortized sweep batches (experiments/v1_blocks.py, round 5):
+# larger KV blocks amortize the online-softmax state updates that the
+# structurally-lean TPU "naive" never pays.  Every entry keeps >= 2 KV
+# streaming steps — the defining FA-1 trait.
+_V1_BLOCKS = {
+    1024: (512, 512),  # 1.14x vs naive
+    2048: (1024, 1024),  # 1.06x
+    4096: (512, 2048),  # 1.05x
+    8192: (1024, 2048),  # 1.01x
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "block_q", "block_k", "interpret"),
@@ -190,23 +203,28 @@ def flash_attention_v1(
     *,
     sm_scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Tiled fp32 flash attention over ``[B, H, N, D]`` inputs.
 
-    Default tiles are 512x512: the TPU analog of the reference's 16x16-vs-
+    Default tiles come from the per-N raced table ``_V1_BLOCKS``
+    (512x512 otherwise): the TPU analog of the reference's 16x16-vs-
     32x32 occupancy study (``README.md:25-28``) lands much larger here —
     128x128 tiles leave the kernel per-grid-step-overhead bound (measured
-    0.33x vs naive at N>=2048 on v5e; 512x512 reaches 0.92-0.99x, the
-    fp32-HIGHEST matmul wall both kernels share — see
+    0.33x vs naive at N>=2048 on v5e; the raced tiles reach 1.0-1.14x,
+    at the fp32-HIGHEST matmul wall both kernels share — see
     ``docs/optimization_narrative.md``).
     """
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
     if sm_scale is None:
         sm_scale = default_scale(head_dim)
+    if block_q is None or block_k is None:
+        dq, dk = _V1_BLOCKS.get(max(n_q, n_kv), (512, 512))
+        block_q = dq if block_q is None else block_q
+        block_k = dk if block_k is None else block_k
     block_q = min(block_q, n_q)
     block_k = min(block_k, n_kv)
     if causal and n_q != n_kv:
@@ -303,6 +321,10 @@ def flash_attention_v1(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Large streaming tiles (512x2048 fp32 score blocks) need
+            # headroom past the 16 MB scoped default — same 32 MB
+            # setting as the tuned forward engine (CLAUDE.md).
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * n_q * n_kv * head_dim,

@@ -96,15 +96,22 @@ def attention_bytes(
 
 
 def mxu_width_factor(head_dim: int) -> float:
-    """Achievable MXU duty factor for attention at a given head dim.
+    """Attention MXU duty factor at a given head dim (REPORTING MODEL).
 
-    The MXU is a 128x128 systolic array.  Attention's two matmuls have one
+    The MXU is a 128x128 systolic array and attention's matmuls have one
     dimension pinned to ``head_dim`` (the QK^T contraction depth and the
-    P.V output width), so for D < 128 no kernel on the chip can exceed
-    D/128 of the dense peak on those passes.  This is part of the
-    *speed of light* for the config, not kernel inefficiency — D=64 (the
-    reference's structural head dim, ``main.mm:12``) caps attention at
-    50% of the dense MXU peak.
+    P.V output width), so the model divides the dense peak by 128/D for
+    D < 128.  Round-5 per-shape measurements
+    (``experiments/mxu_rates.py``, v5e) show this is a *convention*, not
+    a physical ceiling: the penalty is per pinned-dimension KIND —
+    D-narrow-OUTPUT matmuls ([M,K]x[K,64]) measured 39-49% of dense
+    peak, while D-deep-CONTRACTION matmuls ([M,64]x[64,N]) measured
+    76-79%, i.e. above the D/128 line — which is how the transposed-
+    output kernels (``kernels/flash_tri.py`` ``pv_transposed``) can
+    reach and slightly exceed 100% of this model's "speed of light".
+    The D/128 convention is kept for roofline *reporting* so all rounds'
+    numbers stay comparable (BASELINE.json metric); per-shape truth
+    lives in ``experiments/mxu_rates.json``.
     """
     return min(head_dim, 128) / 128.0
 

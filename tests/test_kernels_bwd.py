@@ -554,6 +554,86 @@ def test_tri_bwd_matches_split_and_oracle(rng_key, shape, blocks):
         assert max_abs_diff(t, r) < 1e-3
 
 
+@pytest.mark.parametrize(
+    "shape,blocks",
+    [
+        ((2, 2, 512, 64), (512, 512)),
+        ((1, 1, 1024, 64), (512, 512)),
+        ((1, 2, 1024, 64), (256, 512)),
+    ],
+)
+def test_tri_bwd_pv_transposed(rng_key, shape, blocks):
+    """Transposed-gradient mode (dV^T/dK^T/dQ^T wide-output matmuls,
+    wrapper transposes) == untransposed tri backward == oracle — the
+    round-5 flagship winner (experiments/tri_bwd_pvt.py, 1.34x over the
+    split pair)."""
+    from flash_attention_metal_tpu.kernels.flash_tri import (
+        flash_attention_bwd_tri,
+    )
+
+    bq, bk = blocks
+    q, k, v = make_qkv(rng_key, shape, dtype=jnp.bfloat16)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    got = flash_attention_bwd_tri(
+        q, k, v, o, do, lse, block_q=bq, block_k=bk, pv_transposed=True,
+        interpret=INTERPRET,
+    )
+    want = flash_attention_bwd_tri(
+        q, k, v, o, do, lse, block_q=bq, block_k=bk, interpret=INTERPRET
+    )
+    ref = attention_reference_bwd(q, k, v, do, causal=True)
+    for g, w, r, name in zip(got, want, ref, ("dq", "dk", "dv")):
+        assert g.shape == w.shape, name
+        assert max_abs_diff(g, w) < 1e-3, name
+        assert max_abs_diff(g, r) < 1e-3, name
+
+
+def test_bwd_auto_heuristic_routes_tri_pvt(rng_key, monkeypatch):
+    """An UNTUNED plain-causal backward shape that fits 512 tiles routes
+    the transposed-gradient tri kernel by default (round 5); ineligible
+    shapes (n_q not 512-tileable) keep the split default."""
+    from flash_attention_metal_tpu.harness import autotune
+    from flash_attention_metal_tpu.kernels import flash_tri as tri_mod
+    from flash_attention_metal_tpu.kernels.flash_bwd import (
+        flash_attention_bwd_auto,
+    )
+
+    monkeypatch.setattr(autotune, "_MEMO", {})
+    calls = []
+    real = tri_mod.flash_attention_bwd_tri
+
+    def spy(*a, **kw):
+        calls.append((kw.get("block_q"), kw.get("pv_transposed")))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tri_mod, "flash_attention_bwd_tri", spy)
+    q, k, v = make_qkv(rng_key, (2, 1, 512, 64), dtype=jnp.bfloat16)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    do = q * 0.01
+    got = flash_attention_bwd_auto(
+        q, k, v, o, do, lse, causal=True, interpret=INTERPRET
+    )
+    assert calls == [(512, True)]
+    ref = attention_reference_bwd(q, k, v, do, causal=True)
+    for g, r in zip(got, ref):
+        assert max_abs_diff(g, r) < 1e-3
+    # Non-512-tileable shape: no tri call (split default).
+    calls.clear()
+    q2, k2, v2 = make_qkv(rng_key, (2, 1, 256, 64), dtype=jnp.bfloat16)
+    o2, lse2 = flash_attention_fwd(
+        q2, k2, v2, causal=True, save_lse=True, interpret=INTERPRET
+    )
+    flash_attention_bwd_auto(
+        q2, k2, v2, o2, q2 * 0.01, lse2, causal=True, interpret=INTERPRET
+    )
+    assert calls == []
+
+
 def test_tri_bwd_dlse_fold(rng_key):
     """The lse cotangent folds into the tri backward's delta precompute
     exactly as in the split path."""
