@@ -46,10 +46,19 @@ def main():
         *a, causal=True, pos_div=GROUP
     ))
     base = None
-    for bq, bk in ((256, 256), (256, 512), (512, 256), (512, 512)):
-        tri = jax.jit(lambda *a, _bq=bq, _bk=bk: flash_attention_bwd_tri(
-            *a, pos_div=GROUP, block_q=_bq, block_k=_bk
-        ))
+    # Round 5: transposed-gradient variants race too (the square-shape
+    # winner, experiments/tri_bwd_pvt.py).
+    for bq, bk, pvt in (
+        (256, 256, False), (256, 512, False), (512, 256, False),
+        (512, 512, False), (512, 512, True), (512, 1024, True),
+        (1024, 512, True),
+    ):
+        tri = jax.jit(
+            lambda *a, _bq=bq, _bk=bk, _p=pvt: flash_attention_bwd_tri(
+                *a, pos_div=GROUP, block_q=_bq, block_k=_bk,
+                pv_transposed=_p,
+            )
+        )
         # numerics vs the split fold path first
         g_t = tri(qf, k, v, of, dof, lsef)
         g_s = split(qf, k, v, of, dof, lsef)
@@ -64,27 +73,30 @@ def main():
             iters=10, inner_hi=3, repeats=5,
         )
         base = r["b_s"]
-        results[f"tri {bq}x{bk}"] = {
+        results[f"tri {bq}x{bk}{'T' if pvt else ''}"] = {
             "tri_ms": r["a_s"] * 1e3, "split_ms": r["b_s"] * 1e3,
             "speedup": r["b_s"] / r["a_s"], "max_diff": diff,
         }
-        print(f"tri {bq}x{bk}: {r['a_s']*1e3:.3f} ms vs split "
+        print(f"tri {bq}x{bk}{'T' if pvt else ''}: {r['a_s']*1e3:.3f} ms vs split "
               f"{r['b_s']*1e3:.3f} ms (x{r['b_s']/r['a_s']:.2f}), "
               f"diff {diff:.2e}")
         if diff < 1e-2 and r["b_s"] / r["a_s"] > 1.02 and (
-            best is None or r["a_s"] < best[2]
+            best is None or r["a_s"] < best[3]
         ):
-            best = (bq, bk, r["a_s"])
+            best = (bq, bk, pvt, r["a_s"])
 
     key = _key("bwd", B, HKV, N * GROUP, N, D, True, jnp.bfloat16)
     cache = json.load(open("autotune_cache.json"))
     if best is not None:
         cache[key] = {
             "impl": "tri",
-            "blocks": {"block_q": best[0], "block_k": best[1]},
-            "us": best[2] * 1e6,
+            "blocks": {
+                "block_q": best[0], "block_k": best[1], "pvt": best[2],
+            },
+            "us": best[3] * 1e6,
         }
-        print(f"persisted tri {best[0]}x{best[1]} under {key}")
+        print(f"persisted tri {best[0]}x{best[1]}"
+              f"{'T' if best[2] else ''} under {key}")
     else:
         cache.pop(key, None)
         print("tri did not win; no cache entry")
