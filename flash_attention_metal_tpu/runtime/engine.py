@@ -180,11 +180,6 @@ class DecodeEngine:
                     "rolling caches are dp-only (no contiguous shard "
                     "ownership under a wrapped position map)"
                 )
-            if multi_step > 1:
-                raise ValueError(
-                    "multi_step>1 is not wired through the sp/tp decode "
-                    "path yet (single-device + dp only)"
-                )
         if self._head_axis is not None and cfg.n_kv_heads % self._tp_size:
             raise ValueError(
                 f"n_kv_heads={cfg.n_kv_heads} must divide over "
@@ -462,14 +457,6 @@ class DecodeEngine:
     def submit(self, request: Request) -> None:
         if len(request.prompt) >= self.max_len:
             raise ValueError("prompt longer than cache capacity")
-        if (request.presence_penalty or request.frequency_penalty) and (
-            self._draft is not None
-        ):
-            raise NotImplementedError(
-                "presence/frequency penalties are wired through the plain, "
-                "multi-step, and sp/tp-sharded decode paths (not "
-                "speculative serving)"
-            )
         self.queue.append(request)
 
     def pending(self) -> bool:
@@ -781,25 +768,52 @@ class DecodeEngine:
                 # (sp_decode.SpStepFns.speculative_step): dp-local draft
                 # proposals, one multi-row sharded verify, shared
                 # acceptance rule.
-                out, n_emit, new_tok, self.cache, self.draft_cache = (
-                    self._sp.speculative_step(
+                (
+                    out,
+                    n_emit,
+                    new_tok,
+                    self.cache,
+                    self.draft_cache,
+                    self.pen_counts,
+                ) = self._sp.speculative_step(
+                    self.params,
+                    self.cache,
+                    self._draft[0],
+                    self.draft_cache,
+                    self.next_token,
+                    active,
+                    sub,
+                    self.temps,
+                    self.top_ks,
+                    self.top_ps,
+                    self.min_ps,
+                    self.pen_counts,
+                    self.presences,
+                    self.frequencies,
+                    cfg_d=self._draft[1],
+                    gamma=self._spec_gamma,
+                )
+                toks_dev = (out, n_emit)
+                self.next_token = new_tok
+            elif self._sp is not None and self._multi_step > 1:
+                toks_dev, lps_dev, self.cache, self.pen_counts = (
+                    self._sp.decode_and_sample_multi(
                         self.params,
                         self.cache,
-                        self._draft[0],
-                        self.draft_cache,
                         self.next_token,
                         active,
                         sub,
                         self.temps,
                         self.top_ks,
                         self.top_ps,
+                        self.pen_counts,
+                        self.presences,
+                        self.frequencies,
                         self.min_ps,
-                        cfg_d=self._draft[1],
-                        gamma=self._spec_gamma,
+                        n_steps=self._multi_step,
                     )
-                )
-                toks_dev = (out, n_emit)
-                self.next_token = new_tok
+                )  # [multi_step, B]
+                self.next_token = toks_dev[-1]
             elif self._sp is not None:
                 toks_dev, lps_dev, self.cache, self.pen_counts = (
                     self._sp.decode_and_sample(
@@ -820,23 +834,31 @@ class DecodeEngine:
             elif self._draft is not None:
                 from .speculative import speculative_step
 
-                out, n_emit, new_tok, self.cache, self.draft_cache = (
-                    speculative_step(
-                        self.params,
-                        self.cfg,
-                        self.cache,
-                        self._draft[0],
-                        self._draft[1],
-                        self.draft_cache,
-                        self.next_token,
-                        active,
-                        sub,
-                        self.temps,
-                        self.top_ks,
-                        self.top_ps,
-                        self.min_ps,
-                        gamma=self._spec_gamma,
-                    )
+                (
+                    out,
+                    n_emit,
+                    new_tok,
+                    self.cache,
+                    self.draft_cache,
+                    self.pen_counts,
+                ) = speculative_step(
+                    self.params,
+                    self.cfg,
+                    self.cache,
+                    self._draft[0],
+                    self._draft[1],
+                    self.draft_cache,
+                    self.next_token,
+                    active,
+                    sub,
+                    self.temps,
+                    self.top_ks,
+                    self.top_ps,
+                    self.min_ps,
+                    self.pen_counts,
+                    self.presences,
+                    self.frequencies,
+                    gamma=self._spec_gamma,
                 )
                 toks_dev = (out, n_emit)
                 self.next_token = new_tok
@@ -876,9 +898,7 @@ class DecodeEngine:
                     self.frequencies,
                     self.min_ps,
                 )
-            if self._draft is None and (
-                self._multi_step == 1 or self._sp is not None
-            ):
+            if self._draft is None and self._multi_step == 1:
                 self.next_token = toks_dev
             leaves = toks_dev if isinstance(toks_dev, tuple) else (toks_dev,)
             if lps_dev is not None:

@@ -412,12 +412,17 @@ class SpStepFns:
         rep = PartitionSpec()
         dp = PartitionSpec(batch_axis)
 
-        def decode_body(params, cache, tokens, active, key, temps,
-                        top_ks, top_ps, pen_counts, presences, frequencies,
-                        min_ps):
-            my_dp = jax.lax.axis_index(batch_axis)
+        def one_step(params, cache, tok, active, k_i, temps, top_ks,
+                     top_ps, pen_counts, presences, frequencies, min_ps):
+            """One sharded decode+sample step (shard-local view).
+
+            ``k_i`` must already be dp-folded.  lm_head is replicated
+            (see param_pspecs), so logits — and therefore penalties/
+            sampling/logprobs — are identical on every tp/sp shard of a
+            dp group.
+            """
             positions = cache.lengths[:, None]
-            x = params["embed"][tokens[:, None]].astype(cfg.dtype)
+            x = params["embed"][tok[:, None]].astype(cfg.dtype)
             for i, layer in enumerate(params["layers"]):
                 x, cache = _sp_attn_with_cache(
                     layer, x, cfg, cache, i, positions, seq_axis=seq_axis,
@@ -425,15 +430,12 @@ class SpStepFns:
                 )
                 x = _tp_mlp(layer, x, cfg, head_axis)
             x = rms_norm(x, params["final_norm"])
-            # lm_head is replicated (see param_pspecs), so logits — and
-            # therefore penalties/sampling/logprobs — are identical on
-            # every tp/sp shard of a dp group.
             logits = (x @ params["lm_head"].astype(cfg.dtype)).astype(
                 jnp.float32
             )[:, 0]
             cache = bump_lengths(cache, 1, active)
             toks = sample_batch.__wrapped__(
-                logits, jax.random.fold_in(key, my_dp), temps,
+                logits, k_i, temps,
                 top_ks, top_ps, pen_counts, presences, frequencies, min_ps,
             )
             toks = jnp.where(active, toks, 0)
@@ -443,6 +445,18 @@ class SpStepFns:
                 active.astype(jnp.int32)
             )
             return toks, logp, cache, pen_counts
+
+        self._one_step = one_step
+
+        def decode_body(params, cache, tokens, active, key, temps,
+                        top_ks, top_ps, pen_counts, presences, frequencies,
+                        min_ps):
+            my_dp = jax.lax.axis_index(batch_axis)
+            return one_step(
+                params, cache, tokens, active,
+                jax.random.fold_in(key, my_dp), temps, top_ks, top_ps,
+                pen_counts, presences, frequencies, min_ps,
+            )
 
         def _wrap_decode(params, cache, tokens, active, key, temps,
                          top_ks=None, top_ps=None, pen_counts=None,
@@ -486,6 +500,93 @@ class SpStepFns:
                       min_ps)
 
         self.decode_and_sample = jax.jit(_wrap_decode, donate_argnums=(1,))
+        self._multi_fns = {}
+
+    # ------------------------------------------------------------------
+    def _build_multi(self, n_steps: int):
+        """``n_steps`` sharded decode+sample steps in ONE dispatch: a
+        ``lax.scan`` chains the sampled token of step i into step i+1
+        inside ``shard_map`` (the sp lse-combine and tp psums run inside
+        the scan body — XLA collectives compose with scan), mirroring
+        ``decode.decode_and_sample_multi`` on the dense path.  Returns
+        ``[n_steps, B]`` tokens/logps."""
+        mesh = self.mesh
+        batch_axis = self.batch_axis
+        head_axis = self.head_axis
+        one_step = self._one_step
+        cspec = functools.partial(
+            cache_pspec, batch_axis=batch_axis, seq_axis=self.seq_axis,
+            head_axis=head_axis,
+        )
+        rep = PartitionSpec()
+        dp = PartitionSpec(batch_axis)
+
+        def multi_body(params, cache, tokens, active, key, temps,
+                       top_ks, top_ps, pen_counts, presences, frequencies,
+                       min_ps):
+            my_dp = jax.lax.axis_index(batch_axis)
+
+            def body(carry, k_i):
+                tok, c, counts = carry
+                toks, logp, c, counts = one_step(
+                    params, c, tok, active, k_i, temps, top_ks, top_ps,
+                    counts, presences, frequencies, min_ps,
+                )
+                return (toks, c, counts), (toks, logp)
+
+            keys = jax.random.split(
+                jax.random.fold_in(key, my_dp), n_steps
+            )
+            (_, cache, pen_counts), (all_toks, all_logps) = jax.lax.scan(
+                body, (tokens, cache, pen_counts), keys
+            )
+            return all_toks, all_logps, cache, pen_counts
+
+        def _wrap(params, cache, tokens, active, key, temps,
+                  top_ks=None, top_ps=None, pen_counts=None,
+                  presences=None, frequencies=None, min_ps=None):
+            b = tokens.shape[0]
+            if top_ks is None:
+                top_ks = jnp.zeros(tokens.shape, jnp.int32)
+            if top_ps is None:
+                top_ps = jnp.ones(tokens.shape, jnp.float32)
+            if pen_counts is None:
+                pen_counts = jnp.zeros((b, self.cfg.vocab_size), jnp.int32)
+            if presences is None:
+                presences = jnp.zeros((b,), jnp.float32)
+            if frequencies is None:
+                frequencies = jnp.zeros((b,), jnp.float32)
+            if min_ps is None:
+                min_ps = jnp.zeros((b,), jnp.float32)
+            spec = jax.tree_util.tree_map(cspec, cache)
+            # [n_steps, B] outputs: batch is dim 1.
+            step_dp = PartitionSpec(None, batch_axis)
+            fn = jax.shard_map(
+                multi_body,
+                mesh=mesh,
+                in_specs=(
+                    param_pspecs(params, head_axis),
+                    spec, dp, dp, rep, dp, dp, dp, dp, dp, dp, dp,
+                ),
+                out_specs=(step_dp, step_dp, spec, dp),
+                check_vma=False,
+            )
+            return fn(params, cache, tokens, active, key, temps,
+                      top_ks, top_ps, pen_counts, presences, frequencies,
+                      min_ps)
+
+        return jax.jit(_wrap, donate_argnums=(1,))
+
+    def decode_and_sample_multi(self, params, cache, tokens, active, key,
+                                temps, top_ks=None, top_ps=None,
+                                pen_counts=None, presences=None,
+                                frequencies=None, min_ps=None, *,
+                                n_steps: int):
+        fn = self._multi_fns.get(n_steps)
+        if fn is None:
+            fn = self._multi_fns[n_steps] = self._build_multi(n_steps)
+        return fn(params, cache, tokens, active, key, temps, top_ks,
+                  top_ps, pen_counts, presences, frequencies, min_ps)
 
     # ------------------------------------------------------------------
     def _build_prefill(self):
@@ -653,7 +754,8 @@ class SpStepFns:
         dp = PartitionSpec(batch_axis)
 
         def spec_body(params_t, cache_t, params_d, cache_d, tok, active,
-                      key, temps, top_ks, top_ps, min_ps):
+                      key, temps, top_ks, top_ps, min_ps, pen_counts,
+                      presences, frequencies):
             from .decode import filter_scaled_logits
 
             my_dp = jax.lax.axis_index(batch_axis)
@@ -664,14 +766,20 @@ class SpStepFns:
 
             # --- draft: gamma dp-local proposals + one ingest step so the
             # draft cache covers its own last proposal.  Proposals come
-            # from the FILTERED draft distribution (same per-slot
-            # top-k/top-p/min-p as the acceptance's p/q — see
-            # ``speculative.acceptance_rule``).
+            # from the FILTERED, penalty-adjusted draft distribution
+            # (same per-slot settings as the acceptance's p/q — see
+            # ``speculative.acceptance_rule``); penalties use running
+            # counts over the window's earlier proposals.
             draft_toks, draft_logits = [], []
             cur = tok
+            counts_run = pen_counts
             for i in range(gamma):
                 logits_d, cache_d = decode_step.__wrapped__(
                     params_d, cfg_d, cache_d, cur, active
+                )
+                logits_d = logits_d - (
+                    presences[:, None] * (counts_run > 0)
+                    + frequencies[:, None] * counts_run
                 )
                 g = jnp.argmax(logits_d, -1).astype(jnp.int32)
                 s = jax.random.categorical(
@@ -681,6 +789,9 @@ class SpStepFns:
                     ),
                 ).astype(jnp.int32)
                 cur = jnp.where(greedy_slot, g, s)
+                counts_run = counts_run + jax.nn.one_hot(
+                    cur, counts_run.shape[-1], dtype=jnp.int32
+                )
                 draft_toks.append(cur)
                 draft_logits.append(logits_d)
             _, cache_d = decode_step.__wrapped__(
@@ -710,6 +821,7 @@ class SpStepFns:
             out, n_acc, bonus = acceptance_rule(
                 d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
                 keys[gamma], keys[gamma + 1], top_ks, top_ps, min_ps,
+                pen_counts, presences, frequencies,
             )
             n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
             cache_t = dataclasses.replace(
@@ -718,10 +830,18 @@ class SpStepFns:
             cache_d = dataclasses.replace(
                 cache_d, lengths=(l0_d + n_emit).astype(jnp.int32)
             )
-            return out, n_emit, bonus, cache_t, cache_d
+            emitted = jnp.arange(gamma + 1)[None, :] < n_emit[:, None]
+            out_hot = jax.nn.one_hot(
+                out, pen_counts.shape[-1], dtype=jnp.int32
+            )
+            pen_counts = pen_counts + jnp.sum(
+                out_hot * emitted[..., None], axis=1
+            )
+            return out, n_emit, bonus, cache_t, cache_d, pen_counts
 
         def _wrap(params_t, cache_t, params_d, cache_d, tok, active, key,
-                  temps, top_ks=None, top_ps=None, min_ps=None):
+                  temps, top_ks=None, top_ps=None, min_ps=None,
+                  pen_counts=None, presences=None, frequencies=None):
             b = tok.shape[0]
             if top_ks is None:
                 top_ks = jnp.zeros((b,), jnp.int32)
@@ -729,6 +849,12 @@ class SpStepFns:
                 top_ps = jnp.ones((b,), jnp.float32)
             if min_ps is None:
                 min_ps = jnp.zeros((b,), jnp.float32)
+            if pen_counts is None:
+                pen_counts = jnp.zeros((b, cfg.vocab_size), jnp.int32)
+            if presences is None:
+                presences = jnp.zeros((b,), jnp.float32)
+            if frequencies is None:
+                frequencies = jnp.zeros((b,), jnp.float32)
             spec_t = jax.tree_util.tree_map(cspec, cache_t)
             spec_d = jax.tree_util.tree_map(dspec, cache_d)
             fn = jax.shard_map(
@@ -746,18 +872,23 @@ class SpStepFns:
                     dp,
                     dp,
                     dp,
+                    dp,
+                    dp,
+                    dp,
                 ),
-                out_specs=(dp, dp, dp, spec_t, spec_d),
+                out_specs=(dp, dp, dp, spec_t, spec_d, dp),
                 check_vma=False,
             )
             return fn(params_t, cache_t, params_d, cache_d, tok, active,
-                      key, temps, top_ks, top_ps, min_ps)
+                      key, temps, top_ks, top_ps, min_ps, pen_counts,
+                      presences, frequencies)
 
         return jax.jit(_wrap, donate_argnums=(1, 3))
 
     def speculative_step(
         self, params_t, cache_t, params_d, cache_d, tok, active, key,
-        temps, top_ks=None, top_ps=None, min_ps=None, *,
+        temps, top_ks=None, top_ps=None, min_ps=None, pen_counts=None,
+        presences=None, frequencies=None, *,
         cfg_d: ModelConfig, gamma: int,
     ):
         """One sharded speculative round; see ``_build_spec``."""
@@ -767,5 +898,5 @@ class SpStepFns:
             self._spec_sig = (cfg_d, gamma)
         return self._spec_fn(
             params_t, cache_t, params_d, cache_d, tok, active, key, temps,
-            top_ks, top_ps, min_ps,
+            top_ks, top_ps, min_ps, pen_counts, presences, frequencies,
         )

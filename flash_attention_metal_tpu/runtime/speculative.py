@@ -81,6 +81,9 @@ def acceptance_rule(
     top_ks: Optional[jax.Array] = None,  # [B] int32, <= 0 disables
     top_ps: Optional[jax.Array] = None,  # [B] float, >= 1 disables
     min_ps: Optional[jax.Array] = None,  # [B] float, <= 0 disables
+    pen_counts: Optional[jax.Array] = None,  # [B, V] int32
+    presences: Optional[jax.Array] = None,  # [B]
+    frequencies: Optional[jax.Array] = None,  # [B]
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Device-side speculative acceptance (shared by the dense and the
     sp/tp-sharded serving paths — ``runtime/sp_decode.py``).
@@ -94,13 +97,37 @@ def acceptance_rule(
     logits (matching the draft's filtered proposal sampling in
     ``speculative_step``), so the rule preserves the *filtered* target
     distribution — exactly what the non-speculative ``sample_batch``
-    serves.  Returns ``(out [B, gamma+1], n_acc [B], bonus [B])`` with
+    serves.
+
+    Presence/frequency penalties compose the same way (round 5): window
+    row ``t`` is penalized with ``pen_counts`` plus the one-hots of the
+    PRECEDING window tokens ``d_0..d_{t-1}`` — exactly the counts the
+    sequential engine would hold when emitting that token, because row t
+    is only reached when the whole prefix was accepted.  The draft loop
+    applies the same running counts to its proposal distribution.
+    Returns ``(out [B, gamma+1], n_acc [B], bonus [B])`` with
     ``out[:, n_acc] == bonus``.
     """
     from .decode import filter_scaled_logits
 
     batch, gamma = d.shape
     vocab = logits_t.shape[-1]
+
+    if pen_counts is not None:
+        # counts at window row t: base + one-hots of d_0..d_{t-1}.
+        # Only the TARGET logits are penalized here — ``q_logits`` must
+        # arrive exactly as the draft sampled from them, and the draft
+        # loop already applied the same running-count penalties.
+        d_hot = jax.nn.one_hot(d, vocab, dtype=jnp.int32)  # [B, gamma, V]
+        cum = jnp.cumsum(d_hot, axis=1)
+        counts_t = pen_counts[:, None, :] + jnp.concatenate(
+            [jnp.zeros_like(cum[:, :1]), cum], axis=1
+        )  # [B, gamma+1, V]
+        pen_t = presences[:, None, None] * (counts_t > 0) + (
+            frequencies[:, None, None] * counts_t
+        )
+        logits_t = logits_t - pen_t
+
     t_pred = jnp.argmax(logits_t, -1).astype(jnp.int32)  # [B, gamma+1]
     greedy_match = d == t_pred[:, :gamma]
 
@@ -179,16 +206,21 @@ def speculative_step(
     top_ks: Optional[jax.Array] = None,  # [B] int32, <= 0 disables
     top_ps: Optional[jax.Array] = None,  # [B] float, >= 1 disables
     min_ps: Optional[jax.Array] = None,  # [B] float, <= 0 disables
+    pen_counts: Optional[jax.Array] = None,  # [B, V] int32
+    presences: Optional[jax.Array] = None,  # [B]
+    frequencies: Optional[jax.Array] = None,  # [B]
     *,
     gamma: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache, KVCache]:
+) -> Tuple[jax.Array, ...]:
     """One speculative round; emits 1..gamma+1 tokens per active slot.
 
     Invariant in/out: both caches hold KV for all positions < lengths[b]
     and ``tok[b]`` is the token AT position lengths[b] (not yet in any
     cache).  Returns ``(out [B, gamma+1], n_emit [B], new_tok [B],
-    cache_t, cache_d)`` — per slot, ``out[:n_emit]`` are the emitted
-    tokens and ``new_tok == out[n_emit - 1]`` seeds the next round.
+    cache_t, cache_d, pen_counts')`` — per slot, ``out[:n_emit]`` are
+    the emitted tokens, ``new_tok == out[n_emit - 1]`` seeds the next
+    round, and ``pen_counts'`` is the penalty-count state advanced by
+    every emitted token (``None`` when ``pen_counts`` is ``None``).
 
     ``temps`` mixes modes per slot in one executable: greedy slots use
     exact token-match acceptance (output identical to the target's
@@ -210,18 +242,30 @@ def speculative_step(
 
     # --- draft: gamma proposals + one extra ingest step so the draft
     # cache covers its own last proposal (needed when all are accepted).
+    # Penalties apply with RUNNING counts (base + the window's own
+    # earlier proposals), matching acceptance_rule's per-row counts.
     draft_toks, draft_logits = [], []
     cur = tok
+    counts_run = pen_counts
     for i in range(gamma):
         logits_d, cache_d = decode_step.__wrapped__(
             params_d, cfg_d, cache_d, cur, active
         )
+        if pen_counts is not None:
+            logits_d = logits_d - (
+                presences[:, None] * (counts_run > 0)
+                + frequencies[:, None] * counts_run
+            )
         g = jnp.argmax(logits_d, -1).astype(jnp.int32)
         s = jax.random.categorical(
             keys[i],
             filter_scaled_logits(logits_d / tau, top_ks, top_ps, min_ps),
         ).astype(jnp.int32)
         cur = jnp.where(greedy_slot, g, s)
+        if pen_counts is not None:
+            counts_run = counts_run + jax.nn.one_hot(
+                cur, counts_run.shape[-1], dtype=jnp.int32
+            )
         draft_toks.append(cur)
         draft_logits.append(logits_d)
     _, cache_d = decode_step.__wrapped__(params_d, cfg_d, cache_d, cur, active)
@@ -240,6 +284,7 @@ def speculative_step(
     out, n_acc, bonus = acceptance_rule(
         d, jnp.stack(draft_logits, 1), logits_t, greedy_slot, tau,
         keys[gamma], keys[gamma + 1], top_ks, top_ps, min_ps,
+        pen_counts, presences, frequencies,
     )
     n_emit = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
     cache_t = dataclasses.replace(
@@ -248,7 +293,17 @@ def speculative_step(
     cache_d = dataclasses.replace(
         cache_d, lengths=(l0_d + n_emit).astype(jnp.int32)
     )
-    return out, n_emit, bonus, cache_t, cache_d
+    new_counts = pen_counts
+    if pen_counts is not None:
+        # Advance the penalty state by every EMITTED token this round.
+        emitted = jnp.arange(gamma + 1)[None, :] < n_emit[:, None]
+        out_hot = jax.nn.one_hot(
+            out, pen_counts.shape[-1], dtype=jnp.int32
+        )
+        new_counts = pen_counts + jnp.sum(
+            out_hot * emitted[..., None], axis=1
+        )
+    return out, n_emit, bonus, cache_t, cache_d, new_counts
 
 
 def speculative_generate(
@@ -306,7 +361,7 @@ def speculative_generate(
         if not active_h.any():
             break
         key, sub = jax.random.split(key)
-        out, n_emit, tok, cache_t, cache_d = speculative_step(
+        out, n_emit, tok, cache_t, cache_d, _ = speculative_step(
             params_t, cfg_t, cache_t, params_d, cfg_d, cache_d,
             tok, jnp.asarray(active_h), sub,
             jnp.full((batch,), temperature, jnp.float32),

@@ -89,18 +89,24 @@ def test_multi_step_matches_single_step_with_penalties():
     assert plain != one
 
 
-def test_penalties_rejected_on_speculative_path():
-    import pytest
-
+def test_penalties_on_speculative_path_match_plain():
+    """Round 5: penalties COMPOSE with speculative serving (per-row
+    window counts on draft + acceptance).  A perfect draft at greedy
+    settings emits exactly the plain penalized engine's tokens."""
     params = init_params(jax.random.PRNGKey(0), CFG)
-    eng = DecodeEngine(
-        params, CFG, max_batch=1, max_len=256,
-        draft=(params, CFG), spec_gamma=2,
-    )
-    with pytest.raises(NotImplementedError):
-        eng.submit(
-            Request(uid=0, prompt=[1], presence_penalty=1.0)
+
+    def run(draft):
+        eng = DecodeEngine(
+            params, CFG, max_batch=1, max_len=256,
+            draft=draft, spec_gamma=2,
         )
+        eng.submit(
+            Request(uid=0, prompt=[1, 2, 3], max_new_tokens=8,
+                    presence_penalty=2.0, frequency_penalty=0.5)
+        )
+        return eng.run()
+
+    assert run((params, CFG)) == run(None)
 
 
 def test_penalties_and_logprobs_on_sharded_engine():

@@ -118,6 +118,34 @@ def test_dp_tp_sp_int8_decode_matches_single_device(params):
     assert ref == got
 
 
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_sp_tp_multi_step_decode_matches_single_device(params, kv_quant):
+    """multi_step>1 on the dp x tp x sp mesh: a lax.scan chains decode
+    steps inside shard_map (round 5 — the dense path's dispatch
+    amortization now composes with the sharded cache).  Greedy
+    generations must be token-identical to the plain engines."""
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    prompts = [[5, 6, 7, 8], list(range(10, 40)), list(range(100, 180))]
+
+    def run(mesh=None, multi_step=1, **kw):
+        eng = DecodeEngine(
+            params, CFG, max_batch=4, max_len=512, eos_id=-1,
+            harvest_lag=2, mesh=mesh, multi_step=multi_step,
+            kv_quant=kv_quant, **kw,
+        )
+        for i, p in enumerate(prompts):
+            eng.submit(
+                Request(uid=i, prompt=p, max_new_tokens=7, temperature=0.0)
+            )
+        return eng.run()
+
+    ref = run()
+    got = run(mesh=mesh, head_axis="tp", seq_axis="sp", multi_step=3)
+    assert ref == got
+
+
 @pytest.mark.parametrize(
     "variant", ["softcap", "alibi", "softcap_int8"]
 )

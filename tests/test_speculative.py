@@ -242,6 +242,44 @@ def test_spec_engine_topp_smoke(params_t, params_d):
         assert all(0 <= t < CFG_T.vocab_size for t in toks)
 
 
+def test_spec_engine_penalties_topk1_matches_plain(params_t, params_d):
+    """Presence/frequency penalties compose with speculative serving
+    (round 5): with top_k=1 the penalized-filtered distribution is a
+    point mass, so the speculative engine must emit exactly the plain
+    engine's tokens — penalties applied with per-row window counts on
+    both the draft proposals and the target acceptance."""
+
+    def run(draft):
+        eng = DecodeEngine(
+            params_t, CFG_T, max_batch=2, max_len=512, draft=draft,
+            spec_gamma=3,
+        )
+        for uid in range(3):
+            eng.submit(
+                Request(
+                    uid=uid, prompt=[2 + uid, 3, 4], max_new_tokens=10,
+                    temperature=1.0, top_k=1, presence_penalty=4.0,
+                    frequency_penalty=0.7,
+                )
+            )
+        return eng.run()
+
+    want = run(None)
+    got = run((params_d, CFG_D))
+    assert got == want
+    # The penalties actually bite: a no-penalty run differs.
+    def run_nopen():
+        eng = DecodeEngine(params_t, CFG_T, max_batch=2, max_len=512)
+        for uid in range(3):
+            eng.submit(
+                Request(uid=uid, prompt=[2 + uid, 3, 4], max_new_tokens=10,
+                        temperature=1.0, top_k=1)
+            )
+        return eng.run()
+
+    assert run_nopen() != want
+
+
 def test_acceptance_rule_filtered_distribution():
     """Statistical check of the speculative-sampling rule under top-k/
     top-p: the marginal of the first emitted token must match the
