@@ -148,11 +148,13 @@ class DecodeEngine:
         window = max(multi_step, (spec_gamma + 1) if draft else 1)
         self._zombie_margin = harvest_lag * window + window
         if draft is not None:
-            if multi_step > 1 or kv_quant or rolling or paged:
+            if multi_step > 1 or rolling or paged:
                 raise ValueError(
-                    "draft= (speculative serving) currently composes with "
-                    "the dense cache only (dp/sp/tp mesh sharding is "
-                    "supported; quant/rolling/paged caches are not)"
+                    "draft= (speculative serving) composes with the dense "
+                    "and quantized caches (dp/sp/tp mesh sharding "
+                    "included); rolling caches have no sound O(1) rollback "
+                    "(wrapped slots are overwritten) and paged caches "
+                    "would need page-grant rollback"
                 )
             if draft[1].head_dim != cfg.head_dim:
                 pass  # head dims may differ; caches are independent

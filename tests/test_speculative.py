@@ -242,6 +242,26 @@ def test_spec_engine_topp_smoke(params_t, params_d):
         assert all(0 <= t < CFG_T.vocab_size for t in toks)
 
 
+def test_spec_engine_int8_target_cache(params_t, params_d):
+    """Speculative serving with a QUANTIZED target cache (round 5): the
+    O(1) rollback argument is format-independent (appends past lengths
+    are invisible and overwritten), so int8 greedy generations must be
+    token-identical to the int8 plain engine."""
+
+    def run(draft):
+        eng = DecodeEngine(
+            params_t, CFG_T, max_batch=2, max_len=512, draft=draft,
+            spec_gamma=3, kv_quant="int8",
+        )
+        for uid in range(3):
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=8)
+            )
+        return eng.run()
+
+    assert run((params_d, CFG_D)) == run(None)
+
+
 def test_spec_engine_penalties_topk1_matches_plain(params_t, params_d):
     """Presence/frequency penalties compose with speculative serving
     (round 5): with top_k=1 the penalized-filtered distribution is a
