@@ -164,6 +164,25 @@ def run_ladder(
     rung("tri fused backward dK,dV vs oracle (bf16)",
          jnp.stack([dkt, dvt]), jnp.stack([dk_rh, dv_rh]), TOL_BWD)
 
+    # Rung 7c (round 5): the transposed-output modes — wide-output PV /
+    # gradient matmuls with one XLA transpose outside (the flagship
+    # winners; kernels/flash_tri.py pv_transposed).  Explicit rungs so
+    # Mosaic-lowering coverage does not depend on the routing heuristic.
+    from ..kernels.flash_tri import flash_attention_tri
+
+    opv, lse_pv = flash_attention_tri(
+        qh, kh, vh, save_lse=True, pv_transposed=True, block_q=512,
+        block_k=512, interpret=interpret,
+    )
+    rung("tri pvt forward vs causal oracle (bf16)", opv, oracle_c, TOL_HALF)
+    dqp, dkp, dvp = flash_attention_bwd_tri(
+        qh, kh, vh, oh, doh, lse_h, pv_transposed=True, block_q=512,
+        block_k=512, interpret=interpret,
+    )
+    rung("tri pvt backward dQ vs oracle (bf16)", dqp, dq_rh, TOL_BWD)
+    rung("tri pvt backward dK,dV vs oracle (bf16)",
+         jnp.stack([dkp, dvp]), jnp.stack([dk_rh, dv_rh]), TOL_BWD)
+
     # Rung 8: quantized-KV forward (BASELINE.json config 4).  8-bit KV
     # error dominates: verified against the bf16 rung's own output at a
     # 3e-2 tolerance (the int8 analog of the reference's widening ladder,
