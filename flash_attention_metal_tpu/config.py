@@ -58,6 +58,12 @@ class BlockSizes:
     block_k_major: int = 1024
     block_k: int = 1024
 
+    # Lean (single-KV-block) path: accumulate o^T = V^T P^T so the PV
+    # matmul's output is [D, block_q]-wide instead of D-narrow (the
+    # 39-49%-of-peak matmul class, experiments/mxu_rates.py); one XLA
+    # transpose outside.  Raced per shape by the autotuner.
+    lean_pv_t: bool = False
+
     # dK/dV kernel: outer grid over KV blocks, inner reduction over Q blocks.
     block_kv_dkv: int = 1024
     block_q_dkv: int = 1024

@@ -95,11 +95,17 @@ def fwd_candidates(n_q: int, n_kv: int) -> List[BlockSizes]:
         out.append(BlockSizes(block_q=bq, block_k_major=bk, block_k=bk))
     if n_kv <= 4096:
         # Whole-KV major: single_block / lean path when bq covers n_q too.
+        # Each config also races its transposed-PV twin (round 5 —
+        # lean_pv_t widens the PV output; experiments/mxu_rates.py).
         for bq in _FWD_TILES:
             if bq <= n_q and n_q % bq == 0 and bq * n_kv * 4 <= 20 * 1024 * 1024:
-                bs = BlockSizes(block_q=bq, block_k_major=n_kv, block_k=n_kv)
-                if bs not in out:
-                    out.append(bs)
+                for pvt in (False, True):
+                    bs = BlockSizes(
+                        block_q=bq, block_k_major=n_kv, block_k=n_kv,
+                        lean_pv_t=pvt,
+                    )
+                    if bs not in out:
+                        out.append(bs)
     return out or [BlockSizes.for_seq_len(n_q, n_kv)]
 
 
@@ -219,7 +225,9 @@ def autotune_fwd(
                 block_sizes=cfg,
                 interpret=interpret,
             )
-            tag = f"{cfg.block_q}x{cfg.block_k_major}x{cfg.block_k}"
+            tag = f"{cfg.block_q}x{cfg.block_k_major}x{cfg.block_k}" + (
+                "T" if cfg.lean_pv_t else ""
+            )
         try:
             t = measure_kernel_stable(fn, (q, k, v), **mcfg)["median_s"]
         except _COMPILE_ERRORS as e:
@@ -256,6 +264,7 @@ def autotune_fwd(
             "block_q": best.block_q,
             "block_k_major": best.block_k_major,
             "block_k": best.block_k,
+            "lean_pv_t": best.lean_pv_t,
         },
         "us": best_t * 1e6,
     }

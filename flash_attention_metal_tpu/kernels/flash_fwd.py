@@ -439,6 +439,7 @@ def _fwd_kernel_lean(
     q_offset: int,
     save_lse: bool,
     fold: int = 1,
+    pv_t: bool = False,
 ):
     """Single-KV-block fast path with a *static* causal offset.
 
@@ -453,6 +454,11 @@ def _fwd_kernel_lean(
     into one statically-unrolled body amortizes that overhead and gives
     Mosaic independent MXU/VPU chains to interleave.  Same FLOPs, same
     outputs — only the grid packing changes.
+
+    ``pv_t``: transposed-output PV (round 5) — o^T = V^T P^T gives the
+    PV matmul a [D, block_q]-wide output instead of the 39-49%-of-peak
+    D-narrow one (experiments/mxu_rates.py); the wrapper transposes
+    once outside.
     """
     for i in range(fold):
         q = q_ref[i, 0]
@@ -472,8 +478,18 @@ def _fwd_kernel_lean(
         p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o = mxu_dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())))
-        o_ref[i, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
+        if pv_t:
+            ot = mxu_dot_general(
+                v, p.astype(v.dtype), (((0,), (1,)), ((), ()))
+            )
+            o_ref[i, 0, :, :] = (ot * l_inv[:, 0][None, :]).astype(
+                o_ref.dtype
+            )
+        else:
+            o = mxu_dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ()))
+            )
+            o_ref[i, 0, :, :] = (o * l_inv).astype(o_ref.dtype)
         if save_lse:
             lse = jnp.where(
                 l == 0.0,
@@ -519,6 +535,7 @@ def _fwd_lean(
     save_lse,
     kv_group,
     interpret,
+    pv_t=False,
 ):
     batch, heads, n_q, head_dim = q.shape
     n_kv = k.shape[2]
@@ -535,6 +552,7 @@ def _fwd_lean(
         q_offset=q_offset,
         save_lse=save_lse,
         fold=fold,
+        pv_t=pv_t,
     )
     if not save_lse:
         bound = kernel
@@ -542,10 +560,22 @@ def _fwd_lean(
         def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
             return bound(q_ref, k_ref, v_ref, o_ref, None)
 
-    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
-    out_specs = [
-        pl.BlockSpec((fold, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0))
-    ]
+    if pv_t:
+        out_shapes = [
+            jax.ShapeDtypeStruct((batch, heads, head_dim, n_q), q.dtype)
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (fold, 1, head_dim, block_q), lambda b, h, i: (b, h, 0, i)
+            )
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+        out_specs = [
+            pl.BlockSpec(
+                (fold, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0)
+            )
+        ]
     if save_lse:
         out_shapes.append(
             jax.ShapeDtypeStruct((batch, heads, n_q, NUM_LANES), jnp.float32)
@@ -589,9 +619,12 @@ def _fwd_lean(
         ),
         interpret=interpret,
     )(q, k, v)
+    o = results[0]
+    if pv_t:
+        o = o.swapaxes(-1, -2)
     if save_lse:
-        return results[0], results[1]
-    return results[0]
+        return o, results[1]
+    return o
 
 
 @functools.partial(
@@ -921,6 +954,7 @@ def flash_attention_fwd(
             save_lse=save_lse,
             kv_group=kv_group,
             interpret=interpret,
+            pv_t=block_sizes.lean_pv_t,
         )
 
     grid = (batch, heads, n_q // block_q, num_kv_major)

@@ -554,6 +554,37 @@ def test_tri_kernel_vs_oracle(rng_key, shape):
     assert max_abs_diff(lse[..., 0], lse_r) < 1e-2
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "shape,bq",
+    [((2, 2, 512), 512), ((1, 2, 1024), 256), ((8, 1, 128), 128)],
+)
+def test_lean_pv_transposed(rng_key, shape, bq, causal):
+    """Lean-path transposed-PV mode (BlockSizes.lean_pv_t) == the
+    untransposed lean path == oracle, including the batch-folded
+    small-N case and save_lse."""
+    from flash_attention_metal_tpu.config import BlockSizes
+
+    b, h, n = shape
+    q, k, v = make_qkv(rng_key, (b, h, n, 64), dtype=jnp.bfloat16)
+    bs = lambda pvt: BlockSizes(
+        block_q=bq, block_k_major=n, block_k=n, lean_pv_t=pvt
+    )
+    got, lse_t = flash_attention_fwd(
+        q, k, v, causal=causal, block_sizes=bs(True), save_lse=True,
+        interpret=INTERPRET,
+    )
+    want, lse_u = flash_attention_fwd(
+        q, k, v, causal=causal, block_sizes=bs(False), save_lse=True,
+        interpret=INTERPRET,
+    )
+    assert got.shape == q.shape
+    assert max_abs_diff(got, want) < 1e-3
+    assert max_abs_diff(lse_t, lse_u) == 0.0
+    ref = attention_reference(q, k, v, causal=causal)
+    assert max_abs_diff(got, ref) < 1e-2
+
+
 @pytest.mark.parametrize("shape", [(2, 1, 1024), (1, 2, 512), (3, 2, 512)])
 def test_tri_kernel_pv_transposed(rng_key, shape):
     """Transposed-PV mode (o^T accumulated in-kernel, wrapper
