@@ -163,9 +163,15 @@ def tri_candidates(n: int) -> List[Tuple[int, int, bool]]:
     at 256-tiles pv_t measured 16-29% slower (Mosaic materializes a
     transpose; experiments/tri_pvt.py)."""
     out = []
-    for bq in (128, 256, 512):
-        for bk in (128, 256, 512):
+    for bq in (128, 256, 512, 1024):
+        for bk in (128, 256, 512, 1024):
             if bq > n or n % bq:
+                continue
+            # 1024-tiles exist to bring long sequences (N >= 8192) under
+            # the unroll cap; at shorter N they never won a race.
+            if max(bq, bk) == 1024 and n < 8192:
+                continue
+            if min(bq, bk) < 512 and max(bq, bk) == 1024:
                 continue
             # pairs ~ (n/bq)*(n/bk)/2; cap the static unroll at ~300.
             if (n // bq) * (n // bk) > 600:

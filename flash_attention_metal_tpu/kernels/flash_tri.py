@@ -210,6 +210,7 @@ def tri_heuristic(
     """
     for bq, bk, pvt in (
         (512, 512, True),
+        (1024, 1024, True),  # long sequences: fit under the unroll cap
         (256, 256, False),
         (128, 256, False),
         (128, 128, False),
@@ -243,12 +244,15 @@ def tri_bwd_heuristic(
     ~2.5x heavier), so very long sequences stay on the split kernels;
     the autotune cache overrides in either direction.
     """
-    bq = bk = 512
-    if n_q % bq or n_kv < bk:
-        return None
-    if (n_q // bq) * (-(-n_kv // bk)) > 150:
-        return None
-    return bq, bk, True
+    for bq in (512, 1024):
+        bk = bq
+        if n_q % bq or n_kv < bk:
+            continue
+        # Tighter unroll budget than the forward (5 matmuls per pair).
+        if (n_q // bq) * (-(-n_kv // bk)) > 150:
+            continue
+        return bq, bk, True
+    return None
 
 
 def _tri_fold(batch: int, n_q: int, n_kv: int, head_dim: int) -> int:
