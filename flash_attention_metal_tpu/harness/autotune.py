@@ -205,7 +205,12 @@ def autotune_fwd(
     key = _key("fwd", b, h, n, n, d, causal, dtype)
     cache = _load(cache_path)
     if key in cache and not force:
-        return BlockSizes(**cache[key]["blocks"])
+        entry = cache[key]
+        if entry.get("impl") == "tri":
+            # tri entries carry (block_q, block_k, pvt) tile configs, not
+            # grid BlockSizes — the router reads them via lookup_fwd_impl.
+            return BlockSizes.for_seq_len(n, n)
+        return BlockSizes(**entry["blocks"])
 
     q, k, v = make_qkv(jax.random.PRNGKey(0), shape, dtype=dtype)
     interpret = jax.default_backend() != "tpu"
@@ -292,7 +297,10 @@ def autotune_bwd(
     key = _key("bwd", b, h, n, n, d, causal, dtype)
     cache = _load(cache_path)
     if key in cache and not force:
-        return BlockSizes(**cache[key]["blocks"])
+        entry = cache[key]
+        if entry.get("impl") == "tri":
+            return BlockSizes.for_seq_len(n, n)
+        return BlockSizes(**entry["blocks"])
 
     q, k, v = make_qkv(jax.random.PRNGKey(0), shape, dtype=dtype)
     interpret = jax.default_backend() != "tpu"
