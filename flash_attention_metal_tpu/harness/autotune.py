@@ -162,16 +162,17 @@ def tri_candidates(n: int) -> List[Tuple[int, int, bool]]:
     compile time.  Transposed-PV variants race only at >=512 q tiles —
     at 256-tiles pv_t measured 16-29% slower (Mosaic materializes a
     transpose; experiments/tri_pvt.py)."""
+    from ..kernels.flash_tri import _TRI_MAX_N
+
     out = []
-    for bq in (128, 256, 512, 1024):
-        for bk in (128, 256, 512, 1024):
+    if n > _TRI_MAX_N:
+        # Measured Mosaic compile wall: every tri config at N=8192 fails
+        # AOT compilation on v5e (round-5 race log) regardless of unroll
+        # size — don't waste race time on candidates that cannot build.
+        return out
+    for bq in (128, 256, 512):
+        for bk in (128, 256, 512):
             if bq > n or n % bq:
-                continue
-            # 1024-tiles exist to bring long sequences (N >= 8192) under
-            # the unroll cap; at shorter N they never won a race.
-            if max(bq, bk) == 1024 and n < 8192:
-                continue
-            if min(bq, bk) < 512 and max(bq, bk) == 1024:
                 continue
             # pairs ~ (n/bq)*(n/bk)/2; cap the static unroll at ~300.
             if (n // bq) * (n // bk) > 600:

@@ -182,6 +182,14 @@ def _tri_kernel(
 # N=16384 measured 0.82 of roofline, docs/optimization_narrative.md).
 _UNROLL_CAP = 600
 
+# Measured Mosaic compile wall (round-5 re-race, v5e): EVERY tri config
+# at N=8192 fails AOT compilation ("tpu_compile_helper subprocess exit
+# code 1") — including 1024x1024 tiles whose instruction count equals
+# the N=4096 512x512 config that compiles fine, so the wall is the
+# sequence extent itself, not the unroll size.  Heuristics and the race
+# stay within the proven envelope.
+_TRI_MAX_N = 4096
+
 
 def tri_heuristic(
     batch: int,
@@ -208,9 +216,10 @@ def tri_heuristic(
     (a raced grid win routes grid; a raced tri win carries its tuned
     tiles and mode).
     """
+    if n_kv > _TRI_MAX_N or n_q > _TRI_MAX_N:
+        return None  # measured Mosaic compile wall past 4096 (see above)
     for bq, bk, pvt in (
         (512, 512, True),
-        (1024, 1024, True),  # long sequences: fit under the unroll cap
         (256, 256, False),
         (128, 256, False),
         (128, 128, False),
@@ -244,6 +253,8 @@ def tri_bwd_heuristic(
     ~2.5x heavier), so very long sequences stay on the split kernels;
     the autotune cache overrides in either direction.
     """
+    if n_kv > _TRI_MAX_N or n_q > _TRI_MAX_N:
+        return None  # measured Mosaic compile wall past 4096 (see above)
     for bq in (512, 1024):
         bk = bq
         if n_q % bq or n_kv < bk:
