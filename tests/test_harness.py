@@ -161,11 +161,12 @@ def test_tri_heuristic_eligibility():
     # Standard shapes route tri with the measured-winner transposed-PV
     # 512 tiles (experiments/tri_pvt.py).
     assert tri_heuristic(16, 8, 2048, 2048, 64) == (512, 512, True)
-    assert tri_heuristic(1, 1, 8192, 8192, 64) == (512, 512, True)
+    assert tri_heuristic(1, 1, 4096, 4096, 64) == (512, 512, True)
     # Shapes too small for 512 q tiles fall back to untransposed 256s.
     assert tri_heuristic(32, 1, 256, 256, 64) == (256, 256, False)
-    # Declines when even 512-tiles blow the unroll cap (grid kernel
-    # wins there anyway).
+    # Declines past the measured N=4096 Mosaic compile wall (the grid
+    # kernel holds 0.71-0.82 of roofline there).
+    assert tri_heuristic(1, 1, 8192, 8192, 64) is None
     assert tri_heuristic(1, 1, 16384, 16384, 64) is None
     # Untileable q lengths decline.
     assert tri_heuristic(1, 1, 100, 100, 64) is None
