@@ -393,7 +393,10 @@ def _fallback_fwd_fn(b, h, n_q, n_kv, d, causal, interpret):
     """The fn the router would run on a cache MISS for this shape — the
     baseline any cache entry must beat to stay (round 5: for plain
     causal shapes that is the heuristic-tiled tri kernel, the shipped
-    default; grid for_seq_len otherwise)."""
+    default; grid for_seq_len otherwise).  Returns (fn, tag, entry)
+    where ``entry`` is the cache payload recording the fallback as the
+    measured decision (validate() persists it when a tuned entry loses,
+    so the shape stays marked as raced for the coverage audit)."""
     if causal:
         from ..kernels.flash_tri import flash_attention_tri, tri_heuristic
 
@@ -408,6 +411,14 @@ def _fallback_fwd_fn(b, h, n_q, n_kv, d, causal, interpret):
                     interpret=interpret,
                 ),
                 f"tri-heur {heur[0]}x{heur[1]}" + ("T" if heur[2] else ""),
+                {
+                    "impl": "tri",
+                    "blocks": {
+                        "block_q": heur[0],
+                        "block_k": heur[1],
+                        "pvt": heur[2],
+                    },
+                },
             )
     default = BlockSizes.for_seq_len(n_q, n_kv)
     return (
@@ -416,6 +427,14 @@ def _fallback_fwd_fn(b, h, n_q, n_kv, d, causal, interpret):
             interpret=interpret,
         ),
         f"grid {default.block_q}x{default.block_k_major}",
+        {
+            "blocks": {
+                "block_q": default.block_q,
+                "block_k_major": default.block_k_major,
+                "block_k": default.block_k,
+                "lean_pv_t": default.lean_pv_t,
+            },
+        },
     )
 
 
@@ -449,7 +468,7 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
         b, h, n_q, n_kv, d = map(int, m.groups())
         causal = parts[3].startswith("causal1")
         dtype = jnp.bfloat16 if "bfloat16" in key else jnp.float32
-        fn_base, base_tag = _fallback_fwd_fn(
+        fn_base, base_tag, base_entry = _fallback_fwd_fn(
             b, h, n_q, n_kv, d, causal, interpret
         )
         if entry.get("impl") == "tri":
@@ -488,17 +507,20 @@ def validate(cache_path: str = DEFAULT_CACHE, log=print) -> None:
             inner_hi=mcfg["inner_hi"],
             repeats=5,
         )
-        verdict = "keep" if r["ratio"] > 1.0 else "DROP"
+        verdict = "keep" if r["ratio"] > 1.0 else "REPLACE-with-fallback"
         log(
             f"  {key}: fallback [{base_tag}] {r['a_s']*1e6:.1f} us vs tuned "
             f"{r['b_s']*1e6:.1f} us (ratio {r['ratio']:.2f}) -> {verdict}"
         )
         if r["ratio"] <= 1.0:
+            # The fallback won the paired race: persist IT as the
+            # measured decision (identical runtime behavior to a cache
+            # miss, but the shape stays marked as raced for the
+            # coverage audit).
             drop.append(key)
-    for key in drop:
-        del cache[key]
+            cache[key] = dict(base_entry, us=r["a_s"] * 1e6)
     _store(cache_path, cache)
-    log(f"validate: dropped {len(drop)} entries")
+    log(f"validate: replaced {len(drop)} noise-crowned entries with their fallbacks")
 
 
 def audit(cache_path: str = DEFAULT_CACHE, log=print) -> List[str]:
