@@ -11,10 +11,15 @@ echo $$ > /tmp/tpu_queue_r5.pid
 touch "$STATE"
 
 probe() {
+  # STRICT health gate: a wedged-but-answering tunnel reads 5-8x slow on
+  # the calibration matmul and poisons every measurement step; require
+  # the 8192^3 matmul within 2x of its 0.75 ms expectation.
   timeout 75 python -c "
 from flash_attention_metal_tpu.utils.timing import calibrate
 c = calibrate(iters=3)
-print('probe ok', round(c['matmul8192_ms'], 3), 'ms, ok=', c['ok'])
+print('probe', round(c['matmul8192_ms'], 3), 'ms, ok=', c['ok'])
+import sys
+sys.exit(0 if c['matmul8192_ms'] < 1.5 else 1)
 " >> "$LOG" 2>&1
 }
 
@@ -68,7 +73,7 @@ print('cleared', len(c) - len(keep), 'entries; kept', len(keep))
   # 11. SVG artifacts from the fresh CSV.
   run_step plots 120 python -m flash_attention_metal_tpu.harness.plotting benchmark_results.csv || continue
   # 12. Driver metric + detail artifact.
-  run_step bench 590 python bench.py || continue
+  run_step bench 1200 python bench.py || continue
   # 13. Training MFU, plain and softcap (fresh backward).
   run_step train_bench 590 python -m flash_attention_metal_tpu.harness.train_bench || continue
   run_step keep_tb 10 cp train_bench.json train_bench_plain.json || continue
