@@ -11,15 +11,16 @@ echo $$ > /tmp/tpu_queue_r5.pid
 touch "$STATE"
 
 probe() {
-  # STRICT health gate: a wedged-but-answering tunnel reads 5-8x slow on
-  # the calibration matmul and poisons every measurement step; require
-  # the 8192^3 matmul within 2x of its 0.75 ms expectation.
+  # Health gate: the quick calibrate(iters=3) probe reads ~6 ms on a
+  # HEALTHY tunnel (it includes the ~3 ms/launch dispatch floor; the
+  # harness's proper dual-slope reading is ~0.75 ms) — so gate only on
+  # outright hangs/errors and gross (>3x) degradation.
   timeout 75 python -c "
 from flash_attention_metal_tpu.utils.timing import calibrate
 c = calibrate(iters=3)
 print('probe', round(c['matmul8192_ms'], 3), 'ms, ok=', c['ok'])
 import sys
-sys.exit(0 if c['matmul8192_ms'] < 1.5 else 1)
+sys.exit(0 if c['matmul8192_ms'] < 20.0 else 1)
 " >> "$LOG" 2>&1
 }
 
