@@ -105,9 +105,16 @@ def run_serving_bench(
         )
 
     # Warm both executables (prefill admits up to max_batch, decode runs
-    # one token) before the timed region.
+    # one token) before the timed region — then FENCE.  The engine's
+    # dispatch is fully asynchronous, so without a sync the warmup steps
+    # return before the first executions (and the terminal-side
+    # executable loads, ~100-400 s one-time per process on the tunneled
+    # link — measured round 5) have landed, and that one-time cost leaks
+    # into the first timed sync instead.  A device_get of the token
+    # chain drains the queue so the timer starts at steady state.
     eng.step()
     eng.step()
+    jax.device_get(eng.next_token)
 
     t0 = time.perf_counter()
     steps0 = eng.steps
