@@ -144,20 +144,28 @@ class DecodeEngine:
         self._spec_gamma = spec_gamma
         # Tokens a retired slot may still decode before bookkeeping lands
         # (harvest runs ``harvest_lag`` dispatches behind; each dispatch
-        # emits up to multi_step / gamma+1 tokens).
-        window = max(multi_step, (spec_gamma + 1) if draft else 1)
+        # emits up to multi_step / gamma+1 tokens — and a speculative
+        # VERIFY WINDOW writes up to the 8-row-padded gamma+1 rows past
+        # the true length, which is also how far the paged host-length
+        # tracker may run ahead between harvest resyncs).
+        spec_pad = -(-(spec_gamma + 1) // 8) * 8 if draft else 0
+        window = max(multi_step, spec_pad if draft else 1)
         self._zombie_margin = harvest_lag * window + window
         if draft is not None:
-            if multi_step > 1 or rolling or paged:
+            if multi_step > 1 or rolling:
                 raise ValueError(
-                    "draft= (speculative serving) composes with the dense "
-                    "and quantized caches (dp/sp/tp mesh sharding "
+                    "draft= (speculative serving) composes with the dense, "
+                    "quantized, and paged caches (dp/sp/tp mesh sharding "
                     "included); rolling caches have no sound O(1) rollback "
-                    "(wrapped slots are overwritten) and paged caches "
-                    "would need page-grant rollback"
+                    "(wrapped slots are overwritten) and multi_step is the "
+                    "same dispatch-amortization axis"
                 )
-            if draft[1].head_dim != cfg.head_dim:
-                pass  # head dims may differ; caches are independent
+            if paged and prefix_share:
+                raise NotImplementedError(
+                    "draft= with prefix_share=True is not wired (a verify "
+                    "window may not overwrite an adopted shared page)"
+                )
+        self._spec_pad = spec_pad
         # Sequence-sharded serving (BASELINE config 5): the KV cache's
         # length dim splits over ``seq_axis`` and decode runs the
         # lse-combine path (runtime.sp_decode).  Composes with dp slot
@@ -673,12 +681,13 @@ class DecodeEngine:
                 # zombie writes to the reserved page 0, so the freed
                 # pages are immediately safe to re-grant.
                 self.cache = self._allocator.release(self.cache, req.slot)
+                self._host_len[req.slot] = 0
             else:
                 self.cache = reset_slot(self.cache, req.slot)
-                if self.draft_cache is not None:
-                    self.draft_cache = reset_slot(
-                        self.draft_cache, req.slot
-                    )
+            if self.draft_cache is not None:
+                # The draft cache is always dense, whatever the target
+                # cache type.
+                self.draft_cache = reset_slot(self.draft_cache, req.slot)
             self.finished[req.uid] = req
 
     # ------------------------------------------------------------------
@@ -710,6 +719,14 @@ class DecodeEngine:
                         break
                     req.generated.append(int(out[slot, j]))
                     self._maybe_finish(req)
+                if self._paged and not req.done:
+                    # Re-sync the paged write-head tracker to the true
+                    # length: between harvests it advanced one full
+                    # verify window per round while the device emitted
+                    # only n_emit tokens (see the grow loop in step()).
+                    self._host_len[slot] = len(req.prompt) + len(
+                        req.generated
+                    )
                 if req.done:
                     finished.append(req)
             return finished
@@ -749,17 +766,28 @@ class DecodeEngine:
             active = self._active_dev
             if self._paged:
                 # Grant pages ahead of the dispatch: each active slot is
-                # about to append ``multi_step`` tokens from _host_len.
-                # Reservation accounting at admission guarantees this
-                # never exhausts the pool.
+                # about to append ``multi_step`` tokens — or, on the
+                # speculative path, up to the 8-row-padded verify window
+                # — from _host_len.  The speculative tracker runs ahead
+                # of the true length by up to one window per un-harvested
+                # round (it cannot know n_emit yet) and is re-synced to
+                # the true length at harvest; the admission reservation's
+                # zombie margin covers exactly that drift.
+                advance = (
+                    self._spec_pad if self._draft is not None
+                    else self._multi_step
+                )
                 for slot, r in enumerate(self.slots):
                     if r is not None:
                         self.cache = self._allocator.grow(
                             self.cache,
                             slot,
-                            self._host_len[slot] + self._multi_step,
+                            min(
+                                self._host_len[slot] + advance,
+                                self.max_len,
+                            ),
                         )
-                        self._host_len[slot] += self._multi_step
+                        self._host_len[slot] += advance
             # One fused device program (decode + batched sample, KV cache
             # donated/in-place) per step; the token fetch is issued
             # asynchronously and consumed ``harvest_lag`` steps later.

@@ -242,6 +242,31 @@ def test_spec_engine_topp_smoke(params_t, params_d):
         assert all(0 <= t < CFG_T.vocab_size for t in toks)
 
 
+def test_spec_engine_paged_target_cache(params_t, params_d):
+    """Speculative serving with a PAGED target cache (round 5): verify
+    windows scatter through the page table at arbitrary (non-aligned)
+    write heads, page grants advance by the 8-row-padded window per
+    round, and the host write-head tracker re-syncs to the true length
+    at harvest.  Greedy generations must be token-identical to the
+    paged plain engine — exercised with slot churn (6 requests over 2
+    slots) so retirement/release and re-admission run too."""
+
+    def run(draft, paged):
+        eng = DecodeEngine(
+            params_t, CFG_T, max_batch=2, max_len=512, draft=draft,
+            spec_gamma=3, paged=paged, harvest_lag=2,
+        )
+        for uid in range(6):
+            eng.submit(
+                Request(uid=uid, prompt=[1 + uid, 2, 3], max_new_tokens=9)
+            )
+        return eng.run()
+
+    want = run(None, False)
+    assert run(None, True) == want          # paged plain == dense plain
+    assert run((params_d, CFG_D), True) == want  # paged spec == both
+
+
 def test_spec_engine_int8_target_cache(params_t, params_d):
     """Speculative serving with a QUANTIZED target cache (round 5): the
     O(1) rollback argument is format-independent (appends past lengths
