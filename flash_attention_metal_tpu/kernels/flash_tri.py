@@ -185,9 +185,13 @@ _UNROLL_CAP = 600
 # Measured Mosaic compile wall (round-5 re-race, v5e): EVERY tri config
 # at N=8192 fails AOT compilation ("tpu_compile_helper subprocess exit
 # code 1") — including 1024x1024 tiles whose instruction count equals
-# the N=4096 512x512 config that compiles fine, so the wall is the
-# sequence extent itself, not the unroll size.  Heuristics and the race
-# stay within the proven envelope.
+# the N=4096 512x512 config that compiles fine.  The tail-session repro
+# ladder (experiments/tri_compile_wall{,2,3}.py) isolated it to the
+# count of unrolled online-softmax rescale chains x the sequence
+# extent: at 8192, 10 stripped softmax pairs compile, 21 fail, and the
+# production kernel fails even at 10 pairs with 2048-tiles — a Mosaic
+# resource limit with no tile-geometry escape (narrative, "round 5
+# tail").  Heuristics and the race stay within the proven envelope.
 _TRI_MAX_N = 4096
 
 
